@@ -1,0 +1,78 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the scan/join/agg/window/timeseries core (the shapes that
+dominate a 100 TB warehouse) plus one representative from each extension
+family (dedup, similarity, text). Each query runs once warm (after a JVM
+warmup pass on sf0.001) and is timed end-to-end including the action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_project_spark.registry import all_queries  # noqa: E402
+from etl_project_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "a3_daily_stats",
+    "a4_distinct_agg",
+    "t2_topk_by_value",
+    "j2_fact_fact_join",
+    "j6_asof_join",
+    "w1_topn_per_key",
+    "ts1_tumbling_5min",
+    "ts4_ohlcv_resample",
+    "dd2_fingerprint_dedup",
+    "tx3_token_topk",
+    "x1_topk_cosine_exact",
+]
+
+
+def run_query(qs, name, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = qs[name](spark, sf_dir)
+    n = df.count()  # force full execution
+    assert n >= 0
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    qs = all_queries()
+    # warmup: spin the JVM/codegen caches on the smallest corpus
+    for name in BENCH_QUERIES[:3]:
+        qs[name](spark, "/root/testdata/sf0.001").count()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_query(qs, name, spark, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

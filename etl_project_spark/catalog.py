@@ -1,0 +1,53 @@
+"""Table loading + view registration over the driver's Parquet corpus.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one Parquet file per table under
+``{sf_dir}/{name}.parquet``.
+
+The one physical quirk handled here: ``events.parquet`` stores its ``ts``
+column as Parquet TIMESTAMP(NANOS), which Spark's Parquet reader rejects
+outright ([PARQUET_TYPE_ILLEGAL]). With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column arrives as a
+long of nanoseconds-since-epoch; we convert with integer division (``div
+1000`` — float division would lose precision: 2024 epoch-nanos ≈ 1.7e18 >
+2^53) into a TIMESTAMP_NTZ, matching DuckDB's microsecond truncation of the
+same file so oracle hashes agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.session import prepare
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table, normalizing physical-type quirks."""
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # long nanos -> naive-UTC microsecond timestamp (floor, like DuckDB)
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each corpus table as a temp view for spark.sql queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

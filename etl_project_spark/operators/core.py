@@ -1,0 +1,311 @@
+"""Reference query surface: projections, filters, aggregates, top-k.
+
+Re-expresses every relational operator the reference runs in
+Postgres/Redshift (SURVEY.md §2c-2e) over the driver corpus. The
+reference's time-series bar table maps onto ``events`` (ts ≙
+time_period_start, value ≙ volume_traded, user_id ≙ coin key); see
+FIXTURES.md.
+
+Reference sites cited per query:
+- P1/P2 projections  — /root/reference/sql/Redshift_queries.sql:2-3,12-15
+- F1/F2 date filters — /root/reference/dags/airflow_dags.py:64,
+                       /root/reference/sql/Redshift_queries.sql:9
+- A1 count / A2 max-min — /root/reference/sql/Redshift_queries.sql:6-9,21-24
+- A3 daily sums — QuickSight dashboard aggregations (SURVEY.md §2d)
+- T1 top-1 by volume — /root/reference/sql/Redshift_queries.sql:11-18
+- T2 ordered series — dashboard line chart (SURVEY.md §2e)
+
+Scale notes: every filter here is a single scan-side predicate (pushed to
+the Parquet reader — verify with ``.explain``: PushedFilters); aggregates
+are partial-aggregated map-side before the shuffle; T1/topk plan as
+TakeOrderedAndProject (no global sort). On a production layout the date
+filters become partition pruning over ``period_date=…`` directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+
+# --- P: projections & scalar expressions ------------------------------------
+
+
+@register(
+    "p1_select_all",
+    oracle="SELECT * FROM events",
+)
+def p1_select_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 full projection: ``SELECT * FROM bitcoin_prices``
+    (Redshift_queries.sql:2-3) on events."""
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "p2_projection",
+    oracle="SELECT event_id, ts, value FROM events",
+)
+def p2_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 column-subset projection (Redshift_queries.sql:12-15). Column
+    pruning reaches the scan: ReadSchema lists only these three columns."""
+    return load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+
+
+@register(
+    "p4_derived_date",
+    oracle="""
+    SELECT event_id, ts, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS period_date
+    FROM events
+    """,
+)
+def p4_derived_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 derived partition-date column: ``period_date =
+    date(time_period_start)`` (airflow_dags.py:49). Output as a midnight
+    timestamp: DATE values round-trip to pandas differently per engine
+    (datetime64 vs datetime.date), which breaks value hashing."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        F.col("ts").cast("date").cast("timestamp_ntz").alias("period_date"),
+    )
+
+
+@register(
+    "p3_timestamp_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S.%f') AS TIMESTAMP) AS ts_parsed
+    FROM (SELECT event_id, STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_str
+          FROM events)
+    """,
+)
+def p3_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 ISO8601 parse + naive-UTC convention (airflow_dags.py:45-48):
+    round-trip ts through an ISO string and re-parse, as the reference does
+    with the CoinAPI response timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_timestamp_ntz(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        ).alias("ts_parsed"),
+    )
+
+
+# --- F: filters --------------------------------------------------------------
+
+
+@register(
+    "f1_eq_date_filter",
+    oracle="SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'",
+)
+def f1_eq_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 execution-date equality filter: ``WHERE period_date = '{ds}'``
+    (airflow_dags.py:64) — the reference's one manual predicate pushdown;
+    Catalyst pushes it to the scan for free."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts").cast("date") == F.lit("2024-01-15").cast("date"))
+
+
+@register(
+    "f2_date_arith_filter",
+    oracle="SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30' - 1",
+)
+def f2_date_arith_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 date-arithmetic filter: ``WHERE period_date = current_date - 1``
+    (Redshift_queries.sql:9), anchored to the corpus max date so the result
+    is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.date_sub(F.lit("2024-01-30").cast("date"), 1)
+    return ev.filter(F.col("ts").cast("date") == anchor)
+
+
+@register(
+    "f3_categorical_filter",
+    oracle="SELECT * FROM events WHERE event_type = 'purchase' AND value > 50.0",
+)
+def f3_categorical_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical + numeric conjunction filter (dashboard slicing);
+    both predicates push to the Parquet reader."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 50.0))
+
+
+# --- A: aggregations ---------------------------------------------------------
+
+
+@register(
+    "a1_count_yesterday",
+    oracle="""
+    SELECT COUNT(event_id) AS n_rows FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-30' - 1
+    """,
+)
+def a1_count_yesterday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 global COUNT of yesterday's rows (Redshift_queries.sql:6-9)."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.date_sub(F.lit("2024-01-30").cast("date"), 1)
+    return ev.filter(F.col("ts").cast("date") == anchor).agg(
+        F.count("event_id").alias("n_rows")
+    )
+
+
+@register(
+    "a2_global_minmax",
+    oracle="""
+    SELECT max(value) AS max_value, min(value) AS min_value,
+           CAST(sum(value) AS DOUBLE) AS sum_value,
+           avg(value) AS avg_value
+    FROM events
+    """,
+)
+def a2_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 global multi-aggregate, no GROUP BY (Redshift_queries.sql:21-24):
+    single partial-agg + 1-row final reduce; no wide shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+@register(
+    "a3_daily_stats",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS period_date,
+           CAST(sum(value) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def a3_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 dashboard daily rollup: sum/count/min/max per day (SURVEY.md §2d).
+    Map-side partial aggregation bounds the shuffle at |days| keys."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").cast("timestamp_ntz").alias("period_date")
+        )
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "a3g_keyed_daily_stats",
+    oracle="""
+    SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS period_date,
+           CAST(sum(value) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a3g_keyed_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped variant of A3: the engine unifies the reference's
+    table-per-coin (O3 fan-out) into one table with a key column, so every
+    per-coin dashboard aggregate becomes a (key, day) groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.col("ts").cast("date").cast("timestamp_ntz").alias("period_date"),
+        )
+        .agg(F.sum("value").alias("sum_value"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "a4_distinct_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def a4_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (extension beyond reference §2g): Spark plans
+    count(distinct) as a two-stage expand + partial agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "a5_approx_distinct",
+    oracle=None,  # approximate — rows-only check; exactness tested in pytest
+)
+def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale substitute for
+    exact count(distinct) (no expand, single pass, mergeable sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+# --- T: sorts / limits / top-k ----------------------------------------------
+
+
+@register(
+    "t1_top1_by_value",
+    oracle="""
+    SELECT ts, event_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 1
+    """,
+)
+def t1_top1_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 highest-volume trading period (Redshift_queries.sql:11-18).
+    Plans as TakeOrderedAndProject — per-partition top-1 then driver merge,
+    no global sort. event_id tiebreak keeps the row deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("ts", "event_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(1)
+    )
+
+
+@register(
+    "t2_topk_by_value",
+    oracle="""
+    SELECT ts, event_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 100
+    """,
+)
+def t2_topk_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k generalization of T1 (k=100) — still TakeOrderedAndProject:
+    O(n) scan + per-partition heap, not an O(n log n) sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("ts", "event_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "t3_ordered_series",
+    oracle="SELECT ts, value FROM events WHERE user_id = 7",
+)
+def t3_ordered_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 time-ordered series scan feeding the dashboard line chart.
+    The dashboard orders by ts; the oracle hash is order-insensitive so the
+    sort is semantically free to keep."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") == 7).select("ts", "value").orderBy("ts")

@@ -1,0 +1,285 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` —
+extensions X1/X2 plus the training-data-pipeline suite: exact dedup,
+token-set (fingerprint) dedup, exact n-gram Jaccard pairs, MinHash+LSH
+candidate generation, SimHash, and embedding-cosine near-dup.
+
+Design: everything is built-in-function DataFrame code (xxhash64,
+higher-order array functions) — deterministic, JVM-side, no Python UDFs,
+no pyspark.ml (its LSH randomness can't be reproduced by an oracle and
+its dense-vector interop costs a serialization pass).
+
+Scale notes:
+- exact / fingerprint dedup: one hash shuffle on the key; at 100 TB key
+  by a 128-bit hash of the text, never the text itself.
+- MinHash LSH: signatures are fixed-width arrays (128 longs/doc); the
+  band join shuffles (band_id, band_hash) keys only — no quadratic stage.
+- SimHash: 64-bit signature/doc; near-dup = same signature bucket here,
+  multi-probe (bit-flipped buckets) is the recall knob.
+- cosine near-dup on embeddings: brute pair join at test scale; the LSH
+  route in ``similarity.py`` is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+# --- shared token/shingle helpers (JVM-side) ---------------------------------
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def _shingles(n: int = 3) -> Column:
+    """Distinct word n-gram shingles via transform over token offsets —
+    JVM higher-order functions, no explode needed."""
+    toks = _tokens()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+@register(
+    "dd1_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup, keep-lowest-id: groupBy full text → min(doc_id).
+    Deterministic survivor choice (unlike dropDuplicates' arbitrary row).
+    At scale: group by xxhash64(text) and verify within hash groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "text", "n_copies")
+
+
+@register(
+    "dd2_fingerprint_dedup",
+    oracle="""
+    SELECT fingerprint, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+    FROM (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(str_split(lower(text), ' '))), ' '))
+                   AS fingerprint
+        FROM documents
+    ) GROUP BY 1
+    """,
+)
+def dd2_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup on the sorted-token-set fingerprint: collapses
+    word-order permutations and repetition, still a single hash shuffle on
+    a 128-bit key."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "dd3_jaccard_pairs",
+    oracle="""
+    WITH sets AS (
+        SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS toks
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)))
+               AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)))
+          >= 0.5
+    """,
+)
+def dd3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (threshold 0.5) on a bounded
+    slice — the ground-truth oracle for the MinHash path (dd4). The
+    jaccard value is a ratio of exact integers, so it is bit-identical
+    across engines.
+
+    This quadratic form exists for verification only; production uses
+    dd4's LSH candidates. |slice| = 200 docs → 19.9k pairs.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+N_HASHES = 128  # minhash permutations
+N_BANDS = 32  # → r = 4 rows/band; s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """MinHash signature as array<bigint>: for seed i, min over shingles of
+    xxhash64(shingle, i). Deterministic (no RNG), all JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+@register("dd4_minhash_lsh_pairs", oracle=None)  # approximate — rows-only
+def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash + LSH near-dup candidate pairs, verified with exact
+    Jaccard — the scalable near-dedup: signature (128 mins of xxhash64
+    over 3-token shingles) → 32 bands of 4 → band-hash bucket join →
+    exact-verify candidates at threshold 0.5.
+
+    Never materializes the quadratic pair space: the self-join runs on
+    (band_id, band_hash) buckets. Equal-signature clustering and a
+    connected-components pass are the production follow-on.
+    Recall at j≥0.5 with 32×4 bands ≈ 1-(1-0.5^4)^32 ≈ 0.87 by the
+    s-curve; exact verification removes false positives entirely.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(3).alias("sh")
+    )
+    sig = docs.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(tokens_col: str) -> Column:
+    """64-bit SimHash of a token-array column: per-bit ±1 votes of
+    xxhash64(token), sign → bit. Pure SQL higher-order functions (fold over
+    a 64-int accumulator), no explode, no UDF. Expressed as a SQL string
+    because shift amounts must be expressions (the PySpark ``shiftleft``
+    wrapper only takes int literals)."""
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform({tokens_col}, t -> xxhash64(t)),
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(
+                acc,
+                transform(sequence(0, 63),
+                          i -> IF((shiftright(h, i) & 1L) = 1L, 1, -1)),
+                (x, y) -> x + y)
+            ),
+            sequence(0, 63),
+            (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)
+          ),
+          0L,
+          (acc, x) -> acc | x
+        )
+        """
+    )
+
+
+@register("dd5_simhash_buckets", oracle=None)  # hash-defined — rows-only
+def dd5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature per document, bucketed on the
+    signature; groups >1 are near-dup clusters. Hamming-ball probing (flip
+    k bits) widens recall at scale without pairwise comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    ).select("doc_id", simhash64("toks").alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dd6_embedding_neardup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 250
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= 0.95
+    """,
+)
+def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.95) on a bounded slice,
+    exact pair join. Only ids are output (float similarity stays internal,
+    so cross-engine ulp noise cannot perturb the hash). Production path:
+    LSH bucketing from similarity.py, then this verify within buckets."""
+    from etl_project_spark.functions.vectors import cosine_sim
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 250)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine_sim(F.col("a.e"), F.col("b.e")) >= 0.95)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )

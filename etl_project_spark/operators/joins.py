@@ -1,0 +1,185 @@
+"""Join operators.
+
+The reference has **no joins** (SURVEY.md §2g — table-per-coin, all queries
+single-table); the engine ships the full join surface mandated by the
+extension plan (SURVEY.md §7 phase 3): broadcast-hash for small dims,
+sort-merge for fact-fact, semi/anti, and an as-of join (the canonical
+time-series operator the reference's OHLCV domain implies).
+
+Scale notes per operator are in each docstring; the global rules:
+- dims (region/nation/supplier) are broadcast — verify BroadcastHashJoin
+  in ``.explain``; no shuffle of the fact side.
+- fact⋈fact (orders⋈lineitem) shuffles both sides on the key; at 100 TB
+  the production layout buckets both tables by orderkey so this becomes a
+  shuffle-free zipped scan.
+- the as-of join is a union + single shuffle by entity key — NOT a range
+  cross-join; state per key is one running value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+
+@register(
+    "j1_broadcast_dim_join",
+    oracle="""
+    SELECT r.r_name AS region_name, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join onto a 5-row dim: the fact side never shuffles.
+    ``F.broadcast`` makes the intent explicit rather than relying on the
+    autoBroadcastJoinThreshold estimate."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register(
+    "j2_fact_fact_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def j2_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join (orders⋈lineitem) + aggregate. Both sides
+    shuffle on orderkey (sort-merge or AQE-chosen shuffled-hash); at scale,
+    bucketing both tables by orderkey (see sources.tables) removes the
+    shuffle entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one large order. Semi
+    join shuffles only keys of the probe side — no payload duplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (the classic
+    data-quality probe)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j5_outer_join",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(o.o_totalprice), 0.0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def j5_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + aggregate: order count / spend per customer,
+    zero-filled for order-less customers."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+        SELECT user_id, ts, event_id, value, is_p,
+               MAX(click_ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_ts
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts, value, last_click_ts
+    FROM filled WHERE is_p = 1
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, Spark-first: for every purchase event, the most recent
+    click at-or-before it by the same user.
+
+    Implemented as union-tag + running ``max(click_ts)`` window — ONE
+    shuffle on user_id and O(1) state per row, instead of the naive
+    range cross-join (quadratic) or per-row subquery. This is the
+    scalable pattern for quote⋈trade-style as-of joins at 100 TB: both
+    "sides" co-partition by entity key and merge in event-time order.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return filled.filter(F.col("is_p") == 1).select(
+        "event_id", "user_id", "ts", "value", "last_click_ts"
+    )

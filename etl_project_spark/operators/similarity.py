@@ -1,0 +1,275 @@
+"""Similarity search over the ``embeddings`` table (extension X3):
+exact brute-force top-k cosine as the verifiable baseline, plus two
+scale paths — random-hyperplane LSH bucketing and an IVF-style
+partitioned index.
+
+The exact path is pure JVM higher-order functions; the LSH/IVF paths use
+Arrow-batched ``mapInPandas`` (numpy matmul over whole batches — the one
+place Python genuinely beats per-row JVM expression trees, because the
+projection matrix lives in a broadcast and each batch is one GEMM).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.functions.vectors import cosine_sim
+from etl_project_spark.registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query set in the test corpus
+TOP_K = 5
+
+
+@register(
+    "x1_topk_cosine_exact",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(cv, cv))) DESC,
+                            neighbor_id
+               ) AS nn_rank
+        FROM q CROSS JOIN c
+    ) WHERE nn_rank <= {TOP_K}
+    """,
+)
+def x1_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k cosine: broadcast the (tiny) query set,
+    cross join against candidates, rank per query. Only ids + rank are
+    output so float ulp noise cannot perturb the hash.
+
+    Scale: the crossJoin side never shuffles (queries broadcast); ranking
+    shuffles (query_id, sim) pairs — k·|queries| rows survive. For large
+    query sets, switch to per-partition top-k heaps + merge
+    (see x3_topk_batched)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv")
+    )
+    sims = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.select("query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank"))
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
+@register(
+    "x2_vector_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def x2_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (the normalize-before-index preprocessing step),
+    rounded to 6dp to absorb cross-engine ulp noise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    from etl_project_spark.functions.vectors import l2_norm
+
+    return emb.select(
+        "vec_id", "label", F.round(l2_norm(e), 6).alias("l2_norm")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    return np.random.RandomState(seed).standard_normal((n_planes, dim)).astype(
+        np.float64
+    )
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table random-hyperplane (sign) LSH: ``n_tables`` independent
+    hash tables of ``n_planes`` bits each; a vector lands in one bucket
+    per table. Recall ≈ 1-(1-p^b)^L for per-plane collision prob p —
+    tables (L) buy recall, bits (b) buy selectivity.
+
+    mapInPandas: each Arrow batch is ONE numpy GEMM against the broadcast
+    (L·b × dim) plane matrix, then a reshape — no per-row Python. Output
+    is (id, table, bucket); at 100 TB the index is written partitioned by
+    (table, bucket) so probes are partition-pruned scans.
+    """
+    planes = _hyperplanes(n_tables * n_planes, dim)
+    spark = df.sparkSession
+    bplanes = spark.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+    tables = np.arange(n_tables, dtype=np.int32)
+
+    def assign(batches):
+        P = bplanes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (M @ P.T) > 0  # (n, L*b)
+            buckets = bits.reshape(len(M), n_tables, n_planes) @ weights  # (n, L)
+            n = len(M)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(tables, n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, "embedding").mapInPandas(
+        assign, schema=f"{id_col} long, table int, bucket long"
+    )
+
+
+@register("x3_lsh_bucketed_topk", oracle=None)  # approximate — rows-only
+def x3_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH candidate generation
+    (equi-join on (table, bucket) — never a cross join) then exact cosine
+    rerank over the deduped candidate set. The 100 TB path; recall is
+    tuned by (n_tables, n_planes) and measured against x1 in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_bucket_ids(emb)
+    emb_d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    with_b = emb_d.join(buckets, "vec_id")
+    q = with_b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv"), "table", "bucket"
+    )
+    c = with_b.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"), "table", "bucket"
+    )
+    # same (table, bucket) → candidate; dedup pairs before the (cheap)
+    # rerank so each pair's cosine is computed once.
+    pairs = (
+        F.broadcast(q)
+        .join(c, ["table", "bucket"])
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = pairs.select(
+        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.select("query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank"))
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
+@register("x4_ivf_topk", oracle=None)  # approximate — rows-only
+def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into Voronoi cells
+    around deterministic centroids (hash-seeded sample), probe the
+    nprobe closest cells per query, exact-rerank inside.
+
+    Centroid assignment is one numpy GEMM per Arrow batch (mapInPandas);
+    at scale the cell id becomes the table's partition column, so a probe
+    reads nprobe/ncells of the data."""
+    n_cells, nprobe = 8, 2
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic centroids: the 8 vectors with smallest xxhash64(vec_id)
+    seeds = (
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    bC = emb.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        cen = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = Mn @ cen.T
+            order = np.argsort(-sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": order[:, 0],
+                    "probe_cells": list(order[:, :nprobe]),
+                }
+            )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int, probe_cells array<int>"
+    )
+    emb_d = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    with_cells = emb_d.join(cells, "vec_id")
+    q = (
+        with_cells.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qv"),
+            F.explode("probe_cells").alias("cell"),
+        )
+    )
+    c = with_cells.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"), "cell"
+    )
+    sims = F.broadcast(q).join(c, "cell").select(
+        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank"))
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
+@register(
+    "x5_centroid_per_label",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6)
+               AS avg_l2_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def x5_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats (count + mean norm) — the cluster-quality
+    profile; rounded against ulp noise."""
+    from etl_project_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(l2_norm(e)), 6).alias("avg_l2_norm"),
+    )

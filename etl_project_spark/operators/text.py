@@ -1,0 +1,185 @@
+"""Text-analysis operators over the ``documents`` table (extension X4 +
+the training-data-pipeline text suite: token counting, quality scoring,
+language ID, document fingerprinting).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Language ID is heuristic and
+JVM-side too (stopword-hit scoring via array intersections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+
+def _tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization of lowercased text (JVM split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+@register(
+    "tx1_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           LEN(str_split(lower(text), ' ')) AS n_tokens,
+           LEN(list_distinct(str_split(lower(text), ' '))) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def tx1_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: char length, whitespace token count, unique
+    token count — the base features of a corpus-quality pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "tx2_corpus_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           AVG(CAST(n_chars AS DOUBLE)) AS avg_chars,
+           AVG(CAST(LEN(str_split(lower(text), ' ')) AS DOUBLE)) AS avg_tokens
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def tx2_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by (lang, source): doc counts and mean lengths —
+    partial-aggregated, |lang|×|source| output keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.avg(F.size(_tokens()).cast("double")).alias("avg_tokens"),
+    )
+
+
+@register(
+    "tx3_token_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS freq FROM (
+        SELECT UNNEST(str_split(lower(text), ' ')) AS token FROM documents
+    ) GROUP BY 1 ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def tx3_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-50: explode → hash agg → top-k. At scale
+    this is the vocabulary-build job; partial aggregation collapses each
+    partition's counts before the shuffle, and the final top-k is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "tx4_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, n_tokens, uniq_ratio FROM (
+        SELECT doc_id, lang,
+               LEN(str_split(lower(text), ' ')) AS n_tokens,
+               CAST(LEN(list_distinct(str_split(lower(text), ' '))) AS DOUBLE)
+                   / LEN(str_split(lower(text), ' ')) AS uniq_ratio
+        FROM documents
+    ) WHERE n_tokens >= 20 AND uniq_ratio >= 0.30
+    """,
+)
+def tx4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter: keep documents with enough tokens and a healthy
+    unique-token ratio (low ratio ⇒ repetitive/boilerplate text). The
+    standard pre-training corpus gate, fully JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("uniq_ratio"),
+    )
+    return scored.filter((F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.30))
+
+
+@register(
+    "tx5_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(str_split(lower(text), ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def tx5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted unique-token set — a
+    normalization-invariant key (word order / duplication insensitive) used
+    for fuzzy-exact dedup joins at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+        ).alias("fingerprint"),
+    )
+
+
+# A tiny per-language stopword table for the heuristic language scorer.
+# Public common function words; good enough for a coarse corpus router.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "los"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "les"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+
+@register("tx6_langid", oracle=None)  # heuristic — rows-only check
+def tx6_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score each language by stopword hits in the
+    token set (JVM array_intersect — no Python UDF), predict the argmax
+    with 'und' (undetermined) when nothing matches.
+
+    Scale: the stopword table is a literal array per language — constant
+    folded; one pass, no shuffle, no join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(w) for w in words])
+                    )
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias(
+            "predicted_lang"
+        ),
+        best["hits"].alias("stopword_hits"),
+    )

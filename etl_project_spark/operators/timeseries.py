@@ -1,0 +1,199 @@
+"""Event-time / time-series operators: tumbling, sliding, session windows
+and OHLCV bar resampling.
+
+This is the heart of the reference's domain — 5-minute OHLCV bars
+(/root/reference/dags/airflow_dags.py:30,35: ``period_id=5MIN``). The
+reference receives pre-aggregated bars from CoinAPI; the engine can
+*derive* them from a raw event stream, batch or streaming (the streaming
+forms with watermarks live in ``etl_project_spark.streaming``).
+
+Scale: ``F.window`` is a projection (bucket computation) + hash
+aggregation — identical cost profile to the daily groupBy (A3). Sliding
+windows multiply rows by (size/slide); session windows shuffle once by
+key and merge sorted runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+
+@register(
+    "ts1_tumbling_5min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           CAST(SUM(value) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def ts1_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows — the reference's bar cadence
+    (airflow_dags.py:35 ``period_id=5MIN``) re-derived from raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.sum("value").alias("sum_value"), F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "sum_value", "n_events"
+        )
+    )
+
+
+@register(
+    "ts2_sliding_10min",
+    oracle="""
+    -- size 10 min, slide 5 min: each event lands in exactly two windows,
+    -- starting at bucket(ts) and bucket(ts) - 5 min.
+    WITH exploded AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+        FROM events
+    )
+    SELECT window_start, CAST(SUM(value) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM exploded GROUP BY 1
+    """,
+)
+def ts2_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10-minute span every 5 minutes): overlapping bar
+    aggregates. Spark expands each row into size/slide buckets before the
+    hash agg — row-amplification factor 2 here."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.sum("value").alias("sum_value"), F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "sum_value", "n_events")
+    )
+
+
+@register(
+    "ts3_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event_ts,
+           COUNT(*) AS n_events, CAST(SUM(value) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def ts3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user —
+    ``F.session_window``, the batch form of the streaming sessionizer.
+    One shuffle by user_id; sessions merge within sorted runs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events", "sum_value")
+    )
+
+
+@register(
+    "ts4_ohlcv_resample",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bar_start,
+           arg_min(value, ts) AS price_open,
+           MAX(value) AS price_high,
+           MIN(value) AS price_low,
+           arg_max(value, ts) AS price_close,
+           CAST(SUM(value) AS DOUBLE) AS volume,
+           COUNT(*) AS trades_count
+    FROM events GROUP BY 1
+    """,
+)
+def ts4_ohlcv_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV bar derivation — the reference's entire data product
+    (airflow_dags.py:94-108 schema: open/high/low/close/volume/count)
+    computed from raw events in one hash aggregation: open/close via
+    min_by/max_by(value, ts), high/low via max/min, volume via sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", "ts").alias("price_open"),
+            F.max("value").alias("price_high"),
+            F.min("value").alias("price_low"),
+            F.max_by("value", "ts").alias("price_close"),
+            F.sum("value").alias("volume"),
+            F.count("*").alias("trades_count"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "price_open",
+            "price_high",
+            "price_low",
+            "price_close",
+            "volume",
+            "trades_count",
+        )
+    )
+
+
+@register(
+    "ts5_gap_fill_calendar",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ), calendar AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL '1 day')) AS TIMESTAMP)
+            AS period_date
+        FROM bounds
+    ), daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS period_date,
+               CAST(SUM(value) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT c.period_date, COALESCE(d.sum_value, 0.0) AS sum_value
+    FROM calendar c LEFT JOIN daily d USING (period_date)
+    """,
+)
+def ts5_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: dense daily series with zero-filled missing days
+    (``F.sequence`` + explode + left join) — what a dashboard needs when a
+    day has no bars. The calendar side is tiny → broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    ).select(F.col("d").cast("timestamp_ntz").alias("period_date"))
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("ts").cast("date").cast("timestamp_ntz").alias("period_date")
+        )
+        .agg(F.sum("value").alias("sum_value"))
+    )
+    return (
+        F.broadcast(calendar)
+        .join(daily, "period_date", "left")
+        .select(
+            "period_date", F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")
+        )
+    )

@@ -1,0 +1,138 @@
+"""Window-function operators (ranking, offsets, running/moving frames).
+
+Not present in the reference (SURVEY.md §2g: "no window functions") —
+shipped under the phase-3 extension mandate; these are what the
+reference's dashboard queries become once per-coin tables unify into one
+keyed table.
+
+Scale: every window here partitions by a high-cardinality key (user_id /
+n_nationkey), so the sort is per-partition-local after one hash shuffle —
+no global sort. Skewed keys are handled by AQE; for pathological keys,
+pre-aggregate or salt before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+
+@register(
+    "w1_topn_per_key",
+    oracle="""
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def w1_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user by value — row_number + filter. Catalyst
+    rewrites rank-limit windows into a per-partition top-k (WindowGroupLimit)
+    so only 3 rows per key survive the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_lag_delta",
+    oracle="""
+    SELECT user_id, event_id, value,
+           value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS delta
+    FROM events
+    """,
+)
+def w2_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value delta vs previous event (LAG) — the bar-to-bar price
+    change the reference's dashboard implies."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "w3_running_sum",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative value per user (cumulative volume curve)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", F.sum("value").over(w).alias("running_value")
+    )
+
+
+@register(
+    "w4_rank_in_group",
+    oracle="""
+    SELECT n_nationkey, s_suppkey, s_acctbal,
+           RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_dense_rank
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def w4_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK within dimension groups, over a broadcast join."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return joined.select(
+        "n_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@register(
+    "w5_moving_avg",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS ma5
+    FROM events
+    """,
+)
+def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row trailing moving average per user — the smoothed price line of
+    the reference dashboard."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "user_id", "event_id", "ts", F.avg("value").over(w).alias("ma5")
+    )

@@ -1,0 +1,90 @@
+"""Query registry: the single source of truth wiring operators to the
+driver contract (``__spark_entry__.queries()`` / ``oracle_sql()``).
+
+Each operator module registers its queries with :func:`register`; the
+entry-point module just re-exports the collected dicts. A query is a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle`` is the equivalent
+ANSI SQL DuckDB runs on the same Parquet (None for non-SQL-expressible
+operators → the driver records a weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query to the registry.
+
+    The wrapped function keeps engine-standard session prep (UTC tz,
+    nanos-reader conf) so it works under the driver's vanilla session.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        from etl_project_spark.session import prepare
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prepare(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, fn.__doc__ or "")
+        return wrapped
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+
+
+def get(name: str) -> QuerySpec:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module so its @register calls run."""
+    global _loaded
+    if _loaded:
+        return
+    import etl_project_spark.operators.core  # noqa: F401
+    import etl_project_spark.operators.tpch  # noqa: F401
+    import etl_project_spark.operators.joins  # noqa: F401
+    import etl_project_spark.operators.windows  # noqa: F401
+    import etl_project_spark.operators.timeseries  # noqa: F401
+    import etl_project_spark.operators.setops  # noqa: F401
+    import etl_project_spark.operators.dedup  # noqa: F401
+    import etl_project_spark.operators.similarity  # noqa: F401
+    import etl_project_spark.operators.text  # noqa: F401
+    import etl_project_spark.operators.multimodal  # noqa: F401
+
+    _loaded = True

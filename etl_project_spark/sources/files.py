@@ -1,0 +1,78 @@
+"""File-format readers/writers (S3/S4/K2/K3 in SURVEY.md §2a-2b).
+
+The engine is lakehouse-native (partitioned Parquet is both the store and
+the warehouse — K4's CSV→S3→COPY hop does not exist on Spark); CSV and
+JSON remain supported exchange formats for compatibility with the
+reference's contracts:
+
+- headerless positional CSV with the id column first
+  (/root/reference/dags/airflow_dags.py:66-69: pandas index=id,
+  header=False — column order is load-bearing, SURVEY.md §1);
+- JDBC read/write for the Postgres legs (S3/K1), as thin option wrappers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# Canonical OHLCV store schema — the reference's DDL (airflow_dags.py:94-108)
+# with double prices and a coin key column (FIXTURES.md §A).
+CSV_EXPORT_FIRST_COL = "id"
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, header: bool = False
+) -> DataFrame:
+    """S4: schema-enforced CSV scan (headerless positional by default,
+    matching Redshift COPY's contract at airflow_dags.py:287)."""
+    return spark.read.csv(path, schema=schema, header=header)
+
+
+def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """K2: headerless CSV export, id first (column order load-bearing).
+
+    ``single_file=True`` reproduces the reference's one-file-per-day
+    contract via coalesce(1) — only sane for small daily slices; leave
+    False at scale to write one file per partition."""
+    cols = [CSV_EXPORT_FIRST_COL] + [
+        c for c in df.columns if c != CSV_EXPORT_FIRST_COL
+    ]
+    out = df.select(*cols)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("header", False).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S2 file variant: schema-enforced JSON (the CoinAPI payload shape)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table_or_query: str, **options: str
+) -> DataFrame:
+    """S3: JDBC scan. Catalyst pushes filters/projection to the database;
+    pass partitionColumn/lowerBound/upperBound/numPartitions for a
+    parallel scan (the reference reads single-threaded via pandas,
+    airflow_dags.py:66)."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table_or_query)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> None:
+    """K1: JDBC append sink (the reference's to_sql if_exists='append',
+    airflow_dags.py:52-54)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode("append")
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

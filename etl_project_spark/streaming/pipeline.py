@@ -1,0 +1,122 @@
+"""Structured Streaming forms of the reference's dataflow (SURVEY.md §2f).
+
+O1 — the 5-minute micro-batch ingest DAG (cron ``*/5 * * * *`` with
+``catchup=False``, /root/reference/dags/airflow_dags.py:82-89) maps onto:
+- ``trigger(processingTime="5 minutes")`` for the steady-state cadence, or
+- ``Trigger.AvailableNow`` for the catchup=False "process what's there
+  then stop" semantics (used by the tests for determinism).
+
+Event-time analytics with late data (absent from the reference, whose
+cadence was wall-clock cron, SURVEY.md §2g) use watermarks; the custom
+stateful form uses ``applyInPandasWithState``.
+
+Solves the reference's small-file pathology (1 row/coin/tick,
+airflow_dags.py:35) structurally: micro-batch sinks buffer a full trigger
+interval per file, and the daily compaction job (ingest.ohlcv.compact_day)
+handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from etl_project_spark.session import prepare
+
+
+def file_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival source: each new file in `path` is a micro-batch of
+    events — the streaming analog of the reference's per-tick ingest."""
+    prepare(spark)
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_bars(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming OHLCV bar derivation: watermarked tumbling windows with
+    open/close via min_by/max_by — the streaming twin of
+    operators.timeseries.ts4_ohlcv_resample. Late rows within the
+    watermark merge into their bar; older ones drop (state is bounded)."""
+    # Watermarks require TIMESTAMP, not TIMESTAMP_NTZ; under the engine's
+    # UTC session tz the cast is value-preserving.
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.min_by(value_col, ts_col).alias("price_open"),
+            F.max(value_col).alias("price_high"),
+            F.min(value_col).alias("price_low"),
+            F.max_by(value_col, ts_col).alias("price_close"),
+            F.sum(value_col).alias("volume"),
+            F.count("*").alias("trades_count"),
+        )
+        .select(F.col("w.start").alias("bar_start"), "price_open", "price_high",
+                "price_low", "price_close", "volume", "trades_count")
+    )
+
+
+def keyed_session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via session_window + watermark: per-key
+    session aggregates; sessions close when the watermark passes their
+    gap, bounding state."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    queryName: str = "etl_stream",
+):
+    """Trigger.AvailableNow run to a memory sink: process everything
+    currently available, then stop — the reference's catchup=False
+    semantics. Returns the finished StreamingQuery; read results with
+    ``spark.sql(f"SELECT * FROM {queryName}")``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,60 @@
+"""The driver contract: entry() smokes, every query runs at sf0.001, every
+oracle key exists in queries(), and a sample of oracles hash-match."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.util import assert_matches_oracle
+
+# fast, representative sample re-verified against DuckDB in CI; the full
+# sweep runs via tools/check_correctness.py at sf0.01
+SAMPLE = [
+    "q1_pricing_summary",
+    "a3_daily_stats",
+    "t1_top1_by_value",
+    "j2_fact_fact_join",
+    "j6_asof_join",
+    "w1_topn_per_key",
+    "ts1_tumbling_5min",
+    "ts4_ohlcv_resample",
+    "s3_except",
+    "dd1_exact_dedup",
+    "tx1_doc_stats",
+    "x2_vector_norms",
+    "mm1_media_metadata",
+]
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
+    # the overwhelming majority must have the strong differential check
+    assert len(oracles) >= 0.7 * len(qs)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, sf_dir, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_all_queries_run(spark, sf_dir):
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, sf_dir).limit(5).collect()
+        except Exception as e:  # noqa: BLE001
+            failures[name] = repr(e)[:200]
+    assert not failures, failures

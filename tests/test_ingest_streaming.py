@@ -1,0 +1,142 @@
+"""End-to-end tests of the reference dataflow on Spark: EP1 ingest →
+bronze, EP2 idempotent daily export → gold, compaction, CSV export
+contract, and the Structured Streaming twins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_project_spark.ingest import ohlcv
+from etl_project_spark.sources.files import read_csv, write_csv_export
+from etl_project_spark.sources.rest import OhlcvRestSource, normalize_bars
+from etl_project_spark.streaming import pipeline as sp
+
+
+def _source():
+    bars = ohlcv.fake_bars()
+
+    def fake_fetcher(url, headers):
+        assert "X-CoinAPI-Key" in headers
+        # serve the bar matching the coin symbol in the url
+        for coin, sym in {
+            "bitcoin": "BTC",
+            "ethereum": "ETH",
+            "ripple": "XRP",
+        }.items():
+            if sym in url:
+                return [
+                    {k: v for k, v in b.items() if k != "coin"}
+                    for b in bars
+                    if b["coin"] == coin
+                ][:1]
+        return []
+
+    return OhlcvRestSource("test-key", fetcher=fake_fetcher)
+
+
+def test_ingest_tick_roundtrip(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    n = ohlcv.ingest_tick(spark, _source(), bronze)
+    assert n == 3  # one bar per coin, airflow_dags.py:35 limit=1
+    df = spark.read.parquet(bronze)
+    assert set(df.select("coin").distinct().toPandas()["coin"]) == {
+        "bitcoin",
+        "ethereum",
+        "ripple",
+    }
+    # normalization: naive timestamps, derived period_date, double prices
+    dtypes = dict(df.dtypes)
+    assert dtypes["time_period_start"].startswith("timestamp")
+    assert dtypes["price_close"] == "double"
+    assert dtypes["period_date"] == "date"
+
+
+def test_export_day_idempotent(spark, tmp_path):
+    bronze, gold = str(tmp_path / "b"), str(tmp_path / "g")
+    src = OhlcvRestSource("k")
+    df = src.to_df(spark, ohlcv.fake_bars(n_bars=6))
+    ohlcv.append_bars(df, bronze)
+    ds = "2023-04-26"
+    n1 = ohlcv.export_day(spark, bronze, gold, ds)
+    n2 = ohlcv.export_day(spark, bronze, gold, ds)  # re-run: must not duplicate
+    assert n1 == n2 == 18  # 6 bars × 3 coins on the single day
+    assert spark.read.parquet(gold).count() == 18
+
+
+def test_compact_day(spark, tmp_path):
+    bronze = str(tmp_path / "b")
+    src = OhlcvRestSource("k")
+    # two appends → multiple files per partition
+    for _ in range(2):
+        ohlcv.append_bars(src.to_df(spark, ohlcv.fake_bars(n_bars=2)), bronze)
+    before = spark.read.parquet(bronze).count()
+    ohlcv.compact_day(spark, bronze, "2023-04-26")
+    after_df = spark.read.parquet(bronze)
+    assert after_df.count() == before  # content preserved
+
+
+def test_csv_export_contract(spark, tmp_path):
+    """K2: headerless, id first — column order load-bearing (SURVEY.md §1)."""
+    path = str(tmp_path / "csv")
+    df = spark.createDataFrame(
+        [(10.5, 1, "a"), (20.5, 2, "b")], "volume double, id int, name string"
+    )
+    write_csv_export(df, path, single_file=True)
+    back = read_csv(
+        spark, path, schema="id int, volume double, name string", header=False
+    )
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["volume"] == 10.5 and rows[2]["name"] == "b"
+
+
+def test_streaming_bars_match_batch(spark, sf_dir, tmp_path):
+    """AvailableNow streaming windowed bars == batch ts4 OHLCV resample."""
+    from etl_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_stream")
+    # Append-mode watermarking only emits windows the watermark has passed,
+    # so the stream's final real window would otherwise stay open forever.
+    # A sentinel event far past the last real bar closes them all; its own
+    # (still-open) window is never emitted, so it can't pollute the output.
+    sentinel_ts = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("t")
+    ).collect()[0]["t"]
+    sentinel = ev.limit(1).withColumn("ts", F.lit(sentinel_ts).cast(dict(ev.dtypes)["ts"]))
+    ev.unionByName(sentinel).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    bars = sp.windowed_bars(stream, window="1 hour")
+    sp.run_available_now(
+        bars, str(tmp_path / "ckpt"), output_mode="append", queryName="bars_test"
+    )
+    got = spark.sql("SELECT * FROM bars_test")
+    from etl_project_spark.registry import get
+
+    expected = get("ts4_ohlcv_resample").fn(spark, sf_dir)
+    g = {tuple(map(str, r)) for r in got.collect()}
+    e = {tuple(map(str, r)) for r in expected.collect()}
+    assert g == e
+
+
+def test_streaming_sessions_run(spark, sf_dir, tmp_path):
+    from etl_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev2")
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    sess = sp.keyed_session_stats(stream)
+    sp.run_available_now(
+        sess, str(tmp_path / "ck2"), output_mode="append", queryName="sess_test"
+    )
+    out = spark.sql("SELECT * FROM sess_test")
+    assert out.count() > 0
+    assert set(out.columns) == {
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+    }
