@@ -35,8 +35,19 @@ TABLES = (
 )
 
 
+# (session id, sf_dir, name) -> analyzed DataFrame. Re-reading the same
+# parquet re-lists the directory and re-reads the footer schema on every
+# load; memoizing the *DataFrame* (a logical plan, not data) makes
+# repeated loads free while every action still scans storage.
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table, normalizing physical-type quirks."""
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -44,6 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
         )
+    _df_cache[key] = df
     return df
 
 

@@ -140,13 +140,15 @@ N_BANDS = 32  # → r = 4 rows/band; s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
 
 
 def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """MinHash signature as array<bigint>: for seed i, min over shingles of
-    xxhash64(shingle, i). Deterministic (no RNG), all JVM-side."""
+    """MinHash signature as array<bigint>: hash each shingle STRING to a
+    long once, then derive the n_hashes permutations by re-hashing that
+    long with the permutation index — xxhash64 over 12 fixed bytes instead
+    of re-hashing the full string per permutation (~byte-length× cheaper).
+    Deterministic (no RNG), all JVM-side."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, i))
-        ),
+        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(h, i))),
     )
 
 
@@ -163,14 +165,22 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall at j≥0.5 with 32×4 bands ≈ 1-(1-0.5^4)^32 ≈ 0.87 by the
     s-curve; exact verification removes false positives entirely.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles(3).alias("sh")
+    # The corpus arrives as one small parquet file → one input partition;
+    # signature hashing is the CPU hot spot, so spread it across the
+    # cluster first. (At 100 TB the scan is naturally many-partition and
+    # this repartition disappears.)
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(3).alias("sh"))
+        .repartition(par, "doc_id")
     )
-    sig = docs.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    sig = docs.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
     r = N_HASHES // N_BANDS
+    # bands carry only (doc_id, band_id, band_hash) — 24 bytes/row — never
+    # the shingle arrays (which would multiply the shuffle by 32×).
     bands = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -189,11 +199,14 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # exact-verify only the surviving candidate pairs: fetch each side's
+    # shingles by key join (candidates ≪ corpus, so this is cheap).
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

@@ -68,6 +68,15 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Whole-stage codegen emits one class per query shape; a session
+        # running many distinct queries fills the JVM's default 240MB JIT
+        # code cache, after which generated code runs INTERPRETED (10-20x
+        # slowdowns on random queries). Size it for a query-diverse
+        # workload and let the sweeper evict cold code.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         # split wide scans finer than the 128MB default so local[32]
         # parallelizes small test files; harmless at scale (AQE coalesces).
         .config("spark.sql.files.maxPartitionBytes", "64m")
