@@ -97,6 +97,26 @@ def p3_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p5_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def p5_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events payload column (the engine's
+    form of the reference's API-response normalization S2 when the raw
+    JSON lands in a column instead of the driver). ``get_json_object`` is
+    JVM-side; for full-schema payloads use ``from_json`` with an explicit
+    StructType so Catalyst can prune unused fields."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
 # --- F: filters --------------------------------------------------------------
 
 

@@ -59,8 +59,9 @@ def j1_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact equi-join (orders⋈lineitem) + aggregate. Both sides
     shuffle on orderkey (sort-merge or AQE-chosen shuffled-hash); at scale,
-    bucketing both tables by orderkey (see sources.tables) removes the
-    shuffle entirely."""
+    bucketing both tables by orderkey removes the shuffle entirely
+    (sources/tables.py:create_bucketed_facts, verified shuffle-free in
+    tests/test_layout.py)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
@@ -129,6 +130,94 @@ def j5_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j7_nation_flows",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+    """,
+)
+def j7_nation_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped trade-flow matrix: revenue between distinct
+    (customer nation, supplier nation) pairs. One fact-fact shuffle
+    (lineitem⋈orders on orderkey); customer/supplier/nation all
+    broadcast — the fact side is shuffled exactly once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            # decimal-sum: double SUM is summation-order-dependent at
+            # ~1e-14 relative, enough to flip a printed digit at decimal
+            # boundaries; fixed-point accumulation is exact and
+            # order-free in both engines, then one deterministic
+            # decimal→double conversion
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "j8_part_revenue",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 15
+    GROUP BY 1, 2
+    """,
+)
+def j8_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand/type revenue for small parts: selective dim filter
+    (p_size <= 15) applied BEFORE the broadcast, so only matching part
+    rows ship to executors."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.sum("l_quantity").alias("sum_qty"),
         )
     )
 

@@ -93,6 +93,51 @@ def s4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s6_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def s6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-flag and per-status subtotals, no
+    cross) — one Expand + single aggregate, the general form rollup/cube
+    specialize."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(F.sum("l_extendedprice").alias("sum_price"), F.count("*").alias("n_rows"))
+
+
+@register(
+    "s7_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_mod,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN value END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN value END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN value END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN value END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN value END) AS DOUBLE) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def s7_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event_type into columns (the dashboard's per-category matrix).
+    Values are enumerated explicitly — at scale an un-enumerated pivot
+    costs an extra distinct-values job and an unbounded column count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_mod", F.col("user_id") % 10)
+        .groupBy("user_mod")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .sum("value")
+    )
+
+
+@register(
     "s5_cube",
     oracle="""
     SELECT event_type, user_id % 10 AS user_mod,

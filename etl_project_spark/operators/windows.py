@@ -118,6 +118,34 @@ def w4_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w6_distribution",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def w6_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (NTILE / PERCENT_RANK / CUME_DIST)
+    per nation — account-balance quartiling. The s_suppkey tiebreak makes
+    ntile assignment deterministic across engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
     "w5_moving_avg",
     oracle="""
     SELECT user_id, event_id, ts,

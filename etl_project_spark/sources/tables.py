@@ -1,0 +1,120 @@
+"""Managed-table layout: the engine's warehouse DDL surface (K5/K6 in
+SURVEY.md §2b) plus the bucketed fact layout that removes the
+orders⋈lineitem shuffle.
+
+The reference declares its schema twice as hand-written DDL strings
+(/root/reference/dags/airflow_dags.py:90-154 for Postgres, 207-277 for
+Redshift) and delegates physical layout entirely to the databases. Here
+the layout IS the engine's concern:
+
+- dimension tables: plain parquet `saveAsTable` (broadcast at join time,
+  layout irrelevant);
+- fact tables: `bucketBy(n, key).sortBy(key)` on the join key. Two
+  tables bucketed the same way co-locate matching keys file-for-file, so
+  an equi-join on the bucket key needs NO shuffle — at 100 TB that is
+  the difference between re-shuffling terabytes per query and a local
+  merge per bucket;
+- time-partitioned tables: `partitionBy("period_date")` so date filters
+  prune directories (the reference's manual `WHERE period_date = ds`
+  pushdown, airflow_dags.py:61-65, becomes free partition pruning).
+
+Bucket metadata lives in the session catalog (`spark.sql.warehouse.dir`);
+`spark.table(name)` exposes it to Catalyst, which then plans
+SortMergeJoin without Exchange (verified in tests/test_layout.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.session import prepare
+
+FACT_BUCKET_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
+def _drop_table_and_location(
+    spark: SparkSession, qualified: str, database: str | None = None
+) -> None:
+    """Idempotency across sessions: the session catalog forgets managed
+    tables when the JVM exits, but their warehouse directories persist —
+    a later CREATE then fails with LOCATION_ALREADY_EXISTS. Drop the
+    catalog entry AND any orphaned location (Hadoop FS API, so the same
+    code works on local disk, HDFS, or S3A)."""
+    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    table = qualified.rsplit(".", 1)[-1]
+    loc = (
+        f"{warehouse}/{database}.db/{table}" if database else f"{warehouse}/{table}"
+    )
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(hconf)
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def create_bucketed_facts(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 8,
+    database: str = "bucketed",
+) -> None:
+    """Write orders + lineitem as managed tables bucketed AND sorted by
+    orderkey. Idempotent (overwrite). ``n_buckets`` scales with data: at
+    100 TB pick buckets so one bucket ≈ one task's memory (~hundreds of
+    MB), and keep the SAME count on both sides — mismatched counts
+    reintroduce the shuffle."""
+    prepare(spark)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name, key in FACT_BUCKET_KEYS.items():
+        _drop_table_and_location(spark, f"{database}.{name}", database)
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(f"{database}.{name}")
+        )
+
+
+def bucketed_order_revenue(
+    spark: SparkSession, database: str = "bucketed"
+) -> DataFrame:
+    """The j2 fact⋈fact query over the bucketed layout: joins on the
+    bucket key, so the physical plan has NO Exchange on either side (the
+    scan itself delivers the partitioning Catalyst requires)."""
+    from pyspark.sql import functions as F
+
+    o = spark.table(f"{database}.orders")
+    l = spark.table(f"{database}.lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def create_partitioned_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    partition_cols: tuple[str, ...] = ("period_date",),
+) -> None:
+    """K5/K6 create-table surface for time-partitioned stores: one
+    declaration, layout included (vs the reference's duplicated DDL
+    strings). Date-filter queries prune to matching directories."""
+    _drop_table_and_location(spark, name)
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .format("parquet")
+        .saveAsTable(name)
+    )

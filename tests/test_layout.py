@@ -1,0 +1,94 @@
+"""Physical-layout tests: the scale claims the operator docstrings make,
+checked against actual physical plans — bucketed facts join without a
+shuffle, date partitioning prunes, salted plans match unsalted results.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import get
+from etl_project_spark.sources import tables
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_fact_join_has_no_exchange(spark, sf_dir):
+    # tables land in the session's default warehouse dir (gitignored);
+    # create_bucketed_facts overwrites, so reruns are idempotent.
+    # Force the join to actually plan as SMJ (not broadcast) so the
+    # exchange-elision claim is what's being tested
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tables.create_bucketed_facts(spark, sf_dir, n_buckets=4)
+        df = tables.bucketed_order_revenue(spark)
+        df.collect()  # materialize (AQE finalizes the plan)
+        plan = _physical_plan(df)
+        assert "SortMergeJoin" in plan
+        # the join inputs come straight from the bucketed scans — no
+        # shuffle on either side (the only allowed Exchange is the
+        # post-aggregation one, which AQE labels for the final groupBy)
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "bucketed" in plan.lower() or "SelectedBucketsCount" in plan
+        # unbucketed baseline DOES shuffle both sides
+        base = get("j2_fact_fact_join").fn(spark, sf_dir)
+        base.collect()
+        bplan = _physical_plan(base)
+        assert "Exchange hashpartitioning" in bplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_table_prunes(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 5 + 1), 2, "0"))
+        .cast("date")
+        .alias("period_date"),
+    )
+    tables.create_partitioned_table(spark, df, "pruned_events")
+    q = spark.table("pruned_events").filter(
+        F.col("period_date") == F.lit("2024-01-03").cast("date")
+    )
+    assert q.count() == 200
+    plan = _physical_plan(q)
+    # partition filters appear in the scan, not as a post-scan Filter
+    assert "PartitionFilters" in plan or "partition filters" in plan.lower()
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r["user_id"], round(r["s"], 6), r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"], round(r["sum_value"], 6), r["n_rows"])
+        for r in get("sk1_salted_agg").fn(spark, sf_dir).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    plain = {
+        (r["n_name"], r["cnt"])
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    salted = {
+        (r["nation_name"], r["n_customers"])
+        for r in get("sk2_salted_join").fn(spark, sf_dir).collect()
+    }
+    assert salted == plain
