@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -139,17 +141,44 @@ N_HASHES = 128  # minhash permutations
 N_BANDS = 32  # → r = 4 rows/band; s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
 
 
-def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """MinHash signature as array<bigint>: hash each shingle STRING to a
-    long once, then derive the n_hashes permutations by re-hashing that
-    long with the permutation index — xxhash64 over 12 fixed bytes instead
-    of re-hashing the full string per permutation (~byte-length× cheaper).
-    Deterministic (no RNG), all JVM-side."""
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(h, i))),
+# Deterministic multiply-add permutation family over u64 (odd multipliers
+# — a*h+b is a bijection of Z_2^64 when a is odd). Seeds fixed: reruns
+# and both engines of every test see identical signatures.
+_MH_A = (
+    np.random.RandomState(7).randint(1, 2**62, N_HASHES).astype(np.uint64) * 2 + 1
+)
+_MH_B = np.random.RandomState(11).randint(0, 2**62, N_HASHES).astype(np.uint64)
+
+
+def minhash_signatures(docs: DataFrame, shingles: Column) -> DataFrame:
+    """(doc_id, sig array<bigint>) MinHash signatures.
+
+    Split JVM/Python by what each is good at: xxhash64 of each shingle
+    STRING runs JVM-side (codegen); the 128-permutation min runs as ONE
+    numpy (shingles × 128) multiply-add per doc inside Arrow-batched
+    mapInPandas. Spark's higher-order lambdas evaluate interpreted
+    per-element — a pure-JVM formulation costs ~200M boxed evals at
+    sf0.1 (≈60s); this kernel does the same work in vectorized u64
+    arithmetic (<2s), and keeps generated-code size small (giant unrolled
+    expressions were flooding the JIT code cache, deoptimizing OTHER
+    queries in long sessions).
+    """
+    hashed = docs.select(
+        "doc_id", F.transform(shingles, lambda s: F.xxhash64(s)).alias("hs")
     )
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = []
+            for hs in pdf["hs"]:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if h.size == 0:
+                    h = np.zeros(1, dtype=np.uint64)
+                vals = h[:, None] * _MH_A[None, :] + _MH_B[None, :]  # wraps mod 2^64
+                sigs.append(vals.min(axis=0).astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return hashed.mapInPandas(kernel, schema="doc_id long, sig array<bigint>")
 
 
 @register("dd4_minhash_lsh_pairs", oracle=None)  # approximate — rows-only
@@ -175,7 +204,7 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _shingles(3).alias("sh"))
         .repartition(par, "doc_id")
     )
-    sig = docs.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    sig = minhash_signatures(docs, F.col("sh"))
     r = N_HASHES // N_BANDS
     # bands carry only (doc_id, band_id, band_hash) — 24 bytes/row — never
     # the shingle arrays (which would multiply the shuffle by 32×).
@@ -216,33 +245,35 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(tokens_col: str) -> Column:
-    """64-bit SimHash of a token-array column: per-bit ±1 votes of
-    xxhash64(token), sign → bit. Pure SQL higher-order functions (fold over
-    a 64-int accumulator), no explode, no UDF. Expressed as a SQL string
-    because shift amounts must be expressions (the PySpark ``shiftleft``
-    wrapper only takes int literals)."""
-    return F.expr(
-        f"""
-        aggregate(
-          zip_with(
-            aggregate(
-              transform({tokens_col}, t -> xxhash64(t)),
-              array_repeat(0, 64),
-              (acc, h) -> zip_with(
-                acc,
-                transform(sequence(0, 63),
-                          i -> IF((shiftright(h, i) & 1L) = 1L, 1, -1)),
-                (x, y) -> x + y)
-            ),
-            sequence(0, 63),
-            (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)
-          ),
-          0L,
-          (acc, x) -> acc | x
-        )
-        """
+def simhash64(docs: DataFrame, tokens: Column) -> DataFrame:
+    """(doc_id, simhash) 64-bit SimHash: per-bit ±1 votes of
+    xxhash64(token), sign → bit. Token hashing stays JVM-side (codegen);
+    the 64-bit vote tally is one numpy (tokens × 64) reduction per doc in
+    Arrow-batched mapInPandas — same JVM/Python split and same rationale
+    as minhash_signatures (interpreted lambda fold over a 64-slot
+    accumulator was ~100× slower and bloated generated code)."""
+    hashed = docs.select(
+        "doc_id", F.transform(tokens, lambda t: F.xxhash64(t)).alias("hs")
     )
+    bitw = np.arange(64, dtype=np.uint64)
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for hs in pdf["hs"]:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if h.size == 0:
+                    out.append(0)
+                    continue
+                ones = ((h[:, None] >> bitw[None, :]) & np.uint64(1)).sum(axis=0)
+                votes = 2 * ones.astype(np.int64) - len(h)  # (+1/-1 tally)
+                sig = np.bitwise_or.reduce(
+                    np.where(votes > 0, np.uint64(1) << bitw, np.uint64(0))
+                )
+                out.append(int(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return hashed.mapInPandas(kernel, schema="doc_id long, simhash long")
 
 
 @register("dd5_simhash_buckets", oracle=None)  # hash-defined — rows-only
@@ -250,10 +281,9 @@ def dd5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature per document, bucketed on the
     signature; groups >1 are near-dup clusters. Hamming-ball probing (flip
     k bits) widens recall at scale without pairwise comparison."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id", F.array_distinct(_tokens()).alias("toks")
-    ).select("doc_id", simhash64("toks").alias("simhash"))
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    sigs = simhash64(docs, F.array_distinct(_tokens()))
     return (
         sigs.groupBy("simhash")
         .agg(

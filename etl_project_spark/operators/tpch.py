@@ -130,6 +130,128 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY 1
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority check (adapted to the corpus columns:
+    late-shipment = l_shipdate > o_orderdate). Run through the spark.sql
+    entry point (SURVEY.md §3 EP3) — the correlated EXISTS decorrelates
+    into a left-semi join with the extra non-equi predicate attached."""
+    from etl_project_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: two chained
+    aggregations; the second groups on the first's output (tiny), so
+    only the first shuffles meaningfully."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice, t.sum_qty
+    FROM (
+        SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+    ) t
+    JOIN orders o   ON t.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume orders: pre-aggregate lineitem BEFORE any
+    join (the having-filtered aggregate is tiny), then join orders +
+    customer, top-100. Aggregating first is the scale move — joining raw
+    lineitem to orders first would shuffle the full fact twice."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    t = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        t.join(o, t.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "sq1_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def sq1_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (customers with balance above 2×
+    the global mean), via spark.sql: the subquery plans as a one-row
+    broadcast reused by the filter — two scans of customer but no
+    shuffle."""
+    from etl_project_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > 2 * (SELECT AVG(c_acctbal) FROM customer)
+        """
+    )
+
+
+@register(
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name AS nation_name,

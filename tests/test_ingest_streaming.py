@@ -119,6 +119,64 @@ def test_streaming_bars_match_batch(spark, sf_dir, tmp_path):
     assert g == e
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running totals after consuming the whole
+    stream == plain batch groupBy aggregate."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_state")
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.running_totals(stream)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_state"), output_mode="update", queryName="state_test"
+    )
+    # update mode re-emits per batch; keep each key's final emission
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["max_value"])
+        for r in spark.sql("SELECT * FROM state_test").collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6), r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stateful_threshold_alert_latches(spark, tmp_path):
+    """The alert fires exactly once per key even across micro-batches."""
+    from etl_project_spark.streaming import stateful
+
+    rows = [(1, 10.0), (1, 100.0), (1, 150.0), (2, 5.0), (3, 99.5)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    src_dir = str(tmp_path / "alert_src")
+    # two files → availableNow processes them as separate micro-batches,
+    # exercising the cross-batch latch
+    df.filter(F.col("value") < 99).write.parquet(src_dir)
+    df.filter(F.col("value") >= 99).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema, max_files_per_trigger=1)
+    out = stateful.threshold_alerts(stream, threshold=99.0)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_alert"), output_mode="update", queryName="alert_test"
+    )
+    alerts = spark.sql("SELECT * FROM alert_test").collect()
+    by_key = {}
+    for r in alerts:
+        by_key.setdefault(r["user_id"], []).append(r["first_alert_value"])
+    assert set(by_key) == {1, 3}  # user 2 never crosses
+    assert all(len(v) == 1 for v in by_key.values())  # exactly-once latch
+
+
 def test_streaming_sessions_run(spark, sf_dir, tmp_path):
     from etl_project_spark.catalog import load_table
 
