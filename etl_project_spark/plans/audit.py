@@ -1,0 +1,121 @@
+"""Physical-plan introspection: the engine's scale-regression guard.
+
+The reference delegates all physical planning to Postgres/Redshift and
+never inspects it (SURVEY.md §4); on Spark the physical plan IS the
+scale contract — a query that silently picks up an extra Exchange or
+drops a pushed filter is a 100 TB regression even when every correctness
+test stays green. This module turns ``explain("formatted")`` output into
+checkable numbers so tests and tools/audit_plans.py can pin the plans
+we shipped:
+
+- :func:`plan_stats` — shuffle/broadcast/scan/pushdown counts + red
+  flags for one DataFrame.
+- :func:`assert_scalable` — raise if a plan exceeds a shuffle budget or
+  contains an unintended quadratic join / row-at-a-time Python UDF.
+
+Red flags (why each breaks at scale):
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — O(n·m) compare;
+  only acceptable for deliberately bounded ground-truth operators.
+- ``BatchEvalPython`` — row-at-a-time Python UDF: per-row
+  pickle/unpickle, ~10-100× slower than Arrow-batched
+  (``MapInPandas``/``ArrowEvalPython``, which are fine).
+- a filtered parquet scan without ``PushedFilters`` — the predicate
+  runs above the reader, so every row-group is read and decoded.
+- ``ReadSchema`` wider than the query needs — column pruning failed;
+  on a 100 TB columnar table the scan cost is proportional to the
+  columns actually decoded.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """The ``explain("formatted")`` text of ``df`` as a string (Spark
+    only prints it to stdout)."""
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@dataclass
+class PlanStats:
+    """Counts extracted from one formatted physical plan."""
+
+    shuffles: int = 0  # hash/range Exchange operators
+    broadcasts: int = 0  # BroadcastExchange operators
+    scans: int = 0  # parquet scans
+    pushed_scans: int = 0  # scans with non-empty PushedFilters
+    flags: list[str] = field(default_factory=list)
+    plan: str = ""
+
+    @property
+    def quadratic(self) -> bool:
+        return any("QUADRATIC" in f or "quadratic" in f for f in self.flags)
+
+    @property
+    def row_python(self) -> bool:
+        return "ROW-PYTHON-UDF" in self.flags
+
+
+def plan_stats(df: DataFrame, wide_scan_cols: int = 10) -> PlanStats:
+    """Parse ``df``'s formatted physical plan into :class:`PlanStats`.
+
+    formatted mode lists each operator once in the tree and once as a
+    numbered ``(N) Op`` detail section — we count the detail sections,
+    so every operator is counted exactly once even when the tree
+    indentation wraps.
+    """
+    plan = explain_formatted(df)
+    stats = PlanStats(plan=plan)
+    stats.shuffles = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    stats.broadcasts = len(re.findall(r"^\(\d+\) BroadcastExchange\b", plan, re.M))
+    stats.scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    stats.pushed_scans = sum(1 for p in pushed if p.strip())
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        stats.flags.append("QUADRATIC-JOIN")
+    if "BatchEvalPython" in plan:
+        stats.flags.append("ROW-PYTHON-UDF")
+    if "MapInPandas" in plan or "ArrowEvalPython" in plan:
+        stats.flags.append("arrow-python(ok)")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = len(m.group(1).split(",")) if m.group(1) else 0
+        if ncols >= wide_scan_cols:
+            stats.flags.append(f"wide-scan({ncols}cols)")
+    return stats
+
+
+def assert_scalable(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    allow_quadratic: bool = False,
+    allow_row_python: bool = False,
+) -> PlanStats:
+    """Assert ``df``'s physical plan has no unintended scale hazards;
+    returns the stats so callers can make further assertions.
+
+    Use in tests to pin a query's plan shape::
+
+        stats = assert_scalable(q(spark, sf), max_shuffles=2)
+        assert stats.broadcasts >= 1
+    """
+    stats = plan_stats(df)
+    problems = []
+    if max_shuffles is not None and stats.shuffles > max_shuffles:
+        problems.append(f"{stats.shuffles} shuffles > budget {max_shuffles}")
+    if stats.quadratic and not allow_quadratic:
+        problems.append("unintended CartesianProduct/BroadcastNestedLoopJoin")
+    if stats.row_python and not allow_row_python:
+        problems.append("row-at-a-time Python UDF (BatchEvalPython)")
+    if problems:
+        raise AssertionError(
+            "; ".join(problems) + "\n--- physical plan ---\n" + stats.plan
+        )
+    return stats

@@ -1,0 +1,72 @@
+"""Plan-shape pins: the scale contract of representative queries,
+checked structurally via etl_project_spark.plans. Correctness tests
+can't see a silently-added Exchange or a lost filter pushdown — these
+can."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.plans import assert_scalable, plan_stats
+from etl_project_spark.registry import all_queries
+
+
+def test_broadcast_dim_join_has_no_fact_shuffle(spark, sf_dir):
+    """j1: dim broadcast means the fact never shuffles for the join."""
+    df = all_queries()["j1_broadcast_dim_join"](spark, sf_dir)
+    stats = assert_scalable(df, allow_quadratic=False)
+    assert stats.broadcasts >= 1
+    # the only Exchanges allowed are for the aggregate, not the join
+    assert "SortMergeJoin" not in stats.plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """A date-filtered scan must carry non-empty PushedFilters."""
+    df = all_queries()["f1_eq_date_filter"](spark, sf_dir)
+    stats = plan_stats(df)
+    assert stats.pushed_scans >= 1, stats.plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection reads 2 columns, not the full table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    stats = plan_stats(df, wide_scan_cols=3)
+    assert not any(f.startswith("wide-scan") for f in stats.flags), stats.plan
+
+
+def test_global_agg_is_two_exchange_max(spark, sf_dir):
+    """Partial aggregation: a global agg moves 1 row/task, never the
+    table — at most one shuffle (AQE may even remove it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.agg(F.sum("l_quantity").alias("s"))
+    assert_scalable(df, max_shuffles=1)
+
+
+def test_assert_scalable_catches_cartesian(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    bad = n.crossJoin(n.select(F.col("n_nationkey").alias("k2")))
+    with pytest.raises(AssertionError, match="Cartesian|NestedLoop"):
+        assert_scalable(bad)
+
+
+def test_assert_scalable_catches_row_python_udf(spark, sf_dir):
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = load_table(spark, sf_dir, "nation").select(slow("n_nationkey"))
+    with pytest.raises(AssertionError, match="Python UDF"):
+        assert_scalable(df)
+
+
+def test_headline_queries_have_no_unintended_hazards(spark, sf_dir):
+    """Every bench headline query: no quadratic joins, no row-Python."""
+    import bench
+
+    qs = all_queries()
+    for name in bench.BENCH_QUERIES:
+        if name == "x1_topk_cosine_exact":
+            continue  # documented bounded ground-truth crossJoin
+        assert_scalable(qs[name](spark, sf_dir))
