@@ -199,23 +199,29 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster first. (At 100 TB the scan is naturally many-partition and
     # this repartition disappears.)
     par = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(3).alias("sh"))
-        .repartition(par, "doc_id")
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = raw.select("doc_id", _shingles(3).alias("sh")).repartition(
+        par, "doc_id"
     )
     sig = minhash_signatures(docs, F.col("sh"))
     r = N_HASHES // N_BANDS
     # bands carry only (doc_id, band_id, band_hash) — 24 bytes/row — never
     # the shingle arrays (which would multiply the shuffle by 32×).
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)),
-            )
-        ).alias("band_id", "band_hash"),
+    # PERSIST: both sides of the self-join consume this frame; without it
+    # the scan→shingle→minhash pipeline (the expensive part) runs twice.
+    # At 100 TB the signatures are ~0.3% of the corpus — caching them is
+    # the standard MinHash trade, and they spill to disk if memory-tight.
+    bands = (
+        sig.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                    lambda b: F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)),
+                )
+            ).alias("band_id", "band_hash"),
+        )
+        .persist()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -231,10 +237,20 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact-verify only the surviving candidate pairs: fetch each side's
-    # shingles by key join (candidates ≪ corpus, so this is cheap).
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # exact-verify only the surviving candidate pairs. Semi-join the raw
+    # table down to candidate doc_ids BEFORE shingling: candidates ≪
+    # corpus, so shingles are recomputed for a handful of docs instead of
+    # re-deriving the whole corpus twice (which would double the job).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = raw.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", _shingles(3).alias("sh")
+    )
+    sh_a = sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     cand = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
