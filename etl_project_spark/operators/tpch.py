@@ -528,3 +528,438 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+               CAST(unit_cost AS DOUBLE) AS unit_cost
+        FROM supply
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'PROMO'
+    )
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, unit_cost
+    FROM (SELECT *, MIN(unit_cost) OVER (PARTITION BY p_partkey) AS mn
+          FROM eligible)
+    WHERE unit_cost = mn
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp table in the corpus, so the supply
+    relation and its cost come from observed lineitem unit prices
+    min(l_extendedprice/l_quantity) per (part, supplier)): cheapest
+    EUROPE supplier per selected part. The correlated MIN subquery of
+    the official query is decorrelated as a partition window over the
+    already-filtered eligible set — at 100 TB the filters (p_size,
+    p_type, region) shrink the windowed frame to ~0.1% of supply, and
+    the supplier/nation/region dims broadcast."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s_eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    elig = (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(s_eu), supply.l_suppkey == s_eu.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("mn", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("mn"))
+        .drop("mn")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                / SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_5's share of PROMO-part
+    revenue sold into ASIA by year. Eight-way join planned as one
+    lineitem⋈orders shuffle on orderkey plus five broadcasts (part,
+    supplier, customer, nation x2, region are all dims); the date and
+    p_type predicates reach the scans, so the shuffled facts are
+    pre-pruned. Final agg is 2 groups — map-side partials dominate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    n1 = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c_asia = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    s_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s_nat), li.l_suppkey == s_nat.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'STANDARD'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp.ps_supplycost, so unit cost is
+    proxied as 60% of p_retailprice; the official p_name LIKE filter
+    becomes p_type = 'STANDARD'): profit by supplier nation and order
+    year. Same physical shape as the official plan: one fact-fact
+    shuffle (lineitem⋈orders on orderkey) with part/supplier/nation
+    broadcast, profit expression fully in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_retailprice")
+    )
+    s_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s_nat), li.l_suppkey == s_nat.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH natsupply AS (
+        SELECT l_partkey, l_extendedprice
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    ), per_part AS (
+        SELECT l_partkey, CAST(SUM(l_extendedprice) AS DOUBLE) AS value
+        FROM natsupply GROUP BY 1
+    )
+    SELECT l_partkey, value FROM per_part
+    WHERE value > (SELECT SUM(value) * 0.001 FROM per_part)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: no partsupp, so a part's held value at a
+    nation's suppliers is proxied by the lineitem revenue shipped by
+    those suppliers): parts whose value exceeds 0.1% of the nation
+    total. The per-part aggregate is computed ONCE and reused for both
+    the scalar total and the output (Spark reuses the exchange); the
+    threshold arrives as a 1-row broadcast cross join, never a
+    collect()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(s_nat), li.l_suppkey == s_nat.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    threshold = per_part.agg((F.sum("value") * 0.001).alias("th"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("th"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q12_late_shipments",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: the corpus has no l_shipmode/l_commitdate/
+    l_receiptdate, so 'late' means shipped >90 days after the order
+    date and l_linestatus stands in for the ship-mode grouping):
+    priority mix of late 1996 shipments. lineitem's shipdate range
+    predicate prunes at the scan; orders joins shuffle-on-orderkey;
+    the date-arithmetic late predicate and both conditional counts
+    stay in codegen."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size = 5
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: p_size = 5 stands in for the missing
+    p_container filter): revenue lost to small-quantity orders of one
+    brand. The correlated per-part AVG decorrelates to an aggregate
+    over only the lineitems of the ~dozen qualifying parts (semi-join
+    first — at 100 TB this is the difference between aggregating 60
+    rows and 600 billion), then rejoins as a broadcast."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") == 5))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    th = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("th")
+    )
+    return (
+        li.join(F.broadcast(th), li.l_partkey == th.pk)
+        .filter(F.col("l_quantity") < F.col("th"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 500.0
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: no partsupp.ps_availqty, so 'has excess
+    stock to promote' becomes 'shipped >500 units of PROMO parts in
+    1996'): the IN-subquery is a grouped-HAVING aggregate semi-joined
+    into supplier. lineitem is pruned by the shipdate scan predicate
+    and the broadcast part filter before the per-supplier agg; the
+    surviving supplier keys (≪ |supplier|) broadcast into the semi
+    join."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 500.0)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: no l_receiptdate/l_commitdate, so a late
+    line is l_returnflag = 'R'): suppliers who were the SOLE late
+    supplier on a multi-supplier finalized order. The official
+    EXISTS / NOT EXISTS pair is re-planned as ONE per-order aggregate
+    — countDistinct(supplier) > 1 AND countDistinct(late supplier) = 1
+    — replacing two lineitem self-joins with a single extra shuffle on
+    orderkey. At 100 TB that's 1 shuffle of (orderkey, 2 ints) instead
+    of 2 shuffles of the whole fact table: the aggregate formulation
+    is strictly better than the literal decorrelation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nlate"),
+    )
+    eligible = per_order.filter(
+        (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+    ).select("l_orderkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = li.filter(F.col("l_returnflag") == "R")
+    return (
+        late.join(eligible, "l_orderkey")
+        .join(o, late.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
