@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     "a3_daily_stats",
     "a4_distinct_agg",
     "t2_topk_by_value",

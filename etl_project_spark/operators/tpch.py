@@ -931,35 +931,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     line is l_returnflag = 'R'): suppliers who were the SOLE late
     supplier on a multi-supplier finalized order. The official
     EXISTS / NOT EXISTS pair is re-planned as ONE per-order aggregate
-    — countDistinct(supplier) > 1 AND countDistinct(late supplier) = 1
-    — replacing two lineitem self-joins with a single extra shuffle on
-    orderkey. At 100 TB that's 1 shuffle of (orderkey, 2 ints) instead
-    of 2 shuffles of the whole fact table: the aggregate formulation
-    is strictly better than the literal decorrelation."""
+    over lineitem: multi-supplier ⟺ min(suppkey) ≠ max(suppkey), and
+    sole-late-supplier ⟺ min(late suppkey) = max(late suppkey) — all
+    min/max/count, so the agg is fully map-side-partial with no
+    distinct EXPAND, and the sole supplier's identity (min_late) plus
+    its late-line count ride along in the same pass. At 100 TB that's
+    ONE shuffle of (orderkey, 4 small cols) replacing the official
+    plan's two lineitem self-joins; orders('F') then joins the
+    per-order frame and supplier broadcasts in."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
+    late_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
     per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("nlate"),
+        F.min("l_suppkey").alias("supp_lo"),
+        F.max("l_suppkey").alias("supp_hi"),
+        F.min(late_supp).alias("late_lo"),
+        F.max(late_supp).alias("late_hi"),
+        F.count(late_supp).alias("late_rows"),
     )
     eligible = per_order.filter(
-        (F.col("nsupp") > 1) & (F.col("nlate") == 1)
-    ).select("l_orderkey")
+        (F.col("supp_lo") != F.col("supp_hi"))
+        & F.col("late_lo").isNotNull()
+        & (F.col("late_lo") == F.col("late_hi"))
+    ).select("l_orderkey", F.col("late_lo").alias("suppkey"), "late_rows")
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    late = li.filter(F.col("l_returnflag") == "R")
     return (
-        late.join(eligible, "l_orderkey")
-        .join(o, late.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        eligible.join(o, eligible.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), eligible.suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
