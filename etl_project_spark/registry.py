@@ -87,5 +87,6 @@ def _ensure_loaded() -> None:
     import etl_project_spark.operators.text  # noqa: F401
     import etl_project_spark.operators.multimodal  # noqa: F401
     import etl_project_spark.operators.skew  # noqa: F401
+    import etl_project_spark.operators.scalarfns  # noqa: F401
 
     _loaded = True
