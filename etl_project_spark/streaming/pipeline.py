@@ -120,3 +120,74 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose `keys` already appeared
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+    The streaming twin of operators.dedup.dd1 — and the fix for the
+    reference's append-duplicates-on-rerun behavior
+    (/root/reference/dags/airflow_dags.py:54 'if_exists=append' with no
+    key) applied at ingest time. State is bounded: keys older than the
+    watermark are evicted, so this scales to unbounded streams where a
+    global dropDuplicates could not."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (small) static dimension — Spark plans it as a broadcast hash join
+    per batch, so the stream never shuffles. This is the streaming form
+    of j1_broadcast_dim_join and the idiomatic way to attach dimension
+    attributes (coin metadata, user profile, nation name) at ingest."""
+    return stream_df.join(F.broadcast(dim_df), on=on, how=how)
+
+
+def partition_overwrite_sink(
+    stream_df: DataFrame,
+    gold_dir: str,
+    checkpoint_dir: str,
+    partition_col: str = "period_date",
+):
+    """foreachBatch sink with idempotent dynamic partition overwrite:
+    each micro-batch rewrites exactly the partitions it touches, so a
+    replayed batch (failure recovery, checkpoint rewind) converges to
+    the same bytes instead of appending duplicates — the exactly-once
+    fix for the reference's daily COPY (SURVEY.md §1 'append-only, no
+    idempotency'; /root/reference/dags/airflow_dags.py:279-310).
+
+    At scale: the overwrite touches only the micro-batch's partitions
+    (dynamic mode), and sink commits are serialized by batchId, which
+    Spark replays deterministically from the checkpoint."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        )
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(gold_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -198,3 +198,74 @@ def test_streaming_sessions_run(spark, sf_dir, tmp_path):
         "n_events",
         "sum_value",
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed event_ids across
+    micro-batches are dropped; output is one row per id."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    src_dir = str(tmp_path / "dd_src")
+    df.write.parquet(src_dir)                      # batch 1
+    df.write.mode("append").parquet(src_dir)       # batch 2 = full replay
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema, max_files_per_trigger=1)
+    out = sp.dedup_stream(stream, ["event_id"], watermark="1 hour")
+    sp.run_available_now(
+        out, str(tmp_path / "ck_dd"), output_mode="append", queryName="dd_test"
+    )
+    got = spark.sql("SELECT event_id FROM dd_test").toPandas()["event_id"]
+    assert sorted(got) == list(range(10))
+
+
+def test_streaming_enrich_with_dim(spark, sf_dir, tmp_path):
+    """Stream-static join attaches dimension attrs to every event."""
+    from etl_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    src_dir = str(tmp_path / "en_src")
+    ev.write.parquet(src_dir)
+    n_src = spark.read.parquet(src_dir).count()
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("view", "ui"), ("error", "ops")],
+        "event_type string, team string",
+    )
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = sp.enrich_stream(stream, dim, on="event_type")
+    sp.run_available_now(
+        out, str(tmp_path / "ck_en"), output_mode="append", queryName="en_test"
+    )
+    got = spark.sql("SELECT * FROM en_test")
+    assert got.count() == n_src  # left join keeps every event
+    assert "team" in got.columns
+    assert got.filter(F.col("team").isNotNull()).count() > 0
+
+
+def test_partition_overwrite_sink_idempotent(spark, tmp_path):
+    """Replaying the same data through a fresh checkpoint converges to
+    the same gold content (idempotent overwrite), unlike blind append."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.date(2024, 1, 1 + (i % 2)), float(i)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "id long, period_date date, value double")
+    src_dir, gold = str(tmp_path / "po_src"), str(tmp_path / "po_gold")
+    df.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    for attempt in range(2):  # second run = full replay, fresh checkpoint
+        stream = sp.file_event_stream(spark, src_dir, schema)
+        q = sp.partition_overwrite_sink(
+            stream, gold, str(tmp_path / f"ck_po_{attempt}")
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(gold)
+    assert out.count() == 8  # not 16: replay overwrote, didn't append
+    assert {str(d["period_date"]) for d in out.select("period_date").distinct().collect()} == {
+        "2024-01-01",
+        "2024-01-02",
+    }
