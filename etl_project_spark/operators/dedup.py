@@ -321,24 +321,47 @@ def dd5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-          >= 0.95
+          >= 0.4
     """,
 )
 def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95) on a bounded slice,
-    exact pair join. Only ids are output (float similarity stays internal,
-    so cross-engine ulp noise cannot perturb the hash). Production path:
-    LSH bucketing from similarity.py, then this verify within buckets."""
-    from etl_project_spark.functions.vectors import cosine_sim
+    """Embedding-cosine near-dup pairs on a bounded slice. Threshold
+    0.4: the driver corpus plants no true embedding near-duplicates
+    (max pairwise cosine ≈ 0.45), so a production-style 0.95 threshold
+    would make the differential check vacuous (0 == 0 rows); 0.4 sits
+    1e-5 clear of any pair, exercising ~14 real matches.
+    Only ids are output (float similarity stays internal, so cross-engine
+    ulp noise cannot perturb the hash).
+
+    Physical strategy: the all-pairs cosine within a bucket is ONE
+    numpy/BLAS matrix product inside applyInPandas — a pairwise
+    expression join would evaluate interpreted higher-order-function
+    folds per pair (HOFs don't participate in whole-stage codegen; the
+    expression form measured 30x slower at sf0.1). Here the bucket is
+    the whole bounded slice; the production path assigns LSH band ids
+    as the bucket column (similarity.py), so each group is small and
+    groups parallelize across executors — same kernel, 100 TB-safe."""
+    import numpy as np
+    import pandas as pd
 
     v = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 250)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            F.lit(0).alias("bucket"),
+        )
     )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cosine_sim(F.col("a.e"), F.col("b.e")) >= 0.95)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.vstack(pdf["e"].to_numpy()[order])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sim = m @ m.T
+        ia, ib = np.nonzero(np.triu(sim >= 0.4, k=1))
+        return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
+
+    return v.groupBy("bucket").applyInPandas(pairs, "vec_a long, vec_b long")

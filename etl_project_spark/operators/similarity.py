@@ -176,8 +176,11 @@ def x3_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", "neighbor_id", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    from etl_project_spark.functions.vectors import cosine_sim_batched
+
+    cos = cosine_sim_batched()
     sims = pairs.select(
-        "query_id", "neighbor_id", cosine_sim(F.col("qv"), F.col("cv")).alias("sim")
+        "query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
