@@ -136,3 +136,47 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("media_id", "payload").mapInPandas(
         sample, schema="media_id long, frame_no int, frame binary"
     )
+
+
+@register("mm4_media_resize", oracle=None)  # stubbed decode — rows-only
+def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode plumbing: decode → downsample → re-encode, the
+    1:1 payload-transform shape (thumbnailing, audio resampling). The
+    stub kernel mean-pools 2x2 blocks of the fake pixel matrix and emits
+    the smaller payload plus before/after dims; production swaps the
+    kernel for PIL resize / libsamplerate without touching the Spark
+    plumbing. Output schema is stable and the transform is per-row
+    independent — embarrassingly parallel, no shuffle at any scale."""
+    m = media_table(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                img = _fake_decode(bytes(buf))
+                h = (img.shape[0] // 2) * 2
+                if h == 0:
+                    small = img[:1, ::2]
+                else:
+                    small = (
+                        img[:h].reshape(h // 2, 2, 8, 2).mean(axis=(1, 3))
+                    ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "src_h": int(img.shape[0]),
+                        "src_w": int(img.shape[1]),
+                        "dst_h": int(small.shape[0]),
+                        "dst_w": int(small.shape[1]),
+                        "resized": small.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return m.select("media_id", "payload").mapInPandas(
+        resize,
+        schema=(
+            "media_id long, src_h int, src_w int, "
+            "dst_h int, dst_w int, resized binary"
+        ),
+    )

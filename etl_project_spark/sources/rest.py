@@ -154,9 +154,20 @@ try:
             coin, symbol = partition.value
             period = self.options.get("period", "5MIN")
             limit = int(self.options.get("limit", "1"))
-            src = OhlcvRestSource(self.options.get("api_key", ""))
-            url = f"{src.BASE}/{symbol}/latest?period_id={period}&limit={limit}"
-            for bar in default_fetcher(url, {"X-CoinAPI-Key": src.api_key}):
+            # Hermetic mode: bars injected as a JSON option ({coin: [bar,…]}).
+            # Options are plain strings, so they serialize to the executor
+            # Python workers where read() actually runs — a fetcher callable
+            # wouldn't. Tests use this; production omits it and fetches.
+            fixture = self.options.get("fixture_json")
+            if fixture is not None:
+                bars = json.loads(fixture).get(coin, [])[:limit]
+            else:
+                src = OhlcvRestSource(self.options.get("api_key", ""))
+                url = (
+                    f"{src.BASE}/{symbol}/latest?period_id={period}&limit={limit}"
+                )
+                bars = default_fetcher(url, {"X-CoinAPI-Key": src.api_key})
+            for bar in bars:
                 yield tuple(
                     bar.get(f.name) for f in RAW_BAR_SCHEMA.fields
                 ) + (coin,)

@@ -269,3 +269,39 @@ def test_partition_overwrite_sink_idempotent(spark, tmp_path):
         "2024-01-01",
         "2024-01-02",
     }
+
+
+def test_python_datasource_reads_coinapi_format(spark):
+    """S1 as a native Spark 4 Python DataSource: spark.read.format
+    ("coinapi") with a hermetic fixture — one input partition per coin,
+    rows normalized downstream like any other source."""
+    import json as _json
+
+    from etl_project_spark.sources.rest import (
+        normalize_bars,
+        register_coinapi_source,
+    )
+
+    bars = ohlcv.fake_bars(n_bars=2)
+    by_coin = {}
+    for b in bars:
+        by_coin.setdefault(b["coin"], []).append(
+            {k: v for k, v in b.items() if k != "coin"}
+        )
+    register_coinapi_source(spark)
+    raw = (
+        spark.read.format("coinapi")
+        .option("fixture_json", _json.dumps(by_coin))
+        .option("limit", "2")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 3  # one per coin (O3 fan-out)
+    df = normalize_bars(raw)
+    assert df.count() == 6
+    assert set(r["coin"] for r in df.select("coin").distinct().collect()) == {
+        "bitcoin",
+        "ethereum",
+        "ripple",
+    }
+    assert dict(df.dtypes)["time_period_start"].startswith("timestamp")
+    assert dict(df.dtypes)["period_date"] == "date"
