@@ -150,6 +150,17 @@ _MH_A = (
 _MH_B = np.random.RandomState(11).randint(0, 2**62, N_HASHES).astype(np.uint64)
 
 
+def minhash_kernel(hashed_shingles) -> np.ndarray:
+    """Pure numpy MinHash: int64 shingle hashes → 128 permutation minima
+    (the per-doc unit of minhash_signatures; property-tested directly in
+    tests/test_properties.py)."""
+    h = np.asarray(hashed_shingles, dtype=np.int64).astype(np.uint64)
+    if h.size == 0:
+        h = np.zeros(1, dtype=np.uint64)
+    vals = h[:, None] * _MH_A[None, :] + _MH_B[None, :]  # wraps mod 2^64
+    return vals.min(axis=0).astype(np.int64)
+
+
 def minhash_signatures(docs: DataFrame, shingles: Column) -> DataFrame:
     """(doc_id, sig array<bigint>) MinHash signatures.
 
@@ -169,13 +180,7 @@ def minhash_signatures(docs: DataFrame, shingles: Column) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            sigs = []
-            for hs in pdf["hs"]:
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if h.size == 0:
-                    h = np.zeros(1, dtype=np.uint64)
-                vals = h[:, None] * _MH_A[None, :] + _MH_B[None, :]  # wraps mod 2^64
-                sigs.append(vals.min(axis=0).astype(np.int64))
+            sigs = [minhash_kernel(hs) for hs in pdf["hs"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     return hashed.mapInPandas(kernel, schema="doc_id long, sig array<bigint>")
@@ -261,6 +266,24 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BITW = np.arange(64, dtype=np.uint64)
+
+
+def simhash_kernel(hashed_tokens) -> int:
+    """Pure numpy SimHash: int64 token hashes → 64-bit signature via
+    per-bit ±1 votes (the per-doc unit of simhash64; property-tested in
+    tests/test_properties.py)."""
+    h = np.asarray(hashed_tokens, dtype=np.int64).astype(np.uint64)
+    if h.size == 0:
+        return 0
+    ones = ((h[:, None] >> _BITW[None, :]) & np.uint64(1)).sum(axis=0)
+    votes = 2 * ones.astype(np.int64) - len(h)  # (+1/-1 tally)
+    sig = np.bitwise_or.reduce(
+        np.where(votes > 0, np.uint64(1) << _BITW, np.uint64(0))
+    )
+    return int(sig.astype(np.int64))
+
+
 def simhash64(docs: DataFrame, tokens: Column) -> DataFrame:
     """(doc_id, simhash) 64-bit SimHash: per-bit ±1 votes of
     xxhash64(token), sign → bit. Token hashing stays JVM-side (codegen);
@@ -271,22 +294,9 @@ def simhash64(docs: DataFrame, tokens: Column) -> DataFrame:
     hashed = docs.select(
         "doc_id", F.transform(tokens, lambda t: F.xxhash64(t)).alias("hs")
     )
-    bitw = np.arange(64, dtype=np.uint64)
-
     def kernel(batches):
         for pdf in batches:
-            out = []
-            for hs in pdf["hs"]:
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if h.size == 0:
-                    out.append(0)
-                    continue
-                ones = ((h[:, None] >> bitw[None, :]) & np.uint64(1)).sum(axis=0)
-                votes = 2 * ones.astype(np.int64) - len(h)  # (+1/-1 tally)
-                sig = np.bitwise_or.reduce(
-                    np.where(votes > 0, np.uint64(1) << bitw, np.uint64(0))
-                )
-                out.append(int(sig.astype(np.int64)))
+            out = [simhash_kernel(hs) for hs in pdf["hs"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return hashed.mapInPandas(kernel, schema="doc_id long, simhash long")

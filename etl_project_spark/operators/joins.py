@@ -272,3 +272,53 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("is_p") == 1).select(
         "event_id", "user_id", "ts", "value", "last_click_ts"
     )
+
+
+@register(
+    "j9_range_join",
+    oracle="""
+    WITH bands AS (
+        SELECT * FROM (VALUES
+            ('low',    0.0,   20.0),
+            ('mid',   20.0,   60.0),
+            ('high',  60.0,   90.0),
+            ('spike', 90.0, 1e308)
+        ) AS t(band, lo, hi)
+    )
+    SELECT b.band, COUNT(*) AS n_events,
+           CAST(SUM(e.value) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: each event lands in the value band whose
+    [lo, hi) interval contains it — the band dim carries only bounds, so
+    the join predicate is pure inequality. Planned as BroadcastNestedLoop
+    over the 4-row bands side: per-row interval probing with ZERO
+    shuffle of the fact table; at 100 TB the bands stay a broadcast and
+    the agg is map-side partial. (For large range dims the same shape
+    becomes a bucketed interval index — bin the fact by floor(value/step)
+    and equi-join the bin — but a handful of bands never needs it.)"""
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 20.0),
+            ("mid", 20.0, 60.0),
+            ("high", 60.0, 90.0),
+            ("spike", 90.0, float("1e308")),
+        ],
+        "band string, lo double, hi double",
+    )
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("band")
+    )

@@ -1,0 +1,135 @@
+"""Property-based tests (hypothesis) for the sketch kernels — the pure
+numpy units behind the dedup operators, testable at thousands of cases
+per second with no JVM round trip. The Spark-level behavior (recall vs
+exact oracles, batch parity) is covered in test_dedup_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_project_spark.operators.dedup import (
+    N_HASHES,
+    minhash_kernel,
+    simhash_kernel,
+)
+
+hash_sets = st.sets(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=60
+)
+
+
+def _scramble(values) -> list[int]:
+    """splitmix64 finalizer: the kernel's contract input is xxhash64
+    output (uniform bits — minhash_signatures hashes shingle strings
+    JVM-side first). The multiply-add permutation family is NOT min-wise
+    independent over structured raw integers, so the estimation property
+    below is stated — as in production — over hash-distributed inputs."""
+    out = []
+    for v in values:
+        z = (v & (2**64 - 1)) or 0x9E3779B97F4A7C15
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % 2**64
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % 2**64
+        z ^= z >> 31
+        out.append(z - 2**63)  # back to int64 range
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(hash_sets, hash_sets)
+def test_minhash_estimates_jaccard(a: set, b: set):
+    """P(min collides) = Jaccard exactly, so the 128-hash estimate must
+    land within 5 sigma of the true value (sigma = sqrt(j(1-j)/128))."""
+    sa = minhash_kernel(_scramble(sorted(a)))
+    sb = minhash_kernel(_scramble(sorted(b)))
+    est = float(np.mean(sa == sb))
+    true_j = len(a & b) / len(a | b)
+    sigma = max((true_j * (1 - true_j) / N_HASHES) ** 0.5, 1 / N_HASHES)
+    assert abs(est - true_j) <= 5 * sigma
+
+
+@settings(max_examples=200, deadline=None)
+@given(hash_sets, hash_sets)
+def test_minhash_union_is_elementwise_min(a: set, b: set):
+    """sig(A ∪ B) == elementwise min(sig(A), sig(B)) — the mergeability
+    property that makes signatures partial-aggregatable (map-side combine
+    of per-partition signatures is exact, not approximate)."""
+    sa, sb = minhash_kernel(sorted(a)), minhash_kernel(sorted(b))
+    su = minhash_kernel(sorted(a | b))
+    assert np.array_equal(
+        su.astype(np.uint64), np.minimum(sa.astype(np.uint64), sb.astype(np.uint64))
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(hash_sets)
+def test_minhash_permutation_invariance(a: set):
+    """Signature is a set property: input order can't matter."""
+    fwd = minhash_kernel(sorted(a))
+    rev = minhash_kernel(sorted(a, reverse=True))
+    assert np.array_equal(fwd, rev)
+
+
+@settings(max_examples=200, deadline=None)
+@given(hash_sets)
+def test_simhash_vote_scale_invariance(a: set):
+    """Duplicating every token doubles every ±1 vote but flips no sign —
+    simhash is invariant to uniform repetition (why dd5 feeds
+    array_distinct'd tokens without changing semantics)."""
+    once = simhash_kernel(sorted(a))
+    twice = simhash_kernel(sorted(a) * 2)
+    assert once == twice
+
+
+@settings(max_examples=200, deadline=None)
+@given(hash_sets, st.integers(min_value=0, max_value=59))
+def test_simhash_small_edit_small_hamming(a: set, drop_k: int):
+    """Removing one token flips at most popcount-of-votes-at-margin bits;
+    empirically the hamming distance for a 1-element edit of an n-set is
+    bounded well below 64 — sanity that near-identical docs bucket near
+    each other. (Exact bound: bits whose vote margin was ±1.)"""
+    items = sorted(a)
+    if len(items) < 2:
+        return
+    edited = items[: drop_k % len(items)] + items[drop_k % len(items) + 1 :]
+    h1, h2 = simhash_kernel(items), simhash_kernel(edited)
+    hamming = bin((h1 ^ h2) & (2**64 - 1)).count("1")
+    # a single ±1 vote change can only flip bits whose margin was 0 or 1;
+    # for hashes ~uniform, margin-<=1 bits number ~sqrt(n) on average — 64
+    # is the absolute ceiling, and equality-heavy small sets stay low.
+    assert hamming <= 64
+    if len(items) >= 30:
+        assert hamming <= 40  # loose empirical ceiling at 5+ sigma
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_pairwise_cosine_matrix_properties(vecs):
+    """The dd6 bucket kernel's normalized-matmul cosine: symmetric,
+    bounded in [-1, 1], and 1 on the diagonal for nonzero vectors."""
+    m = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    if (norms == 0).any():
+        return
+    n = m / norms
+    sim = n @ n.T
+    assert np.allclose(sim, sim.T, atol=1e-12)
+    assert (sim <= 1 + 1e-9).all() and (sim >= -1 - 1e-9).all()
+    assert np.allclose(np.diag(sim), 1.0, atol=1e-9)
