@@ -191,3 +191,44 @@ def partition_overwrite_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def clicks_to_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks in the preceding `within` window. Both sides are
+    watermarked so the join state (buffered unmatched rows) is bounded —
+    Spark evicts a buffered click once the watermark guarantees no
+    qualifying purchase can still arrive. The batch twin of this shape
+    is j6_asof_join; at 100 TB both sides shuffle once on user_id and
+    state stays proportional to the interval, not the stream."""
+    c = clicks.select(
+        F.col(key_col).alias("c_user"),
+        F.col(ts_col).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col(key_col).alias("p_user"),
+        F.col(ts_col).cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -305,3 +305,49 @@ def test_python_datasource_reads_coinapi_format(spark):
     }
     assert dict(df.dtypes)["time_period_start"].startswith("timestamp")
     assert dict(df.dtypes)["period_date"] == "date"
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream click→purchase attribution == the same interval
+    join run as plain batch over identical inputs."""
+    from etl_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(3000)
+    clicks_dir, purch_dir = str(tmp_path / "ss_c"), str(tmp_path / "ss_p")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+    c_schema = spark.read.parquet(clicks_dir).schema
+    p_schema = spark.read.parquet(purch_dir).schema
+    out = sp.clicks_to_purchases(
+        sp.file_event_stream(spark, clicks_dir, c_schema),
+        sp.file_event_stream(spark, purch_dir, p_schema),
+    )
+    sp.run_available_now(
+        out, str(tmp_path / "ck_ss"), output_mode="append", queryName="ss_test"
+    )
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ss_test").collect()
+    }
+    c = spark.read.parquet(clicks_dir).selectExpr(
+        "user_id AS c_user", "CAST(ts AS timestamp) AS click_ts",
+        "event_id AS click_id"
+    )
+    p = spark.read.parquet(purch_dir).selectExpr(
+        "user_id AS p_user", "CAST(ts AS timestamp) AS purchase_ts",
+        "event_id AS purchase_id"
+    )
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
