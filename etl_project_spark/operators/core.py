@@ -329,3 +329,70 @@ def t3_ordered_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is semantically free to keep."""
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(F.col("user_id") == 7).select("ts", "value").orderBy("ts")
+
+
+@register(
+    "a6_stat_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(STDDEV_SAMP(l_discount), 6) AS disc_stddev,
+           ROUND(VAR_SAMP(l_tax), 6) AS tax_var,
+           ROUND(SKEWNESS(l_quantity), 2) + 0.0 AS qty_skew,
+           ROUND(KURTOSIS(l_quantity), 2) AS qty_kurt,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS qty_median,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, covariance, stddev/
+    variance, higher moments, exact interpolated percentiles — one
+    hash-aggregate pass, all moments computed map-side-partial (Spark's
+    central-moment aggregates merge exactly, so no extra shuffle vs a
+    plain sum). Skew/kurtosis round to 2 decimals: Spark computes
+    population moments, DuckDB sample-corrected (factor 1+O(1/n) —
+    identical in the limit, different in the 6th decimal at sf0.01).
+    Exact percentile is a sort-based aggregate — at 100 TB swap in
+    percentile_approx (t-digest, mergeable) and accept bounded error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+                "price_qty_corr"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+                "price_qty_covar"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+            F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+            (F.round(F.skewness("l_quantity"), 2) + 0.0).alias("qty_skew"),
+            F.round(F.kurtosis("l_quantity"), 2).alias("qty_kurt"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_median"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "price_p90"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("smp1_stratified_sample", oracle=None)  # seeded RNG — rows-only
+def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (training-data curation: rebalance a corpus by
+    source/language/quality band): per-stratum Bernoulli fractions via
+    sampleBy with a fixed seed — deterministic for a given seed and
+    partitioning, but RNG-defined, so no SQL oracle (rows-only; the
+    per-stratum rate is asserted within binomial tolerance in
+    tests/test_properties.py). Executes as a scan-local filter: no
+    shuffle, no collect, scales linearly."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    sampled = docs.sampleBy("source", fractions=fractions, seed=42)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("doc_id").alias("n_unique"),
+    )

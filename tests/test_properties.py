@@ -133,3 +133,29 @@ def test_pairwise_cosine_matrix_properties(vecs):
     assert np.allclose(sim, sim.T, atol=1e-12)
     assert (sim <= 1 + 1e-9).all() and (sim >= -1 - 1e-9).all()
     assert np.allclose(np.diag(sim), 1.0, atol=1e-9)
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """sampleBy hits each stratum's requested fraction within binomial
+    tolerance (5 sigma), and emits no duplicate rows."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import all_queries
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    fractions = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    out = {
+        r["source"]: (r["n_sampled"], r["n_unique"])
+        for r in all_queries()["smp1_stratified_sample"](spark, sf_dir).collect()
+    }
+    for src, frac in fractions.items():
+        n = totals.get(src, 0)
+        if n == 0:
+            continue
+        got, uniq = out.get(src, (0, 0))
+        assert got == uniq  # Bernoulli sampling never duplicates
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(got - n * frac) <= 5 * sigma + 1
