@@ -150,7 +150,34 @@ _STOPWORDS = {
 }
 
 
-@register("tx6_langid", oracle=None)  # heuristic — rows-only check
+@register(
+    "tx6_langid",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ), langs(cand, words) AS (VALUES
+        ('de', ['der', 'die', 'das', 'und', 'ist', 'ein', 'eine', 'zu', 'den', 'von']),
+        ('en', ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']),
+        ('es', ['el', 'la', 'de', 'y', 'que', 'en', 'un', 'una', 'es', 'los']),
+        ('fr', ['le', 'la', 'de', 'et', 'que', 'en', 'un', 'une', 'est', 'les']),
+        ('zh', ['的', '是', '了', '在', '和', '有', '我', '不', '这', '人'])
+    ), scored AS (
+        SELECT doc_id, lang, cand, len(list_intersect(t, words)) AS hits
+        FROM toks CROSS JOIN langs
+    ), best AS (
+        SELECT doc_id, lang, cand, hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, cand DESC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hits > 0 THEN cand ELSE 'und' END AS predicted_lang,
+           hits AS stopword_hits
+    FROM best WHERE rk = 1
+    """,
+)  # argmax tie-break == Spark struct compare: hits, then lang DESC
 def tx6_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: score each language by stopword hits in the
     token set (JVM array_intersect — no Python UDF), predict the argmax
