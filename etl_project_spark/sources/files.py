@@ -76,3 +76,37 @@ def write_jdbc_append(df: DataFrame, url: str, table: str, **options: str) -> No
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Generic columnar/exchange sink: parquet (default), orc, json, csv.
+    Parquet and ORC both carry schema + zone-map statistics, so predicate
+    pushdown and column pruning survive a format switch; JSON/CSV are
+    schema-less exchange formats (pair reads with an explicit schema)."""
+    w = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic scan for the formats write_table emits. Schema is required
+    for JSON/CSV round-trip fidelity (inference re-types timestamps and
+    widens ints); self-describing formats ignore it."""
+    r = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -351,3 +351,29 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_format_round_trips(spark, sf_dir, tmp_path):
+    """parquet/orc/json/csv round-trips preserve rows and values; the
+    columnar formats also preserve the schema without a reader hint."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.sources.files import read_table, write_table
+
+    src = load_table(spark, sf_dir, "orders").limit(500)
+    want = {
+        (r["o_orderkey"], str(r["o_orderdate"]), r["o_totalprice"])
+        for r in src.collect()
+    }
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        path = str(tmp_path / fmt)
+        opts = {"header": "true"} if fmt == "csv" else {}
+        write_table(src, path, fmt=fmt, **opts)
+        schema = src.schema if fmt in ("json", "csv") else None
+        back = read_table(spark, path, fmt=fmt, schema=schema, **opts)
+        got = {
+            (r["o_orderkey"], str(r["o_orderdate"]), r["o_totalprice"])
+            for r in back.collect()
+        }
+        assert got == want, fmt
+        if fmt in ("parquet", "orc"):
+            assert back.schema == src.schema
