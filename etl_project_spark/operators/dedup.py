@@ -375,3 +375,94 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"vec_a": ids[ia], "vec_b": ids[ib]})
 
     return v.groupBy("bucket").applyInPandas(pairs, "vec_a long, vec_b long")
+
+
+@register(
+    "dd7_dup_clusters",
+    oracle="""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id,
+               list_distinct(string_split(lower(text), ' ')) AS toks
+        FROM documents WHERE doc_id < 200
+    ), edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+        WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)))
+              >= 0.5
+    ), all_edges AS (
+        SELECT u, v FROM edges
+        UNION SELECT doc_id, doc_id FROM sets
+    ), reach(u, v) AS (
+        SELECT u, v FROM all_edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN all_edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs (dd3's exact Jaccard
+    graph on the bounded slice) → connected components → every doc
+    labeled with its cluster's minimum doc_id (the canonical survivor a
+    dedup pipeline keeps). Singletons are their own cluster.
+
+    Spark-side: iterative min-label propagation — each round joins
+    labels across edges and keeps the per-node min; terminates when a
+    round changes nothing. Label frames are (id, id) pairs, so each
+    round is one shuffle of 16-byte rows regardless of corpus width; at
+    100 TB swap in the large-star/small-star variant (alternation
+    bounds rounds by O(log n) with the same join primitive). The oracle
+    is a DuckDB recursive-CTE transitive closure — equivalent because
+    min-label fixpoint == min over reachability."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
+    # undirected: propagate both ways
+    edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.persist()
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        prev, labels = labels, new_labels
+        # free the superseded iteration's cache (the convergence count
+        # above already materialized new_labels)
+        if hasattr(prev, "unpersist") and prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
