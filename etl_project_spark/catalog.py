@@ -35,16 +35,26 @@ TABLES = (
 )
 
 
-# (session id, sf_dir, name) -> analyzed DataFrame. Re-reading the same
-# parquet re-lists the directory and re-reads the footer schema on every
-# load; memoizing the *DataFrame* (a logical plan, not data) makes
-# repeated loads free while every action still scans storage.
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+# (sf_dir, name) -> analyzed DataFrame, valid for one Spark application.
+# Re-reading the same parquet re-lists the directory and re-reads the
+# footer schema on every load; memoizing the *DataFrame* (a logical plan,
+# not data) makes repeated loads free while every action still scans
+# storage. Keyed by applicationId — not id(spark), which CPython can
+# recycle after a stopped session is collected — and cleared whenever the
+# application changes so plans bound to dead sessions are never returned
+# (and never pinned for process lifetime).
+_df_cache: dict[tuple[str, str], DataFrame] = {}
+_cache_app_id: str | None = None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table, normalizing physical-type quirks."""
-    key = (id(spark), sf_dir, name)
+    global _cache_app_id
+    app_id = spark.sparkContext.applicationId
+    if app_id != _cache_app_id:
+        _df_cache.clear()
+        _cache_app_id = app_id
+    key = (sf_dir, name)
     cached = _df_cache.get(key)
     if cached is not None:
         return cached

@@ -268,7 +268,14 @@ def a4_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a5_approx_distinct",
-    oracle=None,  # approximate — rows-only check; exactness tested in pytest
+    oracle=None,  # approximate — no hash-equality oracle possible
+    # local checker compares against the exact count within rtol instead;
+    # rsd=0.01 → 3-sigma relative error ≈ 0.03
+    approx_oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS approx_users
+    FROM events GROUP BY 1
+    """,
+    rtol=0.03,
 )
 def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB-scale substitute for

@@ -96,8 +96,8 @@ def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j4_anti_join",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,7 +78,9 @@ def ts2_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
         SELECT user_id, ts, value,
-               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL '30 minutes'
+               -- strict <: Spark's session interval is [t, t+gap), so an
+               -- event exactly gap after the last one opens a NEW session
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL '30 minutes'
                     THEN 0 ELSE 1 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -115,14 +117,26 @@ def ts3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts4_ohlcv_resample",
     oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS bar_start,
-           arg_min(value, ts) AS price_open,
+    -- open/close via ROW_NUMBER over (ts, event_id): deterministic under
+    -- duplicate timestamps, matching Spark's min_by/max_by struct tie-break
+    WITH ranked AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bar_start, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT bar_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS price_open,
            MAX(value) AS price_high,
            MIN(value) AS price_low,
-           arg_max(value, ts) AS price_close,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS price_close,
            CAST(SUM(value) AS DOUBLE) AS volume,
            COUNT(*) AS trades_count
-    FROM events GROUP BY 1
+    FROM ranked GROUP BY 1
     """,
 )
 def ts4_ohlcv_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,10 +148,13 @@ def ts4_ohlcv_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
-            F.min_by("value", "ts").alias("price_open"),
+            # tie-break on event_id so two events sharing a ts resolve the
+            # same way in Spark and the oracle (min_by alone picks an
+            # arbitrary row among ts ties)
+            F.min_by("value", F.struct("ts", "event_id")).alias("price_open"),
             F.max("value").alias("price_high"),
             F.min("value").alias("price_low"),
-            F.max_by("value", "ts").alias("price_close"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("price_close"),
             F.sum("value").alias("volume"),
             F.count("*").alias("trades_count"),
         )

@@ -24,12 +24,24 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str
+    # For approximate operators (HLL counts, sampled aggregates): an exact
+    # SQL oracle plus a relative tolerance. Not exposed to the driver's
+    # hash-equality gate (it would always mismatch); the local checker
+    # (tools/check_correctness.py) compares numerics within rtol instead
+    # of recording a bare rows-only result.
+    approx_oracle: str | None = None
+    rtol: float | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str,
+    oracle: str | None = None,
+    approx_oracle: str | None = None,
+    rtol: float | None = None,
+):
     """Decorator: add a query to the registry.
 
     The wrapped function keeps engine-standard session prep (UTC tz,
@@ -47,7 +59,9 @@ def register(name: str, oracle: str | None = None):
         wrapped.__doc__ = fn.__doc__
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, fn.__doc__ or "")
+        _REGISTRY[name] = QuerySpec(
+            name, wrapped, oracle, fn.__doc__ or "", approx_oracle, rtol
+        )
         return wrapped
 
     return deco
