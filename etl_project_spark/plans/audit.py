@@ -64,6 +64,56 @@ class PlanStats:
         return "ROW-PYTHON-UDF" in self.flags
 
 
+def _connector_col(line: str) -> int:
+    m = re.search(r"[:+]- ", line)
+    return m.start() if m else -1
+
+
+def _bnlj_small_build(plan: str) -> bool:
+    """True when EVERY BroadcastNestedLoopJoin in ``plan`` broadcasts a
+    provably-tiny build side — a scalar aggregate (HashAggregate with
+    ``Keys: []``, e.g. a scalar-subquery threshold) or a driver-local
+    frame (``Scan ExistingRDD`` / ``LocalTableScan``). Those are the
+    *correct* plans for 1-row/few-row comparisons and must not be
+    reported as quadratic-join scale hazards."""
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    rows = [i for i, l in enumerate(tree) if "BroadcastNestedLoopJoin" in l]
+    if not rows:
+        return False
+    for i in rows:
+        col = _connector_col(tree[i])
+        children = []
+        for j in range(i + 1, len(tree)):
+            c = _connector_col(tree[j])
+            if c <= col:
+                break
+            if c == col + 3:
+                children.append(j)
+        if not children:
+            return False
+        build = children[0] if "BuildLeft" in tree[i] else children[-1]
+        ccol = col + 3
+        sub = [tree[build]]
+        for j in range(build + 1, len(tree)):
+            if _connector_col(tree[j]) <= ccol:
+                break
+            sub.append(tree[j])
+        subtext = "\n".join(sub)
+        if "Scan ExistingRDD" in subtext or "LocalTableScan" in subtext:
+            continue
+        for opid in re.findall(r"HashAggregate \((\d+)\)", subtext):
+            sec = re.search(
+                rf"^\({opid}\) HashAggregate\n(?:(?!\(\d+\) )[^\n]*\n?)*",
+                plan,
+                re.M,
+            )
+            if sec and "Keys: []" in sec.group(0):
+                break
+        else:
+            return False
+    return True
+
+
 def plan_stats(df: DataFrame, wide_scan_cols: int = 10) -> PlanStats:
     """Parse ``df``'s formatted physical plan into :class:`PlanStats`.
 
@@ -79,8 +129,13 @@ def plan_stats(df: DataFrame, wide_scan_cols: int = 10) -> PlanStats:
     stats.scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     stats.pushed_scans = sum(1 for p in pushed if p.strip())
-    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+    if "CartesianProduct" in plan:
         stats.flags.append("QUADRATIC-JOIN")
+    elif "BroadcastNestedLoopJoin" in plan:
+        if _bnlj_small_build(plan):
+            stats.flags.append("nested-loop(small-bcast)")
+        else:
+            stats.flags.append("QUADRATIC-JOIN")
     if "BatchEvalPython" in plan:
         stats.flags.append("ROW-PYTHON-UDF")
     if "MapInPandas" in plan or "ArrowEvalPython" in plan:

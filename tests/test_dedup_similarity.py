@@ -100,3 +100,40 @@ def test_vector_functions_match_numpy(spark):
         float(na @ nb / (np.linalg.norm(na) * np.linalg.norm(nb)))
     )
     assert row["dist"] == pytest.approx(float(np.linalg.norm(na - nb)))
+
+
+def test_connected_components_chain_and_random(spark):
+    """large-star/small-star CC must label every node with its component
+    min — including a 60-node chain, the O(diameter) worst case that a
+    naive label-propagation loop crawls on."""
+    import random
+
+    chain = [(i, i + 1) for i in range(60)]  # one long path, min = 0
+    rng = random.Random(42)
+    nodes = list(range(100, 160))
+    rng.shuffle(nodes)
+    blob = [
+        (min(a, b), max(a, b))
+        for a, b in zip(nodes, nodes[1:])
+        if a != b
+    ]
+    edges = spark.createDataFrame(chain + blob, "u long, v long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    # union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for u, v in chain + blob:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert got[60] == 0 and got[nodes[0]] == 100
