@@ -312,9 +312,10 @@ def simhash64(docs: DataFrame, tokens: Column) -> DataFrame:
 
 @register("dd5_simhash_buckets", oracle=None)  # hash-defined — rows-only
 def dd5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature per document, bucketed on the
-    signature; groups >1 are near-dup clusters. Hamming-ball probing (flip
-    k bits) widens recall at scale without pairwise comparison."""
+    """SimHash near-dup, exact-collision form: 64-bit signature per
+    document, bucketed on the whole signature; groups >1 are duplicate
+    clusters. Recall beyond identical signatures comes from the
+    multi-probe variant (dd5b_simhash_multiprobe)."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     sigs = simhash64(docs, F.array_distinct(_tokens()))
@@ -326,6 +327,86 @@ def dd5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_neardup_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_hamming: int = 7,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All document pairs whose SimHash signatures are within
+    ``max_hamming`` bits — EXACTLY, without a quadratic join.
+
+    Multi-probe via block pigeonhole: split the 64-bit signature into
+    ``n_blocks`` equal blocks; two signatures within Hamming distance
+    ``n_blocks - 1`` must agree on at least one whole block, so an
+    equi-join on (block_id, block_value) yields a candidate superset
+    with guaranteed recall, and bit_count(a XOR b) verifies exactly.
+    This is the scalable equivalent of flip-k-bit bucket probing: one
+    row per (doc, block) — 8 probes/doc — instead of C(64, k) flipped
+    buckets per doc.
+
+    Tuning at 100 TB: wider blocks (n_blocks=4 → 16-bit blocks,
+    radius ≤ 3) keep buckets selective on billion-doc corpora; 8-bit
+    blocks (radius ≤ 7) suit smaller corpora. Bucket skew is bounded by
+    block cardinality (2^width); salt the join or pre-aggregate
+    signatures (dedup within identical sigs first) if a degenerate
+    corpus collapses many docs onto few signatures.
+    """
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= {n_blocks - 1}"
+        )
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    sigs = simhash64(docs, F.array_distinct(_tokens())).persist()
+    # (simhash >> s) & mask: arithmetic shift's sign-fill is masked off,
+    # so this equals the logical-shift block value
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}),"
+                f" b -> shiftright(simhash, b * {width}) & {mask})"
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand
+
+
+@register("dd5b_simhash_multiprobe", oracle=None)  # sig-defined — rows-only
+def dd5b_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash multi-probe near-dup pairs: every pair within Hamming
+    distance 7 of each other's 64-bit signature, found via the
+    block-pigeonhole candidate join (see simhash_neardup_pairs). Exact
+    w.r.t. the signature metric — verified equal to the brute-force
+    Hamming join in tests/test_dedup_similarity.py, with recall vs the
+    planted Jaccard near-dups asserted alongside."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    return simhash_neardup_pairs(spark, docs)
 
 
 @register(

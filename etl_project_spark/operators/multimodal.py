@@ -2,16 +2,20 @@
 columns with typed metadata, plus Arrow-batched decode / feature-extract /
 resize / frame-sample stages.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes behind the real Spark plumbing (schema, batching,
-partitioning are what this module actually ships — swap ``_fake_decode``
-for a PIL/ffmpeg call in production). The binary payloads themselves are
-synthesized from the documents table (utf-8 bytes), which makes the
-metadata path (sizes, hashes) fully oracle-checkable.
+The media fixture is REAL image bytes: each document's text is rendered
+into a 16×8 RGB PPM (P6) — a complete, spec-conformant binary image
+format that needs no external codec (pure numpy decode). Because the
+pixel bytes derive deterministically from the text, DuckDB can recompute
+decoded dims / means / resized hashes straight from the text column, so
+the decode and resize paths are fully oracle-checked, not stubbed.
+mm3's frame sampler treats pixel rows as frames (the row-expansion
+plumbing shape); a production video path would swap in an ffmpeg/pyav
+iterator behind the same mapInPandas signature.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -22,19 +26,33 @@ from pyspark.sql import functions as F
 from etl_project_spark.catalog import load_table
 from etl_project_spark.registry import register
 
+PPM_W, PPM_H = 16, 8
+PPM_PIXBYTES = PPM_W * PPM_H * 3  # 384
+_PPM_HEADER = f"P6\n{PPM_W} {PPM_H}\n255\n"
+
+# pixel stream: the doc's ascii bytes repeated to fill exactly 384 bytes.
+# Kept as a SQL expression so payload construction is JVM-side (codegen)
+# and the DuckDB oracles can rebuild the identical bytes from `text`.
+_PIXELS_SQL = (
+    f"substring(repeat(text, CAST(ceil({PPM_PIXBYTES}.0 / length(text)) "
+    f"AS INT)), 1, {PPM_PIXBYTES})"
+)
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → a media-shaped table: one binary payload + typed
-    metadata struct per row, as a multimodal lakehouse table would store
-    (payload inline for small media; at scale the column holds an object
-    reference and byte-range instead)."""
+    """documents → a media-shaped table: one real PPM image payload +
+    typed metadata struct per row, as a multimodal lakehouse table would
+    store (payload inline for small media; at scale the column holds an
+    object reference and byte-range instead)."""
     docs = load_table(spark, sf_dir, "documents")
-    payload = F.encode("text", "utf-8")
+    payload = F.encode(
+        F.concat(F.lit(_PPM_HEADER), F.expr(_PIXELS_SQL)), "utf-8"
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.struct(
-            F.lit("application/fake-media").alias("mime"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
             F.octet_length(payload).alias("n_bytes"),
             F.col("lang").alias("language_hint"),
             F.col("source").alias("origin"),
@@ -42,12 +60,52 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Real P6 PPM decoder (pure numpy): parse magic/dims/maxval from the
+    header, return the pixel array shaped (height, width, 3) uint8."""
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", buf)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pixels = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return pixels.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """P6 PPM encoder: (h, w, 3) uint8 → complete image bytes."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+# oracle CTE shared by mm2/mm4: doc_id + 384 pixel byte values, rebuilt
+# from text exactly as the JVM-side payload expression does (ascii corpus:
+# char position == byte position)
+_PX_CTE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               substr(repeat(text, CAST(ceil({PPM_PIXBYTES}.0 / LEN(text))
+                   AS INT)), 1, {PPM_PIXBYTES}) AS s
+        FROM documents
+    ), px AS (
+        SELECT doc_id,
+               [unicode(substr(s, i, 1))
+                FOR i IN generate_series(1, {PPM_PIXBYTES})] AS b
+        FROM base
+    )
+"""
+
+
 @register(
     "mm1_media_metadata",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS payload_sha256
+           {len(_PPM_HEADER) + PPM_PIXBYTES} AS n_bytes,
+           sha256(concat('P6', chr(10), '{PPM_W} {PPM_H}', chr(10), '255',
+                  chr(10),
+                  substr(repeat(text, CAST(ceil({PPM_PIXBYTES}.0 / LEN(text))
+                      AS INT)), 1, {PPM_PIXBYTES}))) AS payload_sha256
     FROM documents
     """,
 )
@@ -64,40 +122,47 @@ def mm1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(buf: bytes) -> np.ndarray:
-    """STUB decode kernel — deterministic stand-in for an image decoder.
-
-    Production: replace with e.g. PIL.Image.open(io.BytesIO(buf)). Here:
-    interpret bytes as a uint8 stream reshaped to (n, 16) 'pixel rows'.
-    """
-    arr = np.frombuffer(buf, dtype=np.uint8)
-    n = (len(arr) // 16) * 16
-    if n == 0:
-        return np.zeros((1, 16), dtype=np.uint8)
-    return arr[:n].reshape(-1, 16)
-
-
-@register("mm2_media_features", oracle=None)  # stubbed decode — rows-only
+@register(
+    "mm2_media_features",
+    oracle=_PX_CTE
+    + f"""
+    SELECT doc_id AS media_id, {PPM_H} AS height, {PPM_W} AS width,
+           CAST(list_sum(b) AS DOUBLE) / {PPM_PIXBYTES} AS mean_intensity,
+           CAST(list_sum([b[3*i-2] FOR i IN generate_series(1, {PPM_W * PPM_H})])
+                AS DOUBLE) / {PPM_W * PPM_H} AS mean_r,
+           CAST(list_sum([b[3*i-1] FOR i IN generate_series(1, {PPM_W * PPM_H})])
+                AS DOUBLE) / {PPM_W * PPM_H} AS mean_g,
+           CAST(list_sum([b[3*i] FOR i IN generate_series(1, {PPM_W * PPM_H})])
+                AS DOUBLE) / {PPM_W * PPM_H} AS mean_b
+    FROM px
+    """,
+)
 def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas:
-    Arrow delivers whole batches of payloads to Python; the kernel decodes
-    and emits fixed-width feature vectors. This is the plumbing shape for
-    image embedding / audio fingerprinting at scale: batch-vectorized,
-    schema-stable, decode errors isolated per row."""
+    Arrow delivers whole batches of payloads to Python; the kernel runs a
+    REAL PPM decode and emits per-image dims + intensity/channel means.
+    Means are integer sums divided by a constant, so both engines produce
+    bit-identical doubles. This is the plumbing shape for image embedding
+    at scale: batch-vectorized, schema-stable, decode errors isolated per
+    row."""
     m = media_table(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = _fake_decode(bytes(buf))
+                img = decode_ppm(bytes(buf))
+                h, w, _ = img.shape
+                n = h * w
                 rows.append(
                     {
                         "media_id": media_id,
-                        "height": int(img.shape[0]),
-                        "width": int(img.shape[1]),
-                        "mean_intensity": float(img.mean()),
-                        "feature": img.mean(axis=0).astype("float32").tolist(),
+                        "height": h,
+                        "width": w,
+                        "mean_intensity": int(img.sum()) / (n * 3),
+                        "mean_r": int(img[:, :, 0].sum()) / n,
+                        "mean_g": int(img[:, :, 1].sum()) / n,
+                        "mean_b": int(img[:, :, 2].sum()) / n,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -105,18 +170,19 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("media_id", "payload").mapInPandas(
         extract,
         schema=(
-            "media_id long, height int, width int, "
-            "mean_intensity double, feature array<float>"
+            "media_id long, height int, width int, mean_intensity double, "
+            "mean_r double, mean_g double, mean_b double"
         ),
     )
 
 
-@register("mm3_frame_sample", oracle=None)  # stubbed decode — rows-only
+@register("mm3_frame_sample", oracle=None)  # row-expansion demo — rows-only
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (video → every k-th frame): one input row
     fans out to multiple frame rows — the row-expanding mapInPandas shape.
-    Stub 'frames' are 16-byte slices; production swaps in an ffmpeg/pyav
-    iterator. Output is partition-friendly: (media_id, frame_no) key."""
+    'Frames' here are decoded pixel rows of the PPM; production swaps in
+    an ffmpeg/pyav iterator behind the same signature. Output is
+    partition-friendly: (media_id, frame_no) key."""
     m = media_table(spark, sf_dir)
     stride = 4
 
@@ -124,7 +190,7 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_ids, out_nos, out_bytes = [], [], []
             for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
-                frames = _fake_decode(bytes(buf))
+                frames = decode_ppm(bytes(buf))
                 for frame_no in range(0, len(frames), stride):
                     out_ids.append(media_id)
                     out_nos.append(frame_no)
@@ -138,37 +204,67 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm4_media_resize", oracle=None)  # stubbed decode — rows-only
+@register(
+    "mm4_media_resize",
+    oracle=_PX_CTE
+    + f"""
+    , pooled AS (
+        SELECT doc_id,
+               [ (b[((2*((k-1)//{PPM_W // 2 * 3}))*{PPM_W}
+                    + 2*(((k-1)%{PPM_W // 2 * 3})//3))*3 + ((k-1)%3) + 1]
+                + b[((2*((k-1)//{PPM_W // 2 * 3}))*{PPM_W}
+                    + 2*(((k-1)%{PPM_W // 2 * 3})//3) + 1)*3 + ((k-1)%3) + 1]
+                + b[((2*((k-1)//{PPM_W // 2 * 3}) + 1)*{PPM_W}
+                    + 2*(((k-1)%{PPM_W // 2 * 3})//3))*3 + ((k-1)%3) + 1]
+                + b[((2*((k-1)//{PPM_W // 2 * 3}) + 1)*{PPM_W}
+                    + 2*(((k-1)%{PPM_W // 2 * 3})//3) + 1)*3 + ((k-1)%3) + 1]
+                ) // 4
+                FOR k IN generate_series(1, {PPM_PIXBYTES // 4})] AS pb
+        FROM px
+    )
+    SELECT doc_id AS media_id,
+           {PPM_H} AS src_h, {PPM_W} AS src_w,
+           {PPM_H // 2} AS dst_h, {PPM_W // 2} AS dst_w,
+           sha256(concat('P6', chr(10), '{PPM_W // 2} {PPM_H // 2}',
+                  chr(10), '255', chr(10),
+                  array_to_string([chr(x) FOR x IN pb], '')))
+               AS resized_sha256
+    FROM pooled
+    """,
+)
 def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/transcode plumbing: decode → downsample → re-encode, the
-    1:1 payload-transform shape (thumbnailing, audio resampling). The
-    stub kernel mean-pools 2x2 blocks of the fake pixel matrix and emits
-    the smaller payload plus before/after dims; production swaps the
-    kernel for PIL resize / libsamplerate without touching the Spark
-    plumbing. Output schema is stable and the transform is per-row
-    independent — embarrassingly parallel, no shuffle at any scale."""
+    """Resize/transcode: REAL decode → 2×2 mean-pool (integer sum // 4,
+    exact in both engines) → re-encode to a valid smaller PPM, emitting
+    before/after dims plus the sha256 of the resized image so the oracle
+    can verify the whole decode-transform-encode path byte-for-byte.
+    Per-row independent — embarrassingly parallel, no shuffle at any
+    scale."""
     m = media_table(spark, sf_dir)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             rows = []
             for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = _fake_decode(bytes(buf))
-                h = (img.shape[0] // 2) * 2
-                if h == 0:
-                    small = img[:1, ::2]
-                else:
-                    small = (
-                        img[:h].reshape(h // 2, 2, 8, 2).mean(axis=(1, 3))
-                    ).astype(np.uint8)
+                img = decode_ppm(bytes(buf))
+                h, w, _ = img.shape
+                small = (
+                    img.astype(np.uint32)
+                    .reshape(h // 2, 2, w // 2, 2, 3)
+                    .sum(axis=(1, 3))
+                    // 4
+                ).astype(np.uint8)
                 rows.append(
                     {
                         "media_id": media_id,
-                        "src_h": int(img.shape[0]),
-                        "src_w": int(img.shape[1]),
+                        "src_h": h,
+                        "src_w": w,
                         "dst_h": int(small.shape[0]),
                         "dst_w": int(small.shape[1]),
-                        "resized": small.tobytes(),
+                        "resized_sha256": hashlib.sha256(
+                            encode_ppm(small)
+                        ).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -177,6 +273,6 @@ def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema=(
             "media_id long, src_h int, src_w int, "
-            "dst_h int, dst_w int, resized binary"
+            "dst_h int, dst_w int, resized_sha256 string"
         ),
     )

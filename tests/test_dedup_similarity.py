@@ -137,3 +137,24 @@ def test_connected_components_chain_and_random(spark):
     want = {n: find(n) for n in parent}
     assert got == want
     assert got[60] == 0 and got[nodes[0]] == 100
+
+
+def test_simhash_multiprobe_exact_and_recall(spark, sf_dir):
+    """Block-pigeonhole multi-probe must equal the brute-force Hamming
+    join exactly (guaranteed recall within radius n_blocks-1), and must
+    recover most planted Jaccard near-dup pairs."""
+    docs = dedup.load_table(spark, sf_dir, "documents")
+    got = _pairs(dedup.simhash_neardup_pairs(spark, docs))
+    sigs = dedup.simhash64(docs, F.array_distinct(dedup._tokens()))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = _pairs(
+        sa.crossJoin(sb)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 7)
+    )
+    assert got == brute
+    planted = _pairs(dedup.lsh_verified_pairs(spark, docs.select("doc_id", "text")))
+    assert planted, "corpus has no planted near-dups"
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"multiprobe recall {recall:.2f} vs planted pairs"
