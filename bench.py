@@ -71,17 +71,31 @@ def main() -> None:
             t = round(run_query(qs, name, spark, sf_dir), 3)
             timings[name] = min(timings.get(name, t), t)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # round-over-round tracking: compare per query against the committed
+    # baseline (BENCH_BASELINE.json, recorded from round 1 at sf0.1) and
+    # surface >=1.3x slowdowns so a plan regression is visible per query,
+    # not hidden inside the total.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
+    if os.path.exists(base_path):
+        base = json.load(open(base_path))
+        if base.get("sf") == sf:
+            regressions = {
+                n: {"now": t, "baseline": base["queries"][n]}
+                for n, t in timings.items()
+                if n in base["queries"] and t > 1.3 * base["queries"][n]
+            }
+            out["baseline_total"] = base["total"]
+            out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
 
 
