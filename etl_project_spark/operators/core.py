@@ -403,3 +403,47 @@ def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.countDistinct("doc_id").alias("n_unique"),
     )
+
+
+_SMP2_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+# stratum keep-threshold as fixed-width lowercase hex of floor(f * 2^32):
+# md5's first 8 hex chars are uniform, and lexicographic order on
+# same-length lowercase hex equals numeric order, so `prefix < threshold`
+# keeps each doc independently with probability f — identically in any
+# engine that has md5, with no RNG anywhere.
+_SMP2_THRESHOLDS = {
+    s: f"{int(f * 2**32):08x}" for s, f in _SMP2_FRACTIONS.items()
+}
+_SMP2_SQL_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN '{t}'" for s, t in _SMP2_THRESHOLDS.items()
+) + " END"
+
+
+@register(
+    "smp2_hash_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_SMP2_SQL_CASE}
+    """,
+)
+def smp2_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum Bernoulli via the
+    md5 of the row key instead of an RNG — the production form for
+    training-data curation, because the sample is REPRODUCIBLE across
+    reruns, engines, partitionings, and retries (a resumed 100 TB job
+    re-selects exactly the same rows). Scan-local filter: no shuffle, no
+    state; exact-membership differential check (not just rate bounds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pair in _SMP2_THRESHOLDS.items()
+                for x in pair
+            ]
+        ),
+        F.col("source"),
+    )
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < threshold
+    ).select("doc_id", "source")

@@ -264,7 +264,35 @@ def lsh_verified_pairs(
     )
 
 
-@register("dd4_minhash_lsh_pairs", oracle=None)  # approximate — rows-only
+@register(
+    "dd4_minhash_lsh_pairs",
+    # the oracle is the EXACT quadratic shingle-Jaccard pair join: LSH is
+    # approximate in general (s-curve recall ≈0.87 right at j=0.5), but
+    # every real near-dup corpus — including this one, where planted
+    # pairs sit at j ≥ 0.9 — collides in some band with probability ≈1,
+    # and exact verification removes all false positives, so the checked
+    # output equals the exact pair set. jaccard is a ratio of exact ints:
+    # bit-identical across engines.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+               AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+          >= 0.5
+    """,
+)
 def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 MinHash + LSH near-dup candidate pairs, verified with exact
     Jaccard — the scalable near-dedup: signature (128 mins of xxhash64

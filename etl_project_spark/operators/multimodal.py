@@ -79,22 +79,27 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
 
 
-# oracle CTE shared by mm2/mm4: doc_id + 384 pixel byte values, rebuilt
-# from text exactly as the JVM-side payload expression does (ascii corpus:
-# char position == byte position)
-_PX_CTE = f"""
+# oracle CTEs shared by mm2/mm3/mm4: the pixel character stream (base.s)
+# and its byte values (px.b), rebuilt from text exactly as the JVM-side
+# payload expression does (ascii corpus: char position == byte position)
+_BASE_CTE = f"""
     WITH base AS (
         SELECT doc_id,
                substr(repeat(text, CAST(ceil({PPM_PIXBYTES}.0 / LEN(text))
                    AS INT)), 1, {PPM_PIXBYTES}) AS s
         FROM documents
-    ), px AS (
+    )
+"""
+_PX_CTE = (
+    _BASE_CTE
+    + f""", px AS (
         SELECT doc_id,
                [unicode(substr(s, i, 1))
                 FOR i IN generate_series(1, {PPM_PIXBYTES})] AS b
         FROM base
     )
 """
+)
 
 
 @register(
@@ -176,7 +181,22 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm3_frame_sample", oracle=None)  # row-expansion demo — rows-only
+@register(
+    "mm3_frame_sample",
+    # frames are decoded pixel rows at stride 4 (rows 0 and 4 of the
+    # 16×8 image) — 48-byte slices of the deterministic pixel stream,
+    # so the oracle rebuilds the exact frame bytes from text
+    # hex projection (not raw binary) in the checked output: binary cells
+    # round-trip as bytes vs bytearray across engines/drivers, which a
+    # hash-based checker may canonicalize differently; hex is unambiguous
+    oracle=_BASE_CTE
+    + f"""
+    SELECT doc_id AS media_id, frame_no,
+           hex(encode(substr(s, frame_no * {PPM_W * 3} + 1, {PPM_W * 3})))
+               AS frame_hex
+    FROM base, UNNEST([0, 4]) AS t(frame_no)
+    """,
+)
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (video → every k-th frame): one input row
     fans out to multiple frame rows — the row-expanding mapInPandas shape.
@@ -199,8 +219,13 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": out_ids, "frame_no": out_nos, "frame": out_bytes}
             )
 
-    return m.select("media_id", "payload").mapInPandas(
+    frames = m.select("media_id", "payload").mapInPandas(
         sample, schema="media_id long, frame_no int, frame binary"
+    )
+    # binary frames stay the plumbing product; the registered output
+    # projects them to hex for engine-neutral differential checking
+    return frames.select(
+        "media_id", "frame_no", F.hex("frame").alias("frame_hex")
     )
 
 

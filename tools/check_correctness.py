@@ -41,9 +41,22 @@ def canon_cell(v):
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return bytes(v).hex()
     return str(v)
+
+
+def normalize_binary(pdf: pd.DataFrame) -> pd.DataFrame:
+    """DuckDB hands back BLOBs as bytearray (unhashable, != bytes);
+    Spark hands back bytes — normalize so values compare and sort."""
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda v: bytes(v)
+                if isinstance(v, (bytearray, memoryview))
+                else v
+            )
+    return pdf
 
 
 def canon_frame(pdf: pd.DataFrame) -> list[tuple]:
@@ -105,7 +118,7 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spdf = sdf.toPandas()
+            spdf = normalize_binary(sdf.toPandas())
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
@@ -115,7 +128,7 @@ def main() -> int:
             spec = registry.get(name)
             if spec.approx_oracle is not None:
                 try:
-                    opdf = con.sql(spec.approx_oracle).df()
+                    opdf = normalize_binary(con.sql(spec.approx_oracle).df())
                 except Exception:
                     print(f"FAIL  {name}: duckdb error (approx oracle)")
                     traceback.print_exc()
@@ -150,7 +163,7 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            opdf = con.sql(oracles[name]).df()
+            opdf = normalize_binary(con.sql(oracles[name]).df())
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
