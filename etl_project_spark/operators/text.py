@@ -210,3 +210,154 @@ def tx6_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         best["hits"].alias("stopword_hits"),
     )
+
+
+# BPE-ish pre-tokenizer: the GPT-2-style split of " ?letters | ?digits |
+# ?other-symbols" restricted to the ascii corpus — the standard proxy for
+# counting trainable tokens without shipping a vocab. Same RE2/Java-regex
+# subset so Spark and the DuckDB oracle tokenize identically.
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@register(
+    "tx7_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(str_split(lower(text), ' ')) AS n_ws_tokens,
+           LEN(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+               AS n_bpe_tokens,
+           CAST(LEN(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+                AS DOUBLE)
+               / LEN(str_split(lower(text), ' ')) AS bpe_per_ws_token
+    FROM documents
+    """,
+)
+def tx7_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: whitespace tokens vs regex pre-tokenizer
+    pieces (letters / digit runs / symbol runs, GPT-2-style) — the cheap
+    estimator for 'how many trainable tokens does this corpus hold'.
+    Pure JVM regexp (codegen, scan-local, no shuffle); the ratio column
+    is the fertility estimate a data-mix planner budgets with."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    ws = F.size(F.split(low, " "))
+    bpe = F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws).alias("bpe_per_ws_token"),
+    )
+
+
+_GQ_STOPWORDS = _STOPWORDS["en"]
+
+
+@register(
+    "tx8_gopher_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS lt,
+               str_split(lower(text), ' ') AS tk
+        FROM documents
+    )
+    SELECT doc_id,
+           LEN(tk) AS n_tokens,
+           CAST(list_sum([LENGTH(x) FOR x IN tk]) AS DOUBLE) / LEN(tk)
+               AS mean_token_len,
+           CAST(LENGTH(regexp_replace(lt, '[^a-z]', '', 'g')) AS DOUBLE)
+               / LENGTH(lt) AS alpha_ratio,
+           CAST(LEN(list_filter(tk,
+                    x -> list_contains({_GQ_STOPWORDS!r}, x))) AS DOUBLE)
+               / LEN(tk) AS stopword_ratio,
+           1.0 - CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)
+               AS dup_token_ratio,
+           (LEN(tk) >= 10
+            AND CAST(list_sum([LENGTH(x) FOR x IN tk]) AS DOUBLE) / LEN(tk)
+                BETWEEN 2 AND 12
+            AND CAST(LENGTH(regexp_replace(lt, '[^a-z]', '', 'g')) AS DOUBLE)
+                / LENGTH(lt) >= 0.6
+            AND 1.0 - CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk) <= 0.6)
+               AS quality_pass
+    FROM t
+    """,
+)
+def tx8_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus-quality signals per document: token count,
+    mean token length, alphabetic-character ratio, stopword ratio,
+    duplicate-token ratio, and the composite pass/fail gate a
+    pre-training pipeline filters on. Every ratio is an exact integer
+    sum divided by an exact count, so both engines emit bit-identical
+    doubles. One scan, zero shuffles, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    tk = F.split(low, " ")
+    n = F.size(tk)
+    sum_len = F.aggregate(
+        F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = sum_len.cast("double") / n
+    alpha = (
+        F.length(F.regexp_replace(low, "[^a-z]", "")).cast("double")
+        / F.length(low)
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _GQ_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n
+    )
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n
+    gate = (
+        (n >= 10)
+        & mean_len.between(2, 12)
+        & (alpha >= 0.6)
+        & (dup_ratio <= 0.6)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        alpha.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        dup_ratio.alias("dup_token_ratio"),
+        gate.alias("quality_pass"),
+    )
+
+
+# PII patterns — identical semantics in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_LONGNUM = r"[0-9]{6,}"
+
+
+@register(
+    "tx9_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(lower(text),
+               '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_LONGNUM}', '<NUM>', 'g')
+               AS redacted,
+           LEN(regexp_extract_all(lower(text), '{PII_EMAIL}'))
+               + LEN(regexp_extract_all(lower(text), '{PII_LONGNUM}'))
+               AS n_redactions
+    FROM documents
+    """,
+)
+def tx9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace emails and long digit runs with typed
+    placeholder tags, reporting how many spans were redacted — the
+    standard pre-release pass over a training corpus. regexp_replace is
+    JVM codegen; per-row independent, no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(low, PII_EMAIL, "<EMAIL>"), PII_LONGNUM, "<NUM>"
+    )
+    n_red = F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL), 0)) + F.size(
+        F.regexp_extract_all(low, F.lit(PII_LONGNUM), 0)
+    )
+    return docs.select(
+        "doc_id", redacted.alias("redacted"), n_red.alias("n_redactions")
+    )

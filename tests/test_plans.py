@@ -70,3 +70,23 @@ def test_headline_queries_have_no_unintended_hazards(spark, sf_dir):
         if name == "x1_topk_cosine_exact":
             continue  # documented bounded ground-truth crossJoin
         assert_scalable(qs[name](spark, sf_dir))
+
+
+def test_text_pipeline_ops_are_scan_local(spark, sf_dir):
+    """tx7/tx8/tx9 (token counting, quality gate, PII scrub) must stay
+    single-scan, shuffle-free, pure-JVM — per-row pipeline stages."""
+    qs = all_queries()
+    for name in ("tx7_bpe_token_count", "tx8_gopher_quality", "tx9_pii_redact"):
+        stats = assert_scalable(qs[name](spark, sf_dir), max_shuffles=0)
+        assert stats.scans == 1, stats.plan
+        assert "arrow-python(ok)" not in stats.flags, stats.plan
+
+
+def test_hash_sample_is_scan_local(spark, sf_dir):
+    """smp2: deterministic sampling is a pushable-free filter over one
+    scan — no shuffle, no RNG state."""
+    stats = assert_scalable(
+        all_queries()["smp2_hash_stratified_sample"](spark, sf_dir),
+        max_shuffles=0,
+    )
+    assert stats.scans == 1, stats.plan
