@@ -41,6 +41,19 @@ BENCH_QUERIES = [
     "x1_topk_cosine_exact",
 ]
 
+# LLM-pipeline scale representatives, timed once each and reported under
+# "extended" — kept OUT of the headline total so value/queries stay
+# comparable against BENCH_BASELINE.json round over round.
+EXTENDED_QUERIES = [
+    "dd4_minhash_lsh_pairs",
+    "dd7_dup_clusters",
+    "dd5b_simhash_multiprobe",
+    "x3_lsh_bucketed_topk",
+    "tx8_gopher_quality",
+    "mm2_media_features",
+    "smp2_hash_stratified_sample",
+]
+
 
 def run_query(qs, name, spark, sf_dir) -> float:
     t0 = time.time()
@@ -70,6 +83,10 @@ def main() -> None:
         for name in BENCH_QUERIES:
             t = round(run_query(qs, name, spark, sf_dir), 3)
             timings[name] = min(timings.get(name, t), t)
+    extended = {
+        name: round(run_query(qs, name, spark, sf_dir), 3)
+        for name in EXTENDED_QUERIES
+    }
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -77,6 +94,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "extended": extended,
     }
     # round-over-round tracking: compare per query against the committed
     # baseline (BENCH_BASELINE.json, recorded from round 1 at sf0.1) and

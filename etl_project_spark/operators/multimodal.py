@@ -127,36 +127,24 @@ def mm1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm2_media_features",
-    oracle=_PX_CTE
-    + f"""
-    SELECT doc_id AS media_id, {PPM_H} AS height, {PPM_W} AS width,
-           CAST(list_sum(b) AS DOUBLE) / {PPM_PIXBYTES} AS mean_intensity,
-           CAST(list_sum([b[3*i-2] FOR i IN generate_series(1, {PPM_W * PPM_H})])
-                AS DOUBLE) / {PPM_W * PPM_H} AS mean_r,
-           CAST(list_sum([b[3*i-1] FOR i IN generate_series(1, {PPM_W * PPM_H})])
-                AS DOUBLE) / {PPM_W * PPM_H} AS mean_g,
-           CAST(list_sum([b[3*i] FOR i IN generate_series(1, {PPM_W * PPM_H})])
-                AS DOUBLE) / {PPM_W * PPM_H} AS mean_b
-    FROM px
-    """,
-)
-def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract over binary payloads via mapInPandas:
-    Arrow delivers whole batches of payloads to Python; the kernel runs a
-    REAL PPM decode and emits per-image dims + intensity/channel means.
-    Means are integer sums divided by a constant, so both engines produce
-    bit-identical doubles. This is the plumbing shape for image embedding
-    at scale: batch-vectorized, schema-stable, decode errors isolated per
-    row."""
-    m = media_table(spark, sf_dir)
+def media_features(m: DataFrame) -> DataFrame:
+    """Decode + feature-extract over a (media_id, payload) frame via
+    mapInPandas — the reusable kernel behind mm2; see its docstring."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_ppm(bytes(buf))
+                # per-row error isolation: a corrupt payload yields a null
+                # feature row + reason, never a failed task (at 100 TB some
+                # payloads WILL be truncated/mislabeled)
+                try:
+                    img = decode_ppm(bytes(buf))
+                except ValueError as e:
+                    rows.append(
+                        {"media_id": media_id, "decode_error": str(e)}
+                    )
+                    continue
                 h, w, _ = img.shape
                 n = h * w
                 rows.append(
@@ -168,6 +156,7 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "mean_r": int(img[:, :, 0].sum()) / n,
                         "mean_g": int(img[:, :, 1].sum()) / n,
                         "mean_b": int(img[:, :, 2].sum()) / n,
+                        "decode_error": None,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -176,9 +165,36 @@ def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         schema=(
             "media_id long, height int, width int, mean_intensity double, "
-            "mean_r double, mean_g double, mean_b double"
+            "mean_r double, mean_g double, mean_b double, decode_error string"
         ),
     )
+
+
+@register(
+    "mm2_media_features",
+    oracle=_PX_CTE
+    + f"""
+    SELECT doc_id AS media_id, {PPM_H} AS height, {PPM_W} AS width,
+           CAST(list_sum(b) AS DOUBLE) / {PPM_PIXBYTES} AS mean_intensity,
+           CAST(list_sum([b[3*i-2] FOR i IN generate_series(1, {PPM_W * PPM_H})])
+                AS DOUBLE) / {PPM_W * PPM_H} AS mean_r,
+           CAST(list_sum([b[3*i-1] FOR i IN generate_series(1, {PPM_W * PPM_H})])
+                AS DOUBLE) / {PPM_W * PPM_H} AS mean_g,
+           CAST(list_sum([b[3*i] FOR i IN generate_series(1, {PPM_W * PPM_H})])
+                AS DOUBLE) / {PPM_W * PPM_H} AS mean_b,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM px
+    """,
+)
+def mm2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas:
+    Arrow delivers whole batches of payloads to Python; the kernel runs a
+    REAL PPM decode and emits per-image dims + intensity/channel means.
+    Means are integer sums divided by a constant, so both engines produce
+    bit-identical doubles. This is the plumbing shape for image embedding
+    at scale: batch-vectorized, schema-stable, decode errors isolated per
+    row (corrupt payload → null features + reason, never a failed task)."""
+    return media_features(media_table(spark, sf_dir))
 
 
 @register(

@@ -263,7 +263,8 @@ _GQ_STOPWORDS = _STOPWORDS["en"]
     )
     SELECT doc_id,
            LEN(tk) AS n_tokens,
-           CAST(list_sum([LENGTH(x) FOR x IN tk]) AS DOUBLE) / LEN(tk)
+           -- sum of token lengths == chars that aren't separators
+           CAST(LENGTH(replace(lt, ' ', '')) AS DOUBLE) / LEN(tk)
                AS mean_token_len,
            CAST(LENGTH(regexp_replace(lt, '[^a-z]', '', 'g')) AS DOUBLE)
                / LENGTH(lt) AS alpha_ratio,
@@ -273,7 +274,7 @@ _GQ_STOPWORDS = _STOPWORDS["en"]
            1.0 - CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)
                AS dup_token_ratio,
            (LEN(tk) >= 10
-            AND CAST(list_sum([LENGTH(x) FOR x IN tk]) AS DOUBLE) / LEN(tk)
+            AND CAST(LENGTH(replace(lt, ' ', '')) AS DOUBLE) / LEN(tk)
                 BETWEEN 2 AND 12
             AND CAST(LENGTH(regexp_replace(lt, '[^a-z]', '', 'g')) AS DOUBLE)
                 / LENGTH(lt) >= 0.6
@@ -293,9 +294,10 @@ def tx8_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = F.lower(F.col("text"))
     tk = F.split(low, " ")
     n = F.size(tk)
-    sum_len = F.aggregate(
-        F.transform(tk, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    )
+    # sum of token lengths == non-separator chars: stays in whole-stage
+    # codegen (an aggregate() HOF lambda would evaluate interpreted
+    # per token)
+    sum_len = F.length(F.regexp_replace(low, " ", ""))
     mean_len = sum_len.cast("double") / n
     alpha = (
         F.length(F.regexp_replace(low, "[^a-z]", "")).cast("double")

@@ -72,9 +72,11 @@ def test_approx_topk_recall(spark, sf_dir, name):
     }
     assert approx, "approximate search returned nothing"
     recall = len(approx & exact) / len(exact)
-    # sf0.001 has 500 vecs; with 8 planes / 2 probes recall is imperfect
-    # by design — it must still find a meaningful fraction.
-    assert recall >= 0.3, f"{name} recall {recall:.2f}"
+    # near-random test embeddings are ANN's hardest case; x3's 32x6
+    # config measures ~0.88 here (deterministic planes), IVF nprobe=2/8
+    # lands lower — assert with margin per path.
+    floor = 0.6 if name == "x3_lsh_bucketed_topk" else 0.3
+    assert recall >= floor, f"{name} recall {recall:.2f}"
 
 
 def test_vector_functions_match_numpy(spark):

@@ -48,3 +48,23 @@ def test_resize_matches_numpy_reference(spark, sf_dir):
         small = (img.reshape(4, 2, 8, 2, 3).sum(axis=(1, 3)) // 4).astype(np.uint8)
         want = hashlib.sha256(mm.encode_ppm(small)).hexdigest()
         assert got[mid] == want
+
+
+def test_mm2_isolates_decode_errors(spark, sf_dir):
+    """A corrupt payload must yield a null-feature row with a reason,
+    not a failed job — through the real Arrow mapInPandas kernel."""
+    from pyspark.sql import functions as F
+
+    m = mm.media_table(spark, sf_dir).limit(6).select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, F.col("payload"))
+        .otherwise(F.lit(b"not an image"))
+        .alias("payload"),
+    )
+    rows = mm.media_features(m).collect()
+    bad = [r for r in rows if r["decode_error"] is not None]
+    good = [r for r in rows if r["decode_error"] is None]
+    assert bad and good and len(rows) == 6
+    assert all(r["media_id"] % 2 == 1 for r in bad)
+    assert all(r["height"] is None for r in bad)
+    assert all(r["mean_intensity"] is not None for r in good)
