@@ -363,3 +363,96 @@ def tx9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", redacted.alias("redacted"), n_red.alias("n_redactions")
     )
+
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+@register(
+    "tx10_winnowing_fingerprint",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, lower(text) AS lt FROM documents
+        WHERE LENGTH(text) >= {WINNOW_K + WINNOW_W - 1}
+    ), h AS (
+        SELECT doc_id,
+               [substr(md5(substr(lt, i, {WINNOW_K})), 1, 8)
+                FOR i IN generate_series(1, LENGTH(lt) - {WINNOW_K} + 1)]
+                   AS hs
+        FROM g
+    ), w AS (
+        SELECT doc_id,
+               list_distinct(
+                   [list_min(hs[j:j+{WINNOW_W - 1}])
+                    FOR j IN generate_series(1, LEN(hs) - {WINNOW_W} + 1)]
+               ) AS fps
+        FROM h
+    )
+    SELECT doc_id, f AS fingerprint FROM w, UNNEST(fps) AS t(f)
+    """,
+)
+def tx10_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (the MOSS
+    selection rule): hash every {k}-char gram, keep the minimum hash of
+    each {w}-gram window, emit the distinct selected hashes. Guarantees
+    every match of length >= k+w-1 between two documents shares a
+    fingerprint — the classic plagiarism/near-dup index whose size is
+    ~2/(w+1) of the gram count.
+
+    Hashes are the first 8 hex chars of md5 (fixed-width lowercase hex:
+    lexicographic min == numeric min), identical in both engines. The
+    gram hashes are one JVM ``transform`` per row, then the window-min
+    selection runs as a rolling ``min`` over posexploded gram rows — a
+    single doc_id-partitioned window (one shuffle, partial-agg distinct).
+
+    Two O(n^2) traps deliberately avoided (each measured ~100x slower):
+    nested array HOFs (CollapseProject inlines the gram array into the
+    outer transform, recomputing every md5 per window position), and
+    referencing ``size(hs)`` next to ``posexplode(hs)`` (the size
+    projection lands ABOVE the Generate and re-evaluates the whole md5
+    array per exploded row — so the gram count is derived from
+    ``length(text)`` instead). A production variant at 100 TB swaps md5
+    for a true O(1) rolling (Rabin) hash inside an Arrow kernel, keeping
+    this exact selection rule and output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing core over any ``(doc_id, text)`` DataFrame — see
+    :func:`tx10_winnowing_fingerprint` for the algorithm and the two
+    O(n^2) plan traps this formulation avoids."""
+    from pyspark.sql import Window
+
+    WINNOW_K, WINNOW_W = k, w
+    docs = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    hs = F.expr(
+        f"transform(sequence(1, length(lower(text)) - {WINNOW_K} + 1),"
+        f" i -> substring(md5(substring(lower(text), i, {WINNOW_K})), 1, 8))"
+    )
+    grams = docs.select(
+        "doc_id",
+        # n_grams = length - K + 1, derived from length(text) NOT
+        # size(hs): cheap to re-evaluate per exploded row (see above)
+        (F.length("text") - (WINNOW_K - 1)).alias("n_grams"),
+        F.posexplode(hs).alias("pos", "h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.min("h").over(win).alias("fingerprint"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )

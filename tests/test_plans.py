@@ -90,3 +90,19 @@ def test_hash_sample_is_scan_local(spark, sf_dir):
         max_shuffles=0,
     )
     assert stats.scans == 1, stats.plan
+
+
+def test_winnowing_is_single_window_shuffle(spark, sf_dir):
+    """tx10: gram hashing stays scan-local; the only Exchange is the
+    doc_id window partitioning (+ the distinct agg reusing it). No
+    md5-array recomputation above the Generate — the O(n^2) plan trap
+    shows up as a transform(...) inside a Project over posexplode."""
+    df = all_queries()["tx10_winnowing_fingerprint"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=2)
+    assert stats.scans == 1, stats.plan
+    import re
+
+    proj_with_transform = re.findall(
+        r"Project \[[^\]]*transform\(sequence[^\]]*\]", stats.plan
+    )
+    assert not proj_with_transform, stats.plan

@@ -159,3 +159,54 @@ def test_stratified_sample_rates(spark, sf_dir):
         assert got == uniq  # Bernoulli sampling never duplicates
         sigma = (n * frac * (1 - frac)) ** 0.5
         assert abs(got - n * frac) <= 5 * sigma + 1
+
+
+def _winnow_py(text: str, k: int, w: int) -> set[str]:
+    """Pure-Python reference of the MOSS winnowing rule (md5-gram,
+    min-per-window) used to pin tx10's Spark formulation."""
+    import hashlib
+
+    lt = text.lower()
+    hs = [
+        hashlib.md5(lt[i : i + k].encode()).hexdigest()[:8]
+        for i in range(len(lt) - k + 1)
+    ]
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_reference_and_guarantee(spark):
+    """tx10's Spark winnowing == a pure-Python reference on arbitrary
+    docs, and the MOSS guarantee holds: two docs sharing a substring of
+    length >= k+w-1 share at least one fingerprint."""
+    from etl_project_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, "alpha beta gamma " + shared + " tail one"),
+        (2, "completely different lead-in, then " + shared + "!"),
+        (3, "no overlap with anything else here at all, promise"),
+        (4, "short"),  # below k+w-1: filtered out entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        d: {r["fingerprint"] for r in g}
+        for d, g in __import__("itertools").groupby(
+            sorted(
+                winnow_fingerprints(docs).collect(), key=lambda r: r["doc_id"]
+            ),
+            key=lambda r: r["doc_id"],
+        )
+    }
+    for doc_id, text in rows:
+        expect = (
+            _winnow_py(text, WINNOW_K, WINNOW_W)
+            if len(text) >= WINNOW_K + WINNOW_W - 1
+            else set()
+        )
+        assert got.get(doc_id, set()) == expect, doc_id
+    assert got[1] & got[2], "shared substring must share a fingerprint"
+    assert not (got[1] & got[3] or got[2] & got[3])

@@ -79,8 +79,21 @@ def compare_tolerant(spdf, opdf, rtol) -> list[str]:
     cols = sorted(spdf.columns)
     num = [c for c in cols if pd.api.types.is_numeric_dtype(opdf[c])]
     order = [c for c in cols if c not in num] + num
-    s = spdf[cols].sort_values(order, ignore_index=True)
-    o = opdf[cols].sort_values(order, ignore_index=True)
+
+    def ordered(pdf):
+        # sort on canonical strings for object columns (lists/arrays/bytes
+        # aren't sortable raw) and raw values for numeric ones
+        key = pd.DataFrame(index=pdf.index)
+        for c in order:
+            key[c] = (
+                pdf[c]
+                if c in num
+                else pdf[c].map(canon_cell)
+            )
+        return pdf.loc[key.sort_values(order).index].reset_index(drop=True)
+
+    s = ordered(spdf[cols])
+    o = ordered(opdf[cols])
     for i in range(len(s)):
         for c in cols:
             a, b = s.at[i, c], o.at[i, c]
