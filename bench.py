@@ -52,6 +52,9 @@ EXTENDED_QUERIES = [
     "tx8_gopher_quality",
     "mm2_media_features",
     "smp2_hash_stratified_sample",
+    "pp1_token_shard_packing",
+    "pp2_contamination_check",
+    "tx10_winnowing_fingerprint",
 ]
 
 
