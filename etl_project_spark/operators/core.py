@@ -387,6 +387,40 @@ def a6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a7_approx_percentile",
+    approx_oracle="""
+    SELECT l_returnflag,
+           QUANTILE_DISC(l_extendedprice, 0.5) AS price_p50,
+           QUANTILE_DISC(l_extendedprice, 0.9) AS price_p90,
+           QUANTILE_DISC(l_extendedprice, 0.99) AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    rtol=0.01,
+)
+def a7_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via percentile_approx (Greenwald-Khanna
+    style sketch): the mergeable single-pass substitute for the exact
+    sort-based percentile at 100 TB — partial sketches merge map-side,
+    so the shuffle moves one sketch per group per task, never values.
+    Checked against DuckDB's exact discrete quantiles within 1%
+    (accuracy=10000 bounds rank error at 1e-4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = lambda q: F.expr(  # noqa: E731
+        f"approx_percentile(l_extendedprice, {q}, 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pa(0.5).alias("price_p50"),
+            pa(0.9).alias("price_p90"),
+            pa(0.99).alias("price_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register("smp1_stratified_sample", oracle=None)  # seeded RNG — rows-only
 def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (training-data curation: rebalance a corpus by

@@ -68,12 +68,21 @@ def pp1_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(_tokens()).alias("n_tokens"),
         (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
-    )
+    ).filter(F.col("bucket").isNotNull())
+    # ^ vacuously true, but it puts the same isnotnull(bucket) predicate
+    # in BOTH consumers' scan subtrees; the bucket join would otherwise
+    # inject it into only one side and defeat ReuseExchange
     in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
     local = d.withColumn(
         "local_cum", F.sum("n_tokens").over(in_bucket) - F.col("n_tokens")
     )
-    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    # bucket totals come from the windowed relation (last row's cum +
+    # its own tokens), not from a second aggregation over `d`: both
+    # consumers then share the same Exchange(bucket) subtree, which
+    # ReuseExchange materializes once — one corpus scan, not two
+    totals = local.groupBy("bucket").agg(
+        F.max(F.col("local_cum") + F.col("n_tokens")).alias("bucket_total")
+    )
     over_buckets = Window.orderBy("bucket")
     offsets = totals.withColumn(
         "offset",

@@ -58,3 +58,26 @@ def test_all_queries_run(spark, sf_dir):
         except Exception as e:  # noqa: BLE001
             failures[name] = repr(e)[:200]
     assert not failures, failures
+
+
+def test_driver_window_covers_flagged_queries():
+    """The correctness driver evaluates queries in registry order and
+    caps at ~50 rows. Every query the round-1 verdict named must sit
+    inside the first 50 registry slots — pin it so a module reorder or
+    an op added to an early module can't silently push one out."""
+    named = (
+        [f"dd{i}" for i in range(1, 8)]
+        + [f"x{i}" for i in range(1, 6)]
+        + [f"tx{i}" for i in range(1, 7)]
+        + [f"w{i}" for i in range(1, 7)]
+        + [f"ts{i}" for i in range(1, 6)]
+        + [f"s{i}" for i in range(1, 8)]
+        + [f"fn{i}" for i in range(1, 5)]
+        + ["sk1", "sk2", "mm1"]
+    )
+    order = list(entrymod.queries())
+    pos = {name.split("_")[0]: i for i, name in enumerate(order)}
+    missing = [p for p in named if p not in pos]
+    assert not missing, missing
+    late = {p: pos[p] + 1 for p in named if pos[p] >= 50}
+    assert not late, f"verdict-named queries outside the top 50: {late}"

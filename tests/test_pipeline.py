@@ -78,3 +78,13 @@ def test_mixture_is_single_pass(spark, sf_dir):
     df = all_queries()["pp4_source_mixture"](spark, sf_dir)
     stats = plan_stats(df)
     assert stats.scans == 1, stats.plan
+
+
+def test_packing_reuses_exchange_single_scan(spark, sf_dir):
+    """pp1: at execution the bucket-totals branch must reuse the
+    window's Exchange (one corpus scan), not recompute the scan subtree
+    — pinned on the adaptive executed plan, where reuse is decided."""
+    df = all_queries()["pp1_token_shard_packing"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
