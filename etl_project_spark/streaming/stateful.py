@@ -111,3 +111,61 @@ def threshold_alerts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def shard_packer(
+    docs: DataFrame,
+    shard_tokens: int = 2048,
+    key_col: str = "source",
+) -> DataFrame:
+    """Incremental token-budget shard packing — the streaming twin of
+    the batch ``pp1_token_shard_packing`` operator: as documents arrive,
+    each ``key_col`` group fills its current shard until the next doc
+    would exceed the budget, then rolls to a new shard (greedy
+    first-fit-in-order; a doc larger than the budget gets a shard of its
+    own). State per key is two integers (open shard id, tokens already
+    in it), so the state store stays O(#sources) forever.
+
+    Docs are processed in doc_id order within every micro-batch; across
+    batches the arrival order is the stream order — the same contract a
+    real ingest-and-pack job has. Exact agreement with a driver-side
+    greedy replay is asserted in tests/test_ingest_streaming.py.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        shard, filled = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("doc_id")
+            n_tok = pdf["n_tokens"].to_numpy()
+            shards = []
+            for n in n_tok:
+                if filled > 0 and filled + int(n) > shard_tokens:
+                    shard += 1
+                    filled = 0
+                shards.append(shard)
+                filled += int(n)
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_tokens": n_tok,
+                    "shard_id": shards,
+                }
+            )
+        state.update((int(shard), int(filled)))
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, doc_id long, n_tokens long, shard_id long"
+        ),
+        stateStructType="shard long, filled long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

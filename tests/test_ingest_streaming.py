@@ -377,3 +377,44 @@ def test_format_round_trips(spark, sf_dir, tmp_path):
         assert got == want, fmt
         if fmt in ("parquet", "orc"):
             assert back.schema == src.schema
+
+
+def test_stateful_shard_packer_matches_greedy_replay(spark, sf_dir, tmp_path):
+    """Streaming shard packing over the whole corpus == a driver-side
+    greedy replay in the same (source, doc_id) order, and every shard
+    except each source's open last one respects the token budget."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.streaming import stateful
+
+    budget = 512
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        )
+    )
+    src_dir = str(tmp_path / "docs_pack")
+    docs.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.shard_packer(stream, shard_tokens=budget)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_pack"), output_mode="append", queryName="pack_test"
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["shard_id"]
+        for r in spark.sql("SELECT * FROM pack_test").collect()
+    }
+    # greedy replay per source in doc_id order (single batch => batch
+    # order == global doc_id order within each source group)
+    expected = {}
+    fill: dict[str, tuple[int, int]] = {}
+    for r in sorted(docs.collect(), key=lambda r: (r["source"], r["doc_id"])):
+        shard, filled = fill.get(r["source"], (0, 0))
+        if filled > 0 and filled + r["n_tokens"] > budget:
+            shard, filled = shard + 1, 0
+        expected[(r["source"], r["doc_id"])] = shard
+        fill[r["source"]] = (shard, filled + r["n_tokens"])
+    assert got == expected
