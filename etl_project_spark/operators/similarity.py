@@ -283,3 +283,121 @@ def x5_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.round(F.avg(l2_norm(e)), 6).alias("avg_l2_norm"),
     )
+
+
+# --- persisted IVF index: build once, probe with partition pruning ----------
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
+    """Deterministic unit-norm centroids: the ``n_cells`` vectors with
+    the smallest xxhash64(vec_id) — a seedless reproducible sample (the
+    same rule x4 uses, so index and ad-hoc paths agree)."""
+    seeds = (
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    table: str = "ann_ivf_index",
+) -> np.ndarray:
+    """Materialize the IVF index as a managed parquet table PARTITIONED
+    BY its Voronoi cell, and return the centroid matrix the querier
+    needs. Build is one corpus pass (an Arrow-batched GEMM assigns
+    cells); at 100 TB each cell directory is read-able independently, so
+    a probe touches nprobe/n_cells of the bytes — the partition layout
+    IS the index. Rebuilds are idempotent (overwrite).
+
+    Reference parity: the reference has no vector surface at all; this
+    is the extension-mandate ANN scale path made durable (SURVEY §2h
+    X3), complementing the in-session x4_ivf_topk."""
+    from etl_project_spark.sources.tables import _drop_table_and_location
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = ivf_centroids(emb, n_cells)
+    bC = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        cen = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": np.argmax(Mn @ cen.T, axis=1),
+                    "e": list(Mn),
+                }
+            )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int, e array<double>"
+    )
+    _drop_table_and_location(spark, table)
+    (
+        cells.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return C
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = TOP_K,
+    table: str = "ann_ivf_index",
+) -> DataFrame:
+    """Serve top-k cosine neighbors from the persisted IVF index. The
+    query batch is driver-side (ANN serving batches are small by
+    nature): probe cells come from one numpy GEMM against the centroids,
+    and the union of probed cells becomes a static ``cell IN (...)``
+    partition filter — the scan reads ONLY those cell directories
+    (pruning pinned in tests/test_layout.py). Inside the probed cells:
+    broadcast the queries, equi-join on cell, exact rerank, top-k."""
+    Q = np.array([q for _, qv in queries for q in [qv]], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    qrows = [
+        (int(qid), [float(x) for x in Qn[i]], int(c))
+        for i, (qid, _) in enumerate(queries)
+        for c in order[i]
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, qv array<double>, cell int"
+    )
+    probed = sorted({c for _, _, c in qrows})
+    idx = spark.table(table).filter(F.col("cell").isin(probed))
+    sims = (
+        F.broadcast(qdf)
+        .join(idx, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim(F.col("qv"), F.col("e")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank"))
+        .filter(F.col("nn_rank") <= k)
+    )

@@ -92,3 +92,44 @@ def test_salted_join_matches_plain(spark, sf_dir):
         for r in get("sk2_salted_join").fn(spark, sf_dir).collect()
     }
     assert salted == plain
+
+
+def test_ivf_index_prunes_partitions_and_recalls(spark, sf_dir):
+    """Persisted IVF index: the query scan must carry a cell partition
+    filter and read only the probed cell directories; recall of the
+    pruned probe vs exact brute-force top-k must clear the same bar as
+    the in-session ANN paths."""
+    from etl_project_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import all_queries
+
+    n_cells, nprobe = 8, 3
+    C = build_ivf_index(spark, sf_dir, n_cells=n_cells, table="ann_test_idx")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .collect()
+    ]
+    got = query_ivf_index(
+        spark, C, queries, nprobe=nprobe, table="ann_test_idx"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    # neighbors must come only from candidates (vec_id >= N_QUERIES is
+    # not imposed by the index — filter like x1 does for comparability)
+    got_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in got.filter(F.col("neighbor_id") >= N_QUERIES).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["x1_topk_cosine_exact"](spark, sf_dir).collect()
+    }
+    recall = len(got_pairs & exact) / len(exact)
+    assert recall >= 0.55, recall
