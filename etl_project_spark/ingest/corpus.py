@@ -1,0 +1,129 @@
+"""End-to-end training-corpus materialization: the one job a corpus
+owner actually schedules, composing the per-stage operators this engine
+ships — quality funnel (pp3's gates), fingerprint dedup (dd2's key),
+PII redaction (tx9's scrub), token-budget shard packing (pp1's
+two-phase prefix sum) — into a single pass pipeline that lands a
+partitioned managed table plus a per-source audit of what each stage
+dropped.
+
+Reference parity: this is the reference's load→clean→store DAG shape
+(dags/airflow_dags.py:28-314) at corpus scale; each stage cites the
+standalone operator that proves its semantics differentially.
+
+Scale shape: one corpus scan feeds flags + redaction (scan-local),
+one hash shuffle for the dedup window (fingerprint key), the packing
+prefix-sum exchange, and a partitioned write. Shards are grouped into
+``shard_group`` directories (SHARDS_PER_DIR each) so the partition
+count stays file-system-sane at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.operators.dedup import _tokens
+from etl_project_spark.operators.pipeline import PACK_BUCKET, SHARD_TOKENS
+from etl_project_spark.operators.text import PII_EMAIL, PII_LONGNUM
+
+SHARDS_PER_DIR = 64  # shard_group = shard_id // SHARDS_PER_DIR
+
+
+def clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    shard_tokens: int = SHARD_TOKENS,
+    min_chars: int = 150,
+    max_chars: int = 500,
+    lang: str = "en",
+) -> DataFrame:
+    """The survivors of the cleaning cascade, packed into shards:
+    (doc_id, source, shard_id, shard_group, n_tokens, text) where text
+    is PII-redacted. Deterministic end to end — every stage reuses the
+    exact column logic of its differentially-checked operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+    first = Window.partitionBy("fp").orderBy("doc_id")
+    # uniqueness is decided across the FULL corpus (first occurrence of
+    # the fingerprint), THEN the gates apply — the same cascade pp3
+    # audits, so the audit's n_survive equals this job's row count
+    survivors = (
+        docs.withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(first))
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("n_chars").between(min_chars, max_chars)
+            & (F.col("lang") == lang)
+        )
+        .drop("fp", "rn")
+    )
+    low = F.lower(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(low, PII_EMAIL, "<EMAIL>"), PII_LONGNUM, "<NUM>"
+    )
+    d = survivors.select(
+        "doc_id",
+        "source",
+        redacted.alias("text"),
+        F.size(_tokens()).alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())  # ReuseExchange, see pp1
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    local = d.withColumn(
+        "local_cum", F.sum("n_tokens").over(in_bucket) - F.col("n_tokens")
+    )
+    totals = local.groupBy("bucket").agg(
+        F.max(F.col("local_cum") + F.col("n_tokens")).alias("bucket_total")
+    )
+    offsets = totals.withColumn(
+        "offset",
+        F.sum("bucket_total").over(Window.orderBy("bucket"))
+        - F.col("bucket_total"),
+    ).select("bucket", "offset")
+    shard = ((F.col("offset") + F.col("local_cum")) / shard_tokens).cast(
+        "long"
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "text",
+            shard.alias("shard_id"),
+            (shard / SHARDS_PER_DIR).cast("long").alias("shard_group"),
+        )
+    )
+
+
+def materialize_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "clean_corpus",
+    **kwargs,
+) -> Row:
+    """Land the clean corpus as a managed table partitioned by
+    shard_group and return the run audit (docs/tokens/shards written).
+    Idempotent overwrite — re-running a day's build replaces it, the
+    same contract as the daily-export sink (ingest/ohlcv.py)."""
+    from etl_project_spark.sources.tables import _drop_table_and_location
+
+    out = clean_corpus(spark, sf_dir, **kwargs)
+    _drop_table_and_location(spark, table)
+    (
+        out.repartition("shard_group")
+        .write.mode("overwrite")
+        .partitionBy("shard_group")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return (
+        spark.table(table)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("shard_id").alias("n_shards"),
+        )
+        .collect()[0]
+    )
