@@ -110,3 +110,45 @@ def read_table(
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """S2 hardened: schema-enforced JSON ingest that never drops data
+    silently and never fails the job on a bad line. Returns
+    ``(good, quarantine)``: good rows parse fully against ``schema``;
+    quarantine holds the raw text of every malformed or schema-violating
+    line for replay/alerting — the standard poison-pill contract an
+    ingest pipeline needs (the reference would raise mid-DAG and lose
+    the batch, airflow_dags.py:75-88).
+
+    PERMISSIVE mode parses what it can and captures the raw line in
+    ``_corrupt_record``; both outputs come from ONE pass over the files
+    (the split is a pair of scan-local filters, no shuffle). Spark
+    requires the corrupt-record query to go through a materialized or
+    freshly-parsed relation — filtering the corrupt column straight off
+    a lazy json scan is rejected (SPARK-21610) — so the parsed relation
+    is built once via from_json over spark.read.text."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(
+            "value", schema, {"mode": "PERMISSIVE"}
+        ).alias("r"),
+    )
+    # from_json yields a null struct only for unparseable text; a
+    # parseable line with wrong field types yields nulls inside the
+    # struct for those fields — quarantine both (any field null that the
+    # raw text mentions is indistinguishable from corruption downstream,
+    # so the gate is: every schema field parsed non-null)
+    ok = F.col("r").isNotNull() & F.expr(
+        " AND ".join(f"r.{f.name} IS NOT NULL" for f in schema.fields)
+    )
+    good = parsed.filter(ok).select("r.*")
+    quarantine = parsed.filter(~ok).select(
+        F.col("value").alias("raw_line")
+    )
+    return good, quarantine

@@ -133,3 +133,44 @@ def test_ivf_index_prunes_partitions_and_recalls(spark, sf_dir):
     }
     recall = len(got_pairs & exact) / len(exact)
     assert recall >= 0.55, recall
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """read_json_with_quarantine: good lines parse, malformed and
+    type-violating lines land in quarantine verbatim, nothing is lost,
+    and the split is one scan with no shuffle."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_project_spark.plans import plan_stats
+    from etl_project_spark.sources.files import read_json_with_quarantine
+
+    lines = [
+        '{"id": 1, "sym": "BTC", "px": 100.5}',
+        '{"id": 2, "sym": "ETH", "px": 20.25}',
+        'not json at all {{{',
+        '{"id": "three", "sym": "LTC", "px": 1.0}',  # type violation
+        '{"id": 4, "sym": "DOGE"}',  # missing field
+    ]
+    src = tmp_path / "feed.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sym", StringType()),
+            StructField("px", DoubleType()),
+        ]
+    )
+    good, quar = read_json_with_quarantine(spark, str(src), schema)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    bad = {r["raw_line"] for r in quar.collect()}
+    assert bad == set(lines[2:]), bad
+    assert good.count() + quar.count() == len(lines)
+    for df in (good, quar):
+        stats = plan_stats(df)
+        assert stats.shuffles == 0, stats.plan
