@@ -210,3 +210,34 @@ def test_winnowing_matches_reference_and_guarantee(spark):
         assert got.get(doc_id, set()) == expect, doc_id
     assert got[1] & got[2], "shared substring must share a fingerprint"
     assert not (got[1] & got[3] or got[2] & got[3])
+
+
+def test_winnowing_random_corpus_matches_reference(spark):
+    """Spark winnowing == the Python reference over 60 seeded-random
+    docs of mixed alphabet/length (incl. below-threshold and
+    all-identical-char edge cases) — one round-trip, exhaustive compare."""
+    import random
+
+    from etl_project_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(20260813)
+    alphabet = "ab cd!\tXY.z"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(58)
+    ] + [(58, "a" * 30), (59, "Aa" * 15)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, text in rows:
+        expect = (
+            _winnow_py(text, WINNOW_K, WINNOW_W)
+            if len(text) >= WINNOW_K + WINNOW_W - 1
+            else set()
+        )
+        assert got.get(doc_id, set()) == expect, (doc_id, text)
