@@ -4,7 +4,6 @@ training-corpus operators."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from etl_project_spark.plans import assert_scalable, plan_stats
 from etl_project_spark.registry import all_queries
