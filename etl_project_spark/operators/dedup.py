@@ -437,6 +437,98 @@ def dd5b_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(spark, docs)
 
 
+# dd5c: the SimHash *selection rule* made engine-neutral. dd5/dd5b key
+# bits off xxhash64 (the right production hash — JVM codegen, 64-bit,
+# no allocation) which DuckDB cannot reproduce, so they carry rows-only
+# driver checks plus in-Spark brute-force equality tests. This variant
+# derives each token's 64 bits from two md5 digests (top bit of each
+# hex nibble), which BOTH engines compute identically — the full
+# vote-tally → sign → bucket pipeline gets a hash-matched differential
+# check. Same algorithm, slower hash: keep xxhash64 at scale.
+_SIMHASH_HI = "'8','9','a','b','c','d','e','f'"
+
+
+def _md5_bit_votes_sql() -> str:
+    cols = []
+    for i in range(64):
+        h, pos = ("h1", i + 1) if i < 32 else ("h2", i - 31)
+        cols.append(
+            f"SUM(CASE WHEN substr({h}, {pos}, 1) IN ({_SIMHASH_HI}) "
+            f"THEN 1 ELSE -1 END) AS b{i}"
+        )
+    return ",\n               ".join(cols)
+
+
+@register(
+    "dd5c_simhash_md5_reference",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(str_split(lower(text), ' '))) AS t
+        FROM documents
+    ), h AS (
+        SELECT doc_id, md5(t) AS h1, md5(t || '#') AS h2 FROM toks
+    ), votes AS (
+        SELECT doc_id,
+               {_md5_bit_votes_sql()}
+        FROM h GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id,
+               CONCAT({", ".join(f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(64))})
+                   AS simhash_bits
+        FROM votes
+    )
+    SELECT simhash_bits, COUNT(*) AS n_docs,
+           LIST_SORT(LIST(doc_id)) AS doc_ids
+    FROM sig GROUP BY simhash_bits HAVING COUNT(*) > 1
+    """,
+)
+def dd5c_simhash_md5_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash exact-collision buckets with md5-derived bit hashes —
+    the differentially-checked reference for the dd5 selection rule
+    (see module comment above). All JVM codegen: one explode of
+    distinct tokens, two md5s per token, 64 conditional-sum aggregates
+    in ONE hash-aggregate pass (partial map-side), signature assembled
+    as a 64-char bit string, bucket groupBy. Two shuffles total."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("t")
+    )
+    h = toks.select(
+        "doc_id",
+        F.md5("t").alias("h1"),
+        F.md5(F.concat(F.col("t"), F.lit("#"))).alias("h2"),
+    )
+    hi = set("89abcdef")
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h1" if i < 32 else "h2", (i % 32) + 1, 1).isin(
+                    *hi
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sig = F.concat(
+        *[
+            F.when(F.col(f"b{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(64)
+        ]
+    )
+    return (
+        h.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", sig.alias("simhash_bits"))
+        .groupBy("simhash_bits")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 @register(
     "dd6_embedding_neardup",
     oracle="""
