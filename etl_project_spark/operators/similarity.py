@@ -401,3 +401,109 @@ def query_ivf_index(
         .select("query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank"))
         .filter(F.col("nn_rank") <= k)
     )
+
+
+# x6: sign-LSH made engine-neutral. x3/x4 bucket with numpy GEMMs over
+# gaussian hyperplanes (the production path — one matmul per Arrow
+# batch) whose float reductions DuckDB can't reproduce bit-for-bit, so
+# they carry rows-only checks plus recall tests. Here the hyperplanes
+# are Rademacher (+1/-1) vectors derived from md5 AT PLAN TIME and
+# inlined as literals into BOTH the Spark expression and the oracle
+# SQL; each projection is then a sequential fold both engines evaluate
+# identically (same order => identical IEEE doubles => identical signs
+# and buckets), making the entire bucket->candidate->rerank->top-k
+# pipeline hash-match checkable.
+
+LSH_REF_PLANES = 8  # 2^8 buckets
+EMB_DIM = 64
+
+
+def _rademacher(p: int, dim: int = EMB_DIM) -> list[int]:
+    """Deterministic +-1 plane p: sign = top bit of md5('p,d')."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{p},{d}".encode()).hexdigest()[0] in "89abcdef" else -1
+        for d in range(dim)
+    ]
+
+
+def _x6_oracle() -> str:
+    bits = ", ".join(
+        f"CASE WHEN list_dot_product(e, {_rademacher(p)}"
+        f"::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
+        for p in range(LSH_REF_PLANES)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), b AS (
+        SELECT vec_id, e, CONCAT({bits}) AS bucket FROM v
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qv, bucket FROM b
+        WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, e AS cv, bucket FROM b
+        WHERE vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(cv, cv))) DESC,
+                            neighbor_id
+               ) AS nn_rank
+        FROM q JOIN c USING (bucket)
+    ) WHERE nn_rank <= {TOP_K}
+    """
+
+
+@register("x6_rademacher_lsh_topk", oracle=_x6_oracle())
+def x6_rademacher_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH top-k with plan-time Rademacher hyperplanes — the
+    differentially-checked reference for the x3 bucketing rule (see
+    module comment above). One scan computes every vector's bucket
+    (8 sequential-fold projections), an equi-join on bucket yields
+    candidates (never all-pairs), exact cosine reranks within bucket.
+    The bucket join is the same shape x3 uses at scale; only the
+    hyperplane source differs."""
+    from etl_project_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucket = F.concat(
+        *[
+            F.when(
+                dot(F.col("e"), F.array(*[F.lit(float(x)) for x in _rademacher(p)]))
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(LSH_REF_PLANES)
+        ]
+    )
+    b = emb.select("vec_id", "e", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv"), "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"), "bucket"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank")
+        )
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
