@@ -1,0 +1,116 @@
+"""Scale smokes: the scale-sensitive kernels on 10M+ synthetic rows
+(spark.range — no disk, deterministic), far beyond the sf0.1 corpus.
+These catch algorithmic blowups (driver collects, quadratic stages,
+single-partition scans) that small-corpus correctness tests can't see,
+while asserting exact results via closed-form expectations."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+N = 10_000_000
+
+
+def test_two_phase_packing_cumsum_at_10m(spark):
+    """pp1's two-phase prefix sum over 10M rows with token counts
+    t(i) = (i % 97) + 1: spot-check shard boundaries against the
+    closed-form cumulative sum, and hard-bound the wall clock."""
+    bucket_w, cap = 100_000, 1_000_000
+    d = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") % 97) + 1).alias("n_tokens"),
+            (F.col("id") / bucket_w).cast("long").alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    local = d.withColumn(
+        "local_cum", F.sum("n_tokens").over(in_bucket) - F.col("n_tokens")
+    )
+    totals = local.groupBy("bucket").agg(
+        F.max(F.col("local_cum") + F.col("n_tokens")).alias("bucket_total")
+    )
+    offsets = totals.withColumn(
+        "offset",
+        F.sum("bucket_total").over(Window.orderBy("bucket"))
+        - F.col("bucket_total"),
+    ).select("bucket", "offset")
+    packed = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        ((F.col("offset") + F.col("local_cum")) / cap)
+        .cast("long")
+        .alias("shard_id"),
+    )
+
+    def cum_before(i: int) -> int:
+        # sum of (j % 97) + 1 for j < i, closed form over full cycles
+        full, rem = divmod(i, 97)
+        return full * (97 * 98 // 2) + rem * (rem - 1) // 2 + rem
+
+    t0 = time.time()
+    probe_ids = [0, 1, 96, 97, 1_000_000, 5_000_001, N - 1]
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in packed.filter(F.col("doc_id").isin(probe_ids)).collect()
+    }
+    wall = time.time() - t0
+    for i in probe_ids:
+        assert got[i] == cum_before(i) // cap, (i, got[i], cum_before(i))
+    assert wall < 60, f"10M-row packing took {wall:.1f}s"
+
+
+def test_salted_agg_beats_skew_at_10m(spark):
+    """Salted aggregation on a 90%-one-key skew: exact agreement with
+    the closed-form per-key sums at 10M rows, inside the time bound."""
+    from etl_project_spark.operators.skew import salted_sum_count
+
+    # key 0 for 90% of rows, else id % 1000; value = id % 7
+    d = spark.range(N).select(
+        F.when(F.col("id") % 10 != 0, 0)
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    t0 = time.time()
+    got = {
+        r["k"]: (r["n_rows"], r["sum_value"])
+        for r in salted_sum_count(d, "k", "v", n_salts=16).collect()
+    }
+    wall = time.time() - t0
+    exact = {
+        r["k"]: (r["n"], r["total"])
+        for r in d.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == exact
+    assert wall < 60, f"salted agg took {wall:.1f}s"
+
+
+def test_window_topn_at_10m(spark):
+    """w1's per-key top-n shape over 10M rows / 100k keys: row_number
+    window completes in bounded time and returns exactly n rows per key
+    with the right extrema."""
+    d = spark.range(N).select(
+        (F.col("id") % 100_000).alias("k"), F.col("id").alias("v")
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    t0 = time.time()
+    top = (
+        d.select("k", "v", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+    )
+    cnt = top.count()
+    wall = time.time() - t0
+    assert cnt == 200_000
+    # key 0: values are 0, 100000, ..., top-2 are N-100000 and N-200000
+    got = sorted(
+        r["v"] for r in top.filter(F.col("k") == 0).collect()
+    )
+    assert got == [N - 200_000, N - 100_000]
+    assert wall < 60, f"10M-row window took {wall:.1f}s"
