@@ -174,3 +174,19 @@ def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
     for df in (good, quar):
         stats = plan_stats(df)
         assert stats.shuffles == 0, stats.plan
+
+
+def test_object_upload_roundtrip(spark, tmp_path):
+    """K3 via the Hadoop FS abstraction: upload overwrites idempotently
+    and round-trips bytes through scheme-addressed URIs (file:// here;
+    s3a:// is the same call with the scheme swapped)."""
+    from etl_project_spark.sources.files import download_object, upload_object
+
+    src = tmp_path / "export.csv"
+    src.write_text("1,BTC,100.5\n2,ETH,20.25\n")
+    dest = f"file://{tmp_path}/bucket/prefix/export.csv"
+    upload_object(spark, str(src), dest)
+    upload_object(spark, str(src), dest)  # idempotent overwrite
+    back = tmp_path / "back.csv"
+    download_object(spark, dest, str(back))
+    assert back.read_text() == src.read_text()
