@@ -37,11 +37,18 @@ def clean_corpus(
     min_chars: int = 150,
     max_chars: int = 500,
     lang: str = "en",
+    near_dup_threshold: float | None = None,
 ) -> DataFrame:
     """The survivors of the cleaning cascade, packed into shards:
     (doc_id, source, shard_id, shard_group, n_tokens, text) where text
     is PII-redacted. Deterministic end to end — every stage reuses the
-    exact column logic of its differentially-checked operator."""
+    exact column logic of its differentially-checked operator.
+
+    With ``near_dup_threshold`` set, near-duplicate clusters (MinHash-
+    LSH verified pairs at that Jaccard threshold → large-star/small-star
+    components, the dd4/dd7 path) are also collapsed to their minimum
+    doc_id BEFORE the gates — the full-strength production dedup on top
+    of the exact-fingerprint pass."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
     first = Window.partitionBy("fp").orderBy("doc_id")
@@ -58,6 +65,29 @@ def clean_corpus(
         )
         .drop("fp", "rn")
     )
+    if near_dup_threshold is not None:
+        from etl_project_spark.operators.dedup import (
+            connected_components,
+            lsh_verified_pairs,
+        )
+
+        edges = (
+            lsh_verified_pairs(
+                spark,
+                docs.select("doc_id", "text"),
+                threshold=near_dup_threshold,
+            )
+            .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .persist()
+        )
+        losers = connected_components(edges).filter(
+            F.col("node") != F.col("component")
+        )
+        survivors = survivors.join(
+            losers.select(F.col("node").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
     low = F.lower(F.col("text"))
     redacted = F.regexp_replace(
         F.regexp_replace(low, PII_EMAIL, "<EMAIL>"), PII_LONGNUM, "<NUM>"

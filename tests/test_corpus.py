@@ -39,3 +39,35 @@ def test_clean_corpus_matches_stage_operators(spark, sf_dir):
     # physical layout: shard_group is a partition directory
     files = spark.table("clean_corpus_test").inputFiles()
     assert any("shard_group=" in f for f in files), files[:3]
+
+
+def test_clean_corpus_near_dup_collapse(spark, sf_dir):
+    """With near_dup_threshold set, the job additionally drops exactly
+    the non-minimum members of each verified LSH cluster that would
+    otherwise have survived the gates — no more, no fewer."""
+    from etl_project_spark.ingest.corpus import clean_corpus
+    from etl_project_spark.operators.dedup import (
+        connected_components,
+        lsh_verified_pairs,
+    )
+
+    base = clean_corpus(spark, sf_dir)
+    collapsed = clean_corpus(spark, sf_dir, near_dup_threshold=0.5)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    kept_ids = {r["doc_id"] for r in collapsed.select("doc_id").collect()}
+    assert kept_ids <= base_ids
+
+    from etl_project_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = lsh_verified_pairs(spark, docs, threshold=0.5).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    losers = {
+        r["node"]
+        for r in connected_components(edges)
+        .filter(F.col("node") != F.col("component"))
+        .collect()
+    }
+    assert base_ids - kept_ids == base_ids & losers
+    assert losers, "corpus should contain at least one near-dup cluster"
