@@ -274,3 +274,78 @@ def pp4_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_sources") * F.col("n_tokens"))
         ).alias("uniform_weight"),
     )
+
+
+NGRAM_N = 8  # repeated-substring width in tokens
+
+
+@register(
+    "pp5_repeated_ngrams",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+{NGRAM_N - 1}], ' ') AS gram
+        FROM t, UNNEST(generate_series(1, LEN(toks) - {NGRAM_N - 1})) AS s(i)
+        WHERE LEN(toks) >= {NGRAM_N}
+    )
+    SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+           MIN(doc_id) AS first_doc
+    FROM g GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def pp5_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repetition scan (the Lee et al. 2022
+    "Deduplicating Training Data" primitive, MapReduce-style): every
+    word {NGRAM_N}-gram occurring in >= 2 distinct documents, with its
+    document count, total occurrence count, and first document. The
+    pass a corpus owner runs to find boilerplate (headers, licenses,
+    templated spam) that exact/near dedup both miss because the
+    *documents* differ while long *spans* repeat; downstream, matched
+    spans are trimmed or used as a drop signal.
+
+    Reference parity: extension X2 scope (SURVEY §2h) — the reference
+    has no corpus surface; semantics follow the public suffix-array
+    dedup recipe re-expressed as n-gram grouping, which is the
+    shuffle-friendly equivalent for a fixed span width.
+
+    Shape: one position explode (output rows == token count, the same
+    expansion every shingle op here pays), then ONE hash shuffle on the
+    gram for the group-by; never all-pairs, no window. The gram slice
+    is a per-row scalar projection above the explode — the token array
+    is materialized once per document below the Generate (the tx10
+    CollapseProject trap does not apply across a Generate). At 100 TB:
+    group on a 128-bit gram hash instead of the gram text (shuffle
+    carries 16 B/row, collisions ~n^2/2^128), keep min(gram) per group
+    as the exemplar, and pre-aggregate per partition (partial counts
+    push map-side, already in this plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= NGRAM_N)
+    )
+    grams = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.col("n") - (NGRAM_N - 1))
+        ).alias("_i", "start"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.expr(f"slice(toks, start, {NGRAM_N})")).alias(
+            "gram"
+        ),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
