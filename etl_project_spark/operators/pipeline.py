@@ -349,3 +349,57 @@ def pp5_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "x7_int8_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS amax
+        FROM embeddings
+    )
+    SELECT vec_id, label, ROUND(127.0 / amax, 6) AS scale,
+           list_transform(v, x -> CAST(FLOOR(x * (127.0 / amax) + 0.5)
+                                       AS INT)) AS q
+    FROM e WHERE amax > 0
+    """,
+)
+def x7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the compression
+    step an ANN system runs before indexing (4x smaller than float32,
+    SIMD-friendly int dot products): scale = 127 / max|x_i|, q_i =
+    round(x_i * scale), stored with the scale for dequantization.
+    Zero-norm vectors are excluded (nothing to quantize).
+
+    Exact cross-engine arithmetic by construction: amax, the division,
+    the multiply-add, and floor are each single IEEE binary64 ops over
+    identical inputs, so the int8 codes hash-match the oracle bit for
+    bit (rounding is floor(x*scale + 0.5) — half-up in both engines,
+    no banker's-rounding divergence).
+
+    Plan shape: scan-local, no shuffle at all. amax is projected ONCE
+    per row in its own select and referenced twice downstream (output
+    column + inside the quantize lambda) — CollapseProject declines to
+    inline a non-trivial alias used more than once, which keeps the
+    O(d) aggregation out of the per-element lambda (the nested-HOF
+    recompute trap would make it O(d^2)/row; pinned in test_plans.py).
+    At 100 TB this runs as the write-side projection of the IVF/LSH
+    index build — same single-pass shape."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    staged = emb.select("vec_id", "label", "v", amax.alias("amax")).filter(
+        F.col("amax") > 0
+    )
+    scale = F.lit(127.0) / F.col("amax")
+    return staged.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            "v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+        ).alias("q"),
+    )

@@ -106,3 +106,33 @@ def test_winnowing_is_single_window_shuffle(spark, sf_dir):
         r"Project \[[^\]]*transform\(sequence[^\]]*\]", stats.plan
     )
     assert not proj_with_transform, stats.plan
+
+
+def test_repeated_ngrams_single_gram_shuffle(spark, sf_dir):
+    """pp5: the gram slice is a scalar projection above the explode;
+    token-array split stays below the Generate (one evaluation per
+    document), and the only Exchanges are the two-level distinct agg."""
+    df = all_queries()["pp5_repeated_ngrams"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=2)
+    assert stats.scans == 1, stats.plan
+    import re
+
+    # a split() re-appearing in a Project above the Generate would mean
+    # per-exploded-row recompute of the whole token array
+    above_generate = stats.plan.split("Generate posexplode")[0]
+    assert not re.search(r"Project \[[^\]]*split\(", above_generate), (
+        stats.plan
+    )
+
+
+def test_int8_quantize_keeps_amax_out_of_lambda(spark, sf_dir):
+    """x7: scan-local (zero shuffles), and amax stays an attribute
+    reference inside the quantize lambda — CollapseProject inlining it
+    would re-run the O(d) array_max per element (O(d^2)/row)."""
+    df = all_queries()["x7_int8_quantize"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=0)
+    assert stats.scans == 1, stats.plan
+    import re
+
+    for m in re.finditer(r"Project \[[^\]]*AS q#[^\]]*\]", stats.plan):
+        assert "array_max" not in m.group(0), stats.plan
