@@ -85,6 +85,7 @@ _MODULE_ORDER = [
     "etl_project_spark.operators.scalarfns",
     "etl_project_spark.operators.multimodal",
     "etl_project_spark.operators.pipeline",
+    "etl_project_spark.operators.ranking",
     "etl_project_spark.operators.core",
     "etl_project_spark.operators.tpch",
     "etl_project_spark.operators.joins",
