@@ -626,7 +626,9 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     ).dropDuplicates()
 
 
-def connected_components(edges: DataFrame) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
     """Distributed connected components over an undirected edge list
     (u, v) → (node, component) with component = min node id reachable.
 
@@ -634,19 +636,38 @@ def connected_components(edges: DataFrame) -> DataFrame:
     fixpoint (a star per component: every node points at the component
     minimum). One driver-side (count, checksum) action per round —
     O(log n) rounds total, vs O(diameter) for naive label propagation.
+
+    ``max_rounds`` is a convergence guard: raise instead of looping
+    forever if the fixpoint isn't reached (a bug or an adversarial
+    graph would otherwise burn the cluster silently); the 10M-row scale
+    smoke pins the observed round count under it on a diameter-2^17
+    chain, the shape that makes naive propagation unusable.
+
+    Each round ends in ``localCheckpoint``, not ``persist``: large-star
+    references the round's input TWICE (edges ∪ reversed edges), so the
+    logical plan doubles per round — persist caches *data* but keeps
+    the full lineage, and after ~15 rounds the exponential plan tree
+    OOMs the driver just rendering plan strings (caught by the chain
+    scale smoke). Checkpointing truncates the plan to a leaf each
+    round. On a cluster with executor churn, swap in reliable
+    ``checkpoint()`` + ``setCheckpointDir`` — same contract.
     """
-    prev_sig, prev_edges = None, None
+    prev_sig, rounds = None, 0
     while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(
+                f"connected_components: no fixpoint after {max_rounds} rounds"
+            )
         edges = _star_round(edges, large=True)
-        edges = _star_round(edges, large=False).persist()
+        # eager: one job materializes the round, lineage resets to a leaf;
+        # superseded rounds' blocks are freed by the ContextCleaner
+        edges = _star_round(edges, large=False).localCheckpoint()
         # bit_xor, not sum: order-insensitive and can't overflow under ANSI
         row = edges.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("chk"),
         ).first()
-        if prev_edges is not None:  # superseded round's cache
-            prev_edges.unpersist()
-        prev_edges = edges
         sig = (row["n"], row["chk"])
         if sig == prev_sig:
             break

@@ -114,3 +114,44 @@ def test_window_topn_at_10m(spark):
     )
     assert got == [N - 200_000, N - 100_000]
     assert wall < 60, f"10M-row window took {wall:.1f}s"
+
+
+def test_connected_components_long_chain_logn_rounds(spark):
+    """dd7's CC kernel on the adversarial shape: one chain of diameter
+    2^17 (naive min-label propagation would need 131k rounds) plus 100k
+    disjoint 10-node chains — 1.1M edges total. Large-star/small-star
+    must converge in O(log n) rounds (guarded at 24) and produce the
+    exact closed-form components."""
+    from etl_project_spark.operators.dedup import connected_components
+
+    chain_n, block_base, block_n = 1 << 17, 10_000_000, 1_000_000
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    # ids [block_base, block_base + block_n), chains of 10: no edge
+    # across multiples of 10
+    small = (
+        spark.range(block_n - 1)
+        .filter((F.col("id") % 10) != 9)
+        .select(
+            (F.col("id") + block_base).alias("u"),
+            (F.col("id") + block_base + 1).alias("v"),
+        )
+    )
+    t0 = time.time()
+    cc = connected_components(chain.union(small), max_rounds=24).persist()
+    big = cc.filter(F.col("node") < chain_n).agg(
+        F.count("*").alias("n"), F.max("component").alias("mx")
+    ).first()
+    assert big["n"] == chain_n and big["mx"] == 0, big
+    wrong_small = (
+        cc.filter(F.col("node") >= block_base)
+        .filter(
+            F.col("component") != (F.col("node") / 10).cast("long") * 10
+        )
+        .count()
+    )
+    n_small = cc.filter(F.col("node") >= block_base).count()
+    assert wrong_small == 0 and n_small == block_n, (wrong_small, n_small)
+    cc.unpersist()
+    assert time.time() - t0 < 300, "CC smoke exceeded wall bound"
