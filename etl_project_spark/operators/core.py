@@ -481,3 +481,54 @@ def smp2_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < threshold
     ).select("doc_id", "source")
+
+
+@register(
+    "dq1_constraint_audit",
+    oracle="""
+    SELECT COUNT(*) AS row_count,
+           COUNT(DISTINCT o_orderkey) AS distinct_keys,
+           (COUNT(*) - COUNT(DISTINCT o_orderkey)) AS dup_key_violations,
+           (COUNT(*) - COUNT(o_custkey)) AS null_custkey_violations,
+           COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+               AS nonpositive_price_violations,
+           COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END), 0)
+               AS bad_status_violations,
+           MIN(o_orderdate) AS min_orderdate,
+           MAX(o_orderdate) AS max_orderdate
+    FROM orders
+    """,
+)
+def dq1_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality constraint audit over ``orders`` — the
+    Deequ-style validation gate a pipeline runs before promoting a load
+    (the reference loads blindly; SURVEY §1 lists silent-dup and
+    bad-row hazards this catches): primary-key uniqueness, foreign-key
+    completeness, value-range and domain checks, and freshness bounds,
+    all as ONE aggregation.
+
+    Shape: every metric is an algebraic or sketchable aggregate, so the
+    whole audit is one scan + one partial-aggregated reduce to a single
+    row — adding more constraints adds columns, not passes. At 100 TB
+    this is the cheapest query in the pipeline (no shuffle wider than
+    one row per partition) and the natural place for a circuit breaker:
+    a nonzero violation column aborts the promote step."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("row_count"),
+        F.count_distinct(F.col("o_orderkey")).alias("distinct_keys"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias(
+            "dup_key_violations"
+        ),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey_violations"),
+        F.coalesce(
+            F.sum((F.col("o_totalprice") <= 0).cast("long")), F.lit(0)
+        ).alias("nonpositive_price_violations"),
+        F.coalesce(
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")),
+            F.lit(0),
+        ).alias("bad_status_violations"),
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+    )

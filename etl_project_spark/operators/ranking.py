@@ -20,7 +20,7 @@ in registry.py) — the local checker and the judge's rerun cover these.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import load_table
@@ -163,4 +163,71 @@ def rk2_tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term", "doc_id", "tf", "df", F.round(tfidf, 4).alias("tfidf")
         )
+    )
+
+
+@register(
+    "lm1_bigram_model",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), p AS (
+        -- lateral index unnest: i = 1..len-1, pair = (t[i], t[i+1])
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(t))) AS u(i)
+    ), bg AS (
+        SELECT w1, w2, COUNT(*) AS bigram_count
+        FROM p GROUP BY w1, w2
+    ), un AS (
+        SELECT w1, SUM(bigram_count) AS w1_count FROM bg GROUP BY w1
+    )
+    SELECT bg.w1, bg.w2, bg.bigram_count, un.w1_count,
+           ROUND(bigram_count / w1_count, 4) AS cond_prob
+    FROM bg JOIN un USING (w1)
+    """,
+)
+def lm1_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram language-model statistics: every adjacent
+    token pair with its count, the left-token continuation total, and
+    the maximum-likelihood conditional probability P(w2|w1) — the
+    KenLM-style counting pass behind n-gram LMs, perplexity-based
+    quality filters, and contamination n-gram scans.
+
+    Shape: bigrams are formed ARRAY-SIDE (``arrays_zip`` of the token
+    array against itself shifted by one) before a single explode — no
+    per-document window, no join on token position, so documents never
+    need co-located token rows and the corpus is scanned exactly once.
+    The denominator is a window sum over the already-aggregated
+    (vocabulary-sized) bigram rows — cheaper than a join formulation,
+    which would re-scan and re-explode the corpus for the second
+    aggregate. At 100 TB this is the canonical map-side-combine
+    job: partial counts collapse each partition's millions of token
+    pairs to its distinct-bigram set before the exchange; extending to
+    n-grams is the same zip with n-1 shifts. The oracle forms the same
+    pairs by lateral position unnest — same semantics, expressed
+    relationally."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(F.lower("text"), " ").alias("t")
+    )
+    # slice(t,1,n-1) zip slice(t,2,n-1): [(t1,t2),(t2,t3),...] per doc
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bigram_count"))
+    # denominator as a window sum over the ALREADY-AGGREGATED bigram
+    # rows (vocabulary-sized), not a second aggregate branch — a join
+    # formulation re-scans and re-explodes the whole corpus (Catalyst
+    # does not reuse the bigram exchange across the self-join)
+    w1_count = F.sum("bigram_count").over(Window.partitionBy("w1"))
+    return bg.select(
+        "w1",
+        "w2",
+        "bigram_count",
+        w1_count.alias("w1_count"),
+        F.round(F.col("bigram_count") / w1_count, 4).alias("cond_prob"),
     )

@@ -89,6 +89,7 @@ _MODULE_ORDER = [
     "etl_project_spark.operators.core",
     "etl_project_spark.operators.tpch",
     "etl_project_spark.operators.joins",
+    "etl_project_spark.operators.cdc",
 ]
 
 _SOURCE_MODULE: dict[str, str] = {}

