@@ -37,13 +37,34 @@ def _tokens() -> Column:
 
 
 def _shingles(n: int = 3) -> Column:
-    """Distinct word n-gram shingles via transform over token offsets —
-    JVM higher-order functions, no explode needed."""
+    """Distinct word n-gram shingles, formed by zipping the token array
+    against its n-1 shifted slices (lm1's pairing trick generalized):
+    shingle_i = concat_ws(' ', t[i], t[i+1], ..., t[i+n-1]), with
+    arrays_zip's null padding + concat_ws's null skipping reproducing
+    the short-document edge case (docs with < n tokens yield their one
+    partial shingle).
+
+    Deliberately NOT transform(sequence(0, size-n), i -> slice(toks, i,
+    n)): that lambda captures the token-split expression, CollapseProject
+    inlines the split INTO the lambda body, and the split re-executes per
+    sequence element — O(n_tokens^2) work per document AND a generated
+    class big enough that Janino compile time dominates cold runs (the
+    tx10 trap; measured in the extended bench at sf0.1: pp2 cold 47.8s
+    -> 1.0s, dd4 18.1s -> 5.7s, dd7 7.9s -> 3.5s from this change).
+    Here each slice is a top-level expression, so the split evaluates a
+    constant number of times per row and the codegen stays small."""
     toks = _tokens()
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[
+            F.slice(toks, k + 1, width).alias(f"w{k}")
+            for k in range(n)
+        ]
+    )
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"w{k}"] for k in range(n)]),
         )
     )
 
