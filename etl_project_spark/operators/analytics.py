@@ -1,0 +1,311 @@
+"""Product-analytics operators over ``events`` plus an entity-resolution
+join over ``part`` — the user-behavior query family the reference's
+dashboard layer (SURVEY §2d A3: group-by-day dashboard sums) grows into
+once the warehouse holds more than one metric: funnel conversion, cohort
+retention, session path mining, fuzzy record matching, and mergeable
+distinct-count rollups.
+
+All JVM-side DataFrame compositions; every query except the HLL rollup
+(approximate by construction, checked within tolerance of the exact
+count) carries a full hash-equality DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+SESSION_GAP_S = 1800  # 30-minute inactivity gap, strict (gap > 1800 splits)
+TOP_PATHS = 20
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "an1_event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+    ), s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+    )
+    SELECT 1 AS step_order, 'signup' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'click', COUNT(*) FROM s3
+    UNION ALL
+    SELECT 4, 'purchase', COUNT(*) FROM s4
+    """,
+)
+def an1_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: how many users completed signup, then
+    (strictly later) a view, then a click, then a purchase — each step's
+    anchor is the EARLIEST event that continues the sequence (the
+    standard greedy funnel semantics; a later signup can't resurrect a
+    funnel the first one already advanced further).
+
+    Shape: each step is a per-user min-aggregate over a scan filtered to
+    ONE event type — the filter is pushed into the parquet scan, so step
+    k reads only that type's rows and joins against the (user-level,
+    orders-of-magnitude smaller) step k-1 frontier. The frontier join
+    key is user_id throughout, so at 100 TB all four steps co-locate
+    under one partitioning of the user dimension and AQE broadcasts the
+    shrinking frontiers; a single-pass sorted-array formulation exists
+    (aggregate HOF over collect_list) but trades relational pushdown for
+    a per-user sort — the join form is the one that prunes."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def step_min(event_type: str, frontier: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if frontier is not None:
+            e = e.join(frontier, "user_id").filter(F.col("ts") > F.col("t"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    frontiers: list[DataFrame] = []
+    cur: DataFrame | None = None
+    for st in FUNNEL_STEPS:
+        cur = step_min(st, cur)
+        frontiers.append(cur)
+    rows = [
+        f.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step_order"),
+            F.lit(st).alias("step"),
+            "n_users",
+        )
+        for i, (st, f) in enumerate(zip(FUNNEL_STEPS, frontiers))
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "an2_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    -- date-typed outputs go out as midnight timestamps (engine-canon
+    -- parity, same convention as a3/ts5)
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           DATEDIFF('day', cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def an2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, and
+    for each (cohort_day, day_offset) the count of distinct cohort
+    members active that many days later — the dashboard query behind
+    every retention curve.
+
+    Shape: one per-user min-date aggregate (the cohort dimension), one
+    join back on user_id, one (cohort, offset) count-distinct. Both the
+    aggregate and the join hash on user_id, so a single repartition
+    serves both stages; at 100 TB the cohort map is a fraction of one
+    day's events and AQE broadcasts it, while the count-distinct's
+    expand shuffles (cohort_day, offset, user_id) triples — bounded by
+    events, partial-aggregated map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
+    )
+
+
+@register(
+    "an3_session_paths",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        > {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    ), paths AS (
+        SELECT user_id, session_id,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT {TOP_PATHS}
+    """,
+)
+def an3_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: sessionize each user's events with a strict
+    30-minute inactivity gap (the lag/cumsum formulation — identical
+    boundary semantics in both engines, unlike session_window's
+    interval-overlap rule; see ts3), join each session's event types
+    into an ordered 'a>b>c' path string, and rank the {TOP_PATHS} most
+    common paths (ties broken by path text, so the cut is
+    deterministic).
+
+    Shape: one shuffle on user_id serves the lag window, the cumsum
+    window, and the per-session path aggregation (same partitioning,
+    back to back — no re-exchange); the path GROUP BY is the only
+    second shuffle, over session-level rows. The per-session ordering
+    uses array_sort(collect_list(struct)) rather than a sorted window
+    collect — the struct sort key (ts, event_id) makes the path
+    deterministic under timestamp ties."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; hop through LTZ
+    # (session tz is UTC via prepare(), so the hop is value-preserving
+    # and matches DuckDB's EPOCH on the same naive timestamps)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(by_user)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap > SESSION_GAP_S, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(TOP_PATHS)
+    )
+
+
+@register(
+    "j10_fuzzy_blocked_join",
+    oracle=f"""
+    SELECT a.p_partkey AS key1, b.p_partkey AS key2,
+           a.p_name AS name1, b.p_name AS name2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution join: part records whose names are within
+    edit distance {FUZZY_MAX_DIST}, candidate-blocked on brand — the
+    standard blocked fuzzy-match (dedupe/record-linkage) pattern:
+    equi-join on a cheap blocking key first, pay the O(len^2) edit
+    distance only within blocks, never all-pairs.
+
+    Shape: a self equi-join on p_brand (hash join, co-partitioned both
+    sides) with the key inequality and the levenshtein threshold as
+    post-join filters. At 100 TB the blocking key gets finer —
+    (brand, name-length bucket, first-token) — so block sizes stay
+    bounded and the comparison count is sum-of-block-squares, tuned by
+    the key; the same plan shape serves any pluggable similarity
+    (jaro-winkler UDF, token-set ratio) since blocking does the heavy
+    lifting."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_partkey").alias("key1"),
+            F.col("b.p_partkey").alias("key2"),
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            dist.alias("dist"),
+        )
+    )
+
+
+@register(
+    "a8_hll_daily_merge",
+    oracle=None,  # approximate — no hash-equality oracle possible
+    # checker compares the merged-sketch estimate against the exact
+    # distinct count within rtol (Datasketches HLL, lgK=14 → rse ~0.8%,
+    # 3-sigma ~2.5%)
+    approx_oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users_est FROM events
+    """,
+    rtol=0.025,
+)
+def a8_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: build one Datasketches HLL
+    sketch of active users PER DAY, then union the daily sketches into
+    the month's distinct-user estimate — the two-level pattern that
+    makes 100 TB rollup tables re-aggregatable: persist tiny per-
+    partition sketches once, answer any coarser distinct-count (weekly,
+    monthly, all-time, any day subset) by merging sketches instead of
+    rescanning raw events. This is what a5's one-shot HLL can't do —
+    approx_count_distinct yields a number, not a mergeable state.
+
+    Shape: one (day) aggregation producing ~30 sketch blobs, one
+    single-row union — the second stage is O(days), independent of
+    event count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_est")
+    )

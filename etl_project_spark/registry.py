@@ -90,6 +90,7 @@ _MODULE_ORDER = [
     "etl_project_spark.operators.tpch",
     "etl_project_spark.operators.joins",
     "etl_project_spark.operators.cdc",
+    "etl_project_spark.operators.analytics",
 ]
 
 _SOURCE_MODULE: dict[str, str] = {}

@@ -1,0 +1,77 @@
+"""Product-analytics operators (an1-an3, j10, a8): differential checks
+at sf0.001 plus the invariants the oracles can't express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entrymod
+
+from etl_project_spark.operators import analytics
+from tests.util import assert_matches_oracle
+
+ORACLED = [
+    "an1_event_funnel",
+    "an2_cohort_retention",
+    "an3_session_paths",
+    "j10_fuzzy_blocked_join",
+]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_matches_oracle(spark, sf_dir, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    rows = (
+        analytics.an1_event_funnel(spark, sf_dir)
+        .orderBy("step_order")
+        .collect()
+    )
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert [r.step for r in rows] == list(analytics.FUNNEL_STEPS)
+
+
+def test_cohort_day_zero_is_cohort_size(spark, sf_dir):
+    """offset-0 user count per cohort equals the cohort's size (every
+    user is active on their own first-seen day)."""
+    ret = analytics.an2_cohort_retention(spark, sf_dir)
+    from etl_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sizes = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
+    )
+    joined = ret.filter(F.col("day_offset") == 0).join(sizes, "cohort_day")
+    assert joined.filter(F.col("n_users") != F.col("n")).count() == 0
+
+
+def test_fuzzy_join_bounds(spark, sf_dir):
+    out = analytics.j10_fuzzy_blocked_join(spark, sf_dir)
+    bad = out.filter(
+        (F.col("dist") > analytics.FUZZY_MAX_DIST)
+        | (F.col("key1") >= F.col("key2"))
+    )
+    assert bad.count() == 0
+
+
+def test_hll_merge_matches_exact_within_tolerance(spark, sf_dir):
+    est = analytics.a8_hll_daily_merge(spark, sf_dir).first().n_users_est
+    from etl_project_spark.catalog import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) <= 0.025 * exact
