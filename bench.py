@@ -56,6 +56,11 @@ EXTENDED_QUERIES = [
     "pp2_contamination_check",
     "tx10_winnowing_fingerprint",
     "pp5_repeated_ngrams",
+    "lm1_bigram_model",
+    "cdc1_latest_snapshot",
+    "an2_cohort_retention",
+    "an3_session_paths",
+    "j10_fuzzy_blocked_join",
 ]
 
 

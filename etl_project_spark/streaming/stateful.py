@@ -169,3 +169,56 @@ def shard_packer(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_snapshot(
+    events: DataFrame,
+) -> DataFrame:
+    """Streaming twin of the batch cdc1_latest_snapshot operator
+    (operators/cdc.py): maintain the latest (value, ts) per
+    (user_id, event_type) across micro-batches with the SAME
+    deterministic (ts, event_id) tie-break, re-emitting a key's
+    snapshot row whenever it changes — a continuously-maintained SCD-1
+    table, i.e. MERGE-on-read without the merge.
+
+    State per key is one fixed-width tuple (epoch-nanos, event_id,
+    value, n_versions) — O(#live keys) total, the same cardinality the
+    batch aggregate shuffles. Equality with the batch operator after an
+    AvailableNow replay is asserted in tests/test_ingest_streaming.py."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            ts_ns, ev_id, val, n = state.get
+        else:
+            ts_ns, ev_id, val, n = -1, -1, 0.0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            nanos = pdf["ts"].astype("int64")
+            for m, e, v in zip(nanos, pdf["event_id"], pdf["value"]):
+                if (m, e) > (ts_ns, ev_id):
+                    ts_ns, ev_id, val = int(m), int(e), float(v)
+        state.update((ts_ns, ev_id, val, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "last_ts": [pd.Timestamp(ts_ns)],  # int -> ns
+                "last_value": [val],
+                "n_versions": [n],
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_type string, "
+        "last_ts timestamp_ntz, last_value double, n_versions long",
+        stateStructType="ts_ns long, ev_id long, val double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -418,3 +418,38 @@ def test_stateful_shard_packer_matches_greedy_replay(spark, sf_dir, tmp_path):
         expected[(r["source"], r["doc_id"])] = shard
         fill[r["source"]] = (shard, filled + r["n_tokens"])
     assert got == expected
+
+
+def test_stateful_latest_snapshot_matches_batch_cdc1(spark, sf_dir, tmp_path):
+    """applyInPandasWithState latest-value snapshot after consuming the
+    whole stream == the batch cdc1 aggregate (same tie-break)."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.cdc import cdc1_latest_snapshot
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_snap")
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.latest_snapshot(stream)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_snap"), output_mode="update", queryName="snap_test"
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (
+            r["last_ts"],
+            round(r["last_value"], 9),
+            r["n_versions"],
+        )
+        for r in spark.sql("SELECT * FROM snap_test").collect()
+    }
+    expected = {
+        (r["user_id"], r["event_type"]): (
+            r["last_ts"],
+            round(r["last_value"], 9),
+            r["n_versions"],
+        )
+        for r in cdc1_latest_snapshot(spark, sf_dir).collect()
+    }
+    assert got == expected
