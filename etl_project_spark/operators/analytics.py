@@ -309,3 +309,54 @@ def a8_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_est")
     )
+
+
+@register(
+    "an4_twap",
+    oracle="""
+    WITH t AS (
+        -- integer microseconds (not EPOCH's fractional-second double):
+        -- both engines weight identical exact intervals
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, value,
+               epoch_us(LEAD(ts) OVER (
+                   PARTITION BY CAST(ts AS DATE)
+                   ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+        FROM events
+    )
+    SELECT day,
+           ROUND(SUM(value * dt) / SUM(dt), 6) AS twap,
+           COUNT(*) AS n_intervals
+    FROM t WHERE dt IS NOT NULL
+    GROUP BY day
+    """,
+)
+def an4_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average price: each observation weighted by
+    how long it remained the latest value (seconds until the next event
+    that day; the day's final observation carries no weight). The
+    standard TWAP the reference's OHLCV product implies but never
+    computes — close prices weight a 1-second tick and an 8-hour lull
+    equally; TWAP doesn't.
+
+    Shape: one lead window partitioned by day (ties broken by event_id,
+    so both engines weight identical intervals) feeding one day-level
+    aggregation — the window and the groupBy share the same hash
+    partitioning, so the plan has a single exchange. At 100 TB day
+    partitioning makes the window run inside each date partition with
+    no cross-partition state."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    by_day = Window.partitionBy(day).orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    dt = F.lead(epoch).over(by_day) - epoch
+    t = ev.select(
+        day.cast("timestamp").alias("day"),
+        "value",
+        dt.alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return t.groupBy("day").agg(
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias(
+            "twap"
+        ),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -532,3 +532,88 @@ def dq1_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_orderdate"),
         F.max("o_orderdate").alias("max_orderdate"),
     )
+
+
+@register(
+    "dq2_iqr_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events
+    )
+    SELECT event_id, value,
+           ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+           ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi
+    FROM events, q
+    WHERE value < q1 - 1.5 * (q3 - q1)
+       OR value > q3 + 1.5 * (q3 - q1)
+    """,
+)
+def dq2_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier quarantine: events whose value falls outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR] — the standard distribution-based
+    data-quality screen run alongside dq1's constraint audit (dq1
+    catches rule violations; this catches plausible-looking garbage).
+
+    Shape: one exact-percentile aggregate (a single 1-row reduce; both
+    engines use linear interpolation so the fences agree bit-for-bit on
+    this corpus), broadcast back over one filtering scan. At 100 TB the
+    exact percentile becomes approx_percentile on a mergeable sketch
+    (a7) and the fence check stays a scan-local filter — the quarantine
+    never shuffles the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.crossJoin(F.broadcast(q))
+        .filter((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "value",
+            F.round(lo, 6).alias("lo"),
+            F.round(hi, 6).alias("hi"),
+        )
+    )
+
+
+# train/val/test assignment: first 8 md5 hex chars of the key, split at
+# 90% / 95% of the 32-bit hex space (same deterministic-hash family as
+# smp2 — reproducible across engines, reruns, and partitionings)
+_SPLIT_TRAIN_MAX = f"{int(0.90 * 16**8):08x}"
+_SPLIT_VAL_MAX = f"{int(0.95 * 16**8):08x}"
+
+
+@register(
+    "smp3_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{_SPLIT_TRAIN_MAX}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{_SPLIT_VAL_MAX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def smp3_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashing the
+    stable row key — the split rule a training pipeline must use so (a)
+    every rerun/engine/partitioning assigns identically, (b) membership
+    is decidable per row with no global state, and (c) adding documents
+    never moves an existing one across splits (no leakage from val to
+    train on corpus growth). Scan-local projection: no shuffle, no RNG.
+    Exact-membership differential check, same contract as smp2."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return docs.select(
+        "doc_id",
+        F.when(h < _SPLIT_TRAIN_MAX, "train")
+        .when(h < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -101,9 +101,12 @@ def _bnlj_small_build(plan: str) -> bool:
         subtext = "\n".join(sub)
         if "Scan ExistingRDD" in subtext or "LocalTableScan" in subtext:
             continue
-        for opid in re.findall(r"HashAggregate \((\d+)\)", subtext):
+        # HashAggregate, ObjectHashAggregate (percentile/collect), and
+        # SortAggregate are all scalar when Keys is empty
+        agg = r"(?:HashAggregate|ObjectHashAggregate|SortAggregate)"
+        for opid in re.findall(rf"{agg} \((\d+)\)", subtext):
             sec = re.search(
-                rf"^\({opid}\) HashAggregate\n(?:(?!\(\d+\) )[^\n]*\n?)*",
+                rf"^\({opid}\) {agg}\n(?:(?!\(\d+\) )[^\n]*\n?)*",
                 plan,
                 re.M,
             )

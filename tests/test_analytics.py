@@ -75,3 +75,44 @@ def test_hll_merge_matches_exact_within_tolerance(spark, sf_dir):
         .count()
     )
     assert abs(est - exact) <= 0.025 * exact
+
+
+NEW2 = ["dq2_iqr_outliers", "smp3_train_val_test", "an4_twap"]
+
+
+@pytest.mark.parametrize("name", NEW2)
+def test_matches_oracle_round2(spark, sf_dir, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_split_fractions_and_stability(spark, sf_dir):
+    """90/5/5 within binomial slack; every doc assigned exactly once;
+    re-evaluation yields the identical assignment (no RNG)."""
+    qs = entrymod.queries()
+    a = qs["smp3_train_val_test"](spark, sf_dir)
+    total = a.count()
+    frac = {
+        r["split"]: r["n"] / total
+        for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(frac.get("train", 0) - 0.90) < 0.06
+    assert abs(frac.get("val", 0) - 0.05) < 0.04
+    assert abs(frac.get("test", 0) - 0.05) < 0.04
+    b = qs["smp3_train_val_test"](spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_twap_within_day_value_range(spark, sf_dir):
+    from etl_project_spark.catalog import load_table
+
+    tw = analytics.an4_twap(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.groupBy(F.to_date("ts").cast("timestamp").alias("day")).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    bad = tw.join(rng, "day").filter(
+        (F.col("twap") < F.col("vmin")) | (F.col("twap") > F.col("vmax"))
+    )
+    assert bad.count() == 0
