@@ -116,3 +116,59 @@ def test_twap_within_day_value_range(spark, sf_dir):
         (F.col("twap") < F.col("vmin")) | (F.col("twap") > F.col("vmax"))
     )
     assert bad.count() == 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """an5 == dense numpy power iteration on the same transition matrix
+    (independent reimplementation, not the SQL oracle)."""
+    import numpy as np
+
+    out = {
+        r["nation"]: r["rank"]
+        for r in analytics.an5_nation_pagerank(spark, sf_dir).collect()
+    }
+    # no dangling-mass redistribution (documented): sum <= 1, equality
+    # only when every node has an out-edge
+    assert out and 0 < sum(out.values()) <= 1.0 + 1e-9
+    from etl_project_spark.catalog import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    import pyspark.sql.functions as FF
+
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, FF.col("o_custkey") == c.c_custkey)
+        .join(s, FF.col("l_suppkey") == s.s_suppkey)
+        .join(
+            n.withColumnRenamed("n_name", "dst"),
+            FF.col("c_nationkey") == FF.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            n.withColumnRenamed("n_name", "src"),
+            FF.col("s_nationkey") == FF.col("n_nationkey"),
+        )
+        .filter(FF.col("src") != FF.col("dst"))
+        .groupBy("src", "dst")
+        .count()
+        .collect()
+    )
+    names = sorted({r["src"] for r in edges} | {r["dst"] for r in edges})
+    idx = {nm: i for i, nm in enumerate(names)}
+    N = len(names)
+    W = np.zeros((N, N))
+    for r in edges:
+        W[idx[r["src"]], idx[r["dst"]]] = r["count"]
+    rowsum = W.sum(axis=1, keepdims=True)
+    P = np.divide(W, rowsum, out=np.zeros_like(W), where=rowsum > 0)
+    rank = np.full(N, 1.0 / N)
+    for _ in range(analytics.PAGERANK_ITERS):
+        rank = (1 - analytics.PAGERANK_DAMPING) / N + (
+            analytics.PAGERANK_DAMPING * (rank @ P)
+        )
+    for nm in names:
+        assert abs(out[nm] - rank[idx[nm]]) < 1e-5, nm
