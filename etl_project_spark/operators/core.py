@@ -617,3 +617,69 @@ def smp3_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20
+
+
+@register(
+    "a9_value_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR((value - {_HIST_LO})
+               / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS})) AS BIGINT),
+               {_HIST_BINS - 1}) AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def a9_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values ({_HIST_BINS} buckets over
+    [{_HIST_LO}, {_HIST_HI}], top edge clamped into the last bucket) —
+    the profile panel behind every dashboard distribution plot, and the
+    binning primitive quality pipelines use for score stratification.
+    One scan, one {_HIST_BINS}-row aggregate; bucket arithmetic is a
+    pure projection so partial aggregation collapses each partition to
+    its bucket counts before the exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    bucket = F.least(
+        F.floor((F.col("value") - _HIST_LO) / width).cast("long"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "a10_bivariate_stats",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 6)
+               AS covar_qty_price,
+           ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope
+    FROM lineitem
+    """,
+)
+def a10_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics over the fact table: Pearson correlation,
+    sample covariance, stddev, and the least-squares slope of price on
+    quantity — the single-pass sufficient-statistics family (all are
+    algebraic over sum/sum²/sum-of-products, so they partial-aggregate
+    map-side and merge exactly). Rounded to 6 decimals: the sufficient
+    statistics are summation-order-sensitive in the last ~2 ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(
+            F.regr_slope("l_extendedprice", "l_quantity"), 6
+        ).alias("slope"),
+    )

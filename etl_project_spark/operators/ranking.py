@@ -231,3 +231,56 @@ def lm1_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         w1_count.alias("w1_count"),
         F.round(F.col("bigram_count") / w1_count, 4).alias("cond_prob"),
     )
+
+
+CHUNK_SIZE = 200  # characters per retrieval chunk
+CHUNK_STRIDE = 150  # 50-char overlap between neighbors
+
+
+@register(
+    "rk3_doc_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           (start - 1) // {CHUNK_STRIDE} AS chunk_id,
+           substr(text, CAST(start AS INT), {CHUNK_SIZE}) AS chunk_text
+    FROM documents,
+         UNNEST(range(1, GREATEST(LEN(text), 1) + 1, {CHUNK_STRIDE}))
+             AS u(start)
+    """,
+)
+def rk3_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for retrieval indexing: split
+    every document into {CHUNK_SIZE}-char chunks at {CHUNK_STRIDE}-char
+    stride (50-char overlap so no boundary-spanning passage is lost) —
+    the chunk table a RAG pipeline embeds (x-family) and indexes
+    (rk1/rk2) instead of whole documents.
+
+    Shape: chunk starts come from ``sequence(1, len, stride)`` exploded
+    positionally, then one substring projection — scan-local, no
+    shuffle, no UDF; chunk_id is the explode position, so ordering is
+    positional, not re-derived. The full text is never duplicated
+    downstream: the substring projection runs in the same stage as the
+    explode, so shuffle/output rows carry only the chunk. At 100 TB
+    this writes chunk-partitioned parquet feeding the embedding UDF
+    batch job."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text"), F.lit(1)),
+                    F.lit(CHUNK_STRIDE),
+                )
+            ).alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(f"substring(text, start, {CHUNK_SIZE})").alias(
+                "chunk_text"
+            ),
+        )
+    )

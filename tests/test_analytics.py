@@ -172,3 +172,60 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
         )
     for nm in names:
         assert abs(out[nm] - rank[idx[nm]]) < 1e-5, nm
+
+
+NEW3 = ["rk3_doc_chunking", "a9_value_histogram", "a10_bivariate_stats"]
+
+
+@pytest.mark.parametrize("name", NEW3)
+def test_matches_oracle_round3(spark, sf_dir, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_chunking_covers_documents(spark, sf_dir):
+    """Chunk count = ceil(len/stride); chunk 0 is the document prefix."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.ranking import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        rk3_doc_chunking,
+    )
+
+    ch = rk3_doc_chunking(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    expected = docs.select(
+        "doc_id",
+        F.ceil(
+            F.greatest(F.length("text"), F.lit(1)) / F.lit(CHUNK_STRIDE)
+        ).alias("n_expected"),
+    )
+    assert (
+        counts.join(expected, "doc_id")
+        .filter(F.col("n_chunks") != F.col("n_expected"))
+        .count()
+        == 0
+    )
+    first = ch.filter(F.col("chunk_id") == 0).join(docs, "doc_id")
+    bad = first.filter(
+        F.col("chunk_text") != F.substring("text", 1, CHUNK_SIZE)
+    )
+    assert bad.count() == 0
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    from etl_project_spark.catalog import load_table
+
+    qs = entrymod.queries()
+    h = qs["a9_value_histogram"](spark, sf_dir)
+    total = load_table(spark, sf_dir, "events").count()
+    assert h.agg(F.sum("n")).first()[0] == total
+    assert h.filter((F.col("bucket") < 0) | (F.col("bucket") > 19)).count() == 0
+
+
+def test_bivariate_stats_in_range(spark, sf_dir):
+    r = entrymod.queries()["a10_bivariate_stats"](spark, sf_dir).first()
+    assert -1.0 <= r.corr_qty_price <= 1.0
+    assert r.std_qty > 0
