@@ -241,3 +241,46 @@ def test_winnowing_random_corpus_matches_reference(spark):
             else set()
         )
         assert got.get(doc_id, set()) == expect, (doc_id, text)
+
+
+def _shingles_py(text: str, n: int = 3) -> list[str]:
+    """Pure-Python reference of the _shingles contract: distinct word
+    n-grams in first-occurrence order; documents shorter than n tokens
+    yield their single partial shingle."""
+    toks = text.lower().split(" ")
+    if len(toks) < n:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def test_shingles_random_texts_match_reference(spark):
+    """The zip-of-shifted-slices shingle expression == the pure-Python
+    n-gram rule on randomized texts, including the short-doc edge cases
+    the zip null-padding handles (0/1/2 tokens, repeated tokens,
+    multi-space gaps produce empty tokens in both)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from etl_project_spark.operators.dedup import _shingles
+
+    rng = random.Random(20260813)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "Y", "π"]
+    texts = ["", "one", "one two", "a a a a a", "a  b"]
+    for _ in range(60):
+        k = rng.randint(1, 12)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: list(r["sh"])
+        for r in df.select("i", _shingles(3).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == sorted(set(_shingles_py(t))), (i, t)
