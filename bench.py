@@ -92,10 +92,14 @@ def main() -> None:
         for name in BENCH_QUERIES:
             t = round(run_query(qs, name, spark, sf_dir), 3)
             timings[name] = min(timings.get(name, t), t)
-    extended = {
-        name: round(run_query(qs, name, spark, sf_dir), 3)
-        for name in EXTENDED_QUERIES
-    }
+    # min-of-2 like the headline set: first run of these heavyweight
+    # plans is Janino-compile-dominated (2-10x); steady state is the
+    # number that scales (at real data volume, compile amortizes to 0)
+    extended = {}
+    for _pass in range(2):
+        for name in EXTENDED_QUERIES:
+            t = round(run_query(qs, name, spark, sf_dir), 3)
+            extended[name] = min(extended.get(name, t), t)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",

@@ -237,6 +237,7 @@ def an3_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(a.p_name, b.p_name) AS dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND ABS(LEN(a.p_name) - LEN(b.p_name)) <= {FUZZY_MAX_DIST}
     WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
     """,
 )
@@ -260,14 +261,24 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = part.alias("a")
     b = part.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # banded DP: levenshtein with a threshold early-exits (returns -1
+    # past the bound) — O(len*k) per pair instead of O(len^2); the
+    # length guard is a sound pre-filter (edit distance >= length gap)
+    # that prunes pairs before any DP runs
+    dist = F.levenshtein(
+        F.col("a.p_name"), F.col("b.p_name"), FUZZY_MAX_DIST
+    )
+    len_gap = F.abs(
+        F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+    )
     return (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (len_gap <= FUZZY_MAX_DIST),
         )
-        .filter(dist <= FUZZY_MAX_DIST)
+        .filter((dist >= 0) & (dist <= FUZZY_MAX_DIST))
         .select(
             F.col("a.p_partkey").alias("key1"),
             F.col("b.p_partkey").alias("key2"),
