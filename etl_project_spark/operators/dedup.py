@@ -364,7 +364,12 @@ def dd5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, exact-collision form: 64-bit signature per
     document, bucketed on the whole signature; groups >1 are duplicate
     clusters. Recall beyond identical signatures comes from the
-    multi-probe variant (dd5b_simhash_multiprobe)."""
+    multi-probe variant (dd5b_simhash_multiprobe).
+
+    doc_ids goes out comma-joined (not array<long>): the driver's
+    checker canonicalizes via pandas sort_values, which cannot hash
+    raw array cells — same engine-neutral projection rule as mm3's
+    hex frames."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     sigs = simhash64(docs, F.array_distinct(_tokens()))
@@ -372,7 +377,10 @@ def dd5_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs.groupBy("simhash")
         .agg(
             F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -499,7 +507,7 @@ def _md5_bit_votes_sql() -> str:
         FROM votes
     )
     SELECT simhash_bits, COUNT(*) AS n_docs,
-           LIST_SORT(LIST(doc_id)) AS doc_ids
+           ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS doc_ids
     FROM sig GROUP BY simhash_bits HAVING COUNT(*) > 1
     """,
 )
@@ -544,7 +552,12 @@ def dd5c_simhash_md5_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash_bits")
         .agg(
             F.count("*").alias("n_docs"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            # comma-joined for the driver's scalar-only canonicalizer
+            # (same rule as dd5 / mm3)
+            F.array_join(
+                F.array_sort(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )

@@ -361,8 +361,10 @@ def pp5_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, label, ROUND(127.0 / amax, 6) AS scale,
-           list_transform(v, x -> CAST(FLOOR(x * (127.0 / amax) + 0.5)
-                                       AS INT)) AS q
+           ARRAY_TO_STRING(
+               list_transform(v, x -> CAST(FLOOR(x * (127.0 / amax) + 0.5)
+                                           AS INT)),
+               ',') AS q
     FROM e WHERE amax > 0
     """,
 )
@@ -399,7 +401,15 @@ def x7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.round(scale, 6).alias("scale"),
-        F.transform(
-            "v", lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+        # int8 codes go out comma-joined: the driver's pandas
+        # canonicalizer can't hash raw array cells (same rule as dd5/fn3)
+        F.array_join(
+            F.transform(
+                "v",
+                lambda x: F.floor(x * scale + F.lit(0.5))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q"),
     )

@@ -126,8 +126,11 @@ def fn2_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            LEN(embedding) AS dim,
            ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-           LIST_TRANSFORM(embedding[1:4],
-                          x -> ROUND(CAST(x AS DOUBLE) * 2.0, 4)) AS head2x,
+           ARRAY_TO_STRING(
+               LIST_TRANSFORM(embedding[1:4],
+                              x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 2.0, 4)
+                                             AS DECIMAL(14,4)) AS VARCHAR)),
+               ',') AS head2x,
            LEN(LIST_FILTER(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)),
                            x -> x > 0.0)) AS n_pos,
            ROUND(LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4)
@@ -146,15 +149,24 @@ def fn3_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic so results are bit-identical (left-to-right double
     addition in both folds), then rounded for canonical display.
     DuckDB list slicing arr[1:4] == Spark slice(arr, 1, 4) (1-based,
-    4 elements)."""
+    4 elements). head2x goes out as a comma-joined string of
+    DECIMAL(14,4) renderings — raw array cells crash the driver's
+    pandas canonicalizer, and decimal formatting (unlike double→string)
+    is digit-identical across engines (no scientific notation)."""
     em = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     return em.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e1"),
-        F.transform(
-            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double") * 2.0, 4)
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.round(x.cast("double") * 2.0, 4)
+                .cast("decimal(14,4)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("head2x"),
         F.size(F.filter(dbl, lambda x: x > 0.0)).alias("n_pos"),
         F.round(F.array_max(dbl), 4).alias("mx"),

