@@ -22,6 +22,10 @@ FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 SESSION_GAP_S = 1800  # 30-minute inactivity gap, strict (gap > 1800 splits)
 TOP_PATHS = 20
 FUZZY_MAX_DIST = 2
+# length-bucket width for j10's composite blocking key; must be >=
+# FUZZY_MAX_DIST so names within the edit-distance bound land in the
+# same or adjacent buckets (2-probe coverage)
+_LEN_BUCKET = 3
 
 
 @register(
@@ -243,28 +247,50 @@ def an3_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution join: part records whose names are within
-    edit distance {FUZZY_MAX_DIST}, candidate-blocked on brand — the
-    standard blocked fuzzy-match (dedupe/record-linkage) pattern:
-    equi-join on a cheap blocking key first, pay the O(len^2) edit
-    distance only within blocks, never all-pairs.
+    edit distance {FUZZY_MAX_DIST}, candidate-blocked on a COMPOSITE
+    key — the standard blocked fuzzy-match (dedupe/record-linkage)
+    pattern: equi-join on a cheap blocking key first, pay the O(len*k)
+    edit distance only within blocks, never all-pairs.
 
-    Shape: a self equi-join on p_brand (hash join, co-partitioned both
-    sides) with the key inequality and the levenshtein threshold as
-    post-join filters. At 100 TB the blocking key gets finer —
-    (brand, name-length bucket, first-token) — so block sizes stay
-    bounded and the comparison count is sum-of-block-squares, tuned by
-    the key; the same plan shape serves any pluggable similarity
-    (jaro-winkler UDF, token-set ratio) since blocking does the heavy
-    lifting."""
+    Blocking key: (p_brand, floor(length(p_name)/{_LEN_BUCKET})) with
+    adjacent-bucket probing. Edit distance <= {FUZZY_MAX_DIST} bounds
+    the length delta by {FUZZY_MAX_DIST}, and bucket width
+    {_LEN_BUCKET} > {FUZZY_MAX_DIST} - 1 means matching names sit in
+    the SAME or ADJACENT buckets — so each record emits two probe rows
+    (its bucket and bucket+1) and a pair is enumerated exactly once,
+    where probe == max(bucket_a, bucket_b). Recall is guaranteed by
+    construction; the length-gap guard stays as a residual filter
+    inside matched buckets.
+
+    Why this survives 100x data where brand-only blocking dies: with
+    ~25 brands, block size grows linearly with the corpus and
+    comparisons as sum-of-block-squares — 10,000x the levenshtein work
+    at 100x rows, with the length filter applied only AFTER the join
+    enumerates each pair. The composite key prunes at HASH TIME: block
+    cardinality scales with brands x length-buckets, and within a
+    block every candidate already has a compatible length. The same
+    2-probe scheme extends to any 1-D bucketed blocking attribute
+    (prefix token, phonetic code) when lengths alone are too coarse."""
+    par = spark.sparkContext.defaultParallelism
     part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand"
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.floor(F.length("p_name") / _LEN_BUCKET).alias("lb"),
     )
-    a = part.alias("a")
-    b = part.alias("b")
+    # 2 probe rows per record cover {same bucket, adjacent buckets}
+    probed = part.withColumn(
+        "pb", F.explode(F.array(F.col("lb"), F.col("lb") + 1))
+    )
+    # the stream side must be partitioned for the DP work to
+    # parallelize: a small `part` file is one split, and a broadcast
+    # join would run every levenshtein in a single task (measured 32x
+    # serialization at sf0.1); one tiny shuffle on the blocking key
+    # buys 32-way comparison parallelism and scale-out skew spread
+    a = probed.repartition(par, "p_brand", "pb").alias("a")
+    b = probed.alias("b")
     # banded DP: levenshtein with a threshold early-exits (returns -1
-    # past the bound) — O(len*k) per pair instead of O(len^2); the
-    # length guard is a sound pre-filter (edit distance >= length gap)
-    # that prunes pairs before any DP runs
+    # past the bound) — O(len*k) per pair instead of O(len^2)
     dist = F.levenshtein(
         F.col("a.p_name"), F.col("b.p_name"), FUZZY_MAX_DIST
     )
@@ -274,11 +300,23 @@ def j10_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
+            # ONE condition expression, cheapest predicates first:
+            # Catalyst merges a separate .filter(dist) into the join
+            # condition AHEAD of the cheap guards (measured — every
+            # candidate paid the DP before any pruning), so the
+            # guards-then-DP order is pinned here explicitly
             (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.pb") == F.col("b.pb"))
+            # each pair matches at exactly one probe: the larger bucket
+            & (
+                F.col("a.pb")
+                == F.greatest(F.col("a.lb"), F.col("b.lb"))
+            )
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (len_gap <= FUZZY_MAX_DIST),
+            & (len_gap <= FUZZY_MAX_DIST)
+            & (dist >= 0)
+            & (dist <= FUZZY_MAX_DIST),
         )
-        .filter((dist >= 0) & (dist <= FUZZY_MAX_DIST))
         .select(
             F.col("a.p_partkey").alias("key1"),
             F.col("b.p_partkey").alias("key2"),
