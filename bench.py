@@ -84,11 +84,13 @@ def main() -> None:
     # warm on this corpus is ~7x (compile-dominated).
     for name in BENCH_QUERIES:
         run_query(qs, name, spark, sf_dir)
-    # two timed passes, min per query: the first pass still contends with
-    # in-flight background C2 compilation of the warmup's generated code;
-    # min-of-2 reads through that to steady state.
+    # three timed passes, min per query: the first pass still contends
+    # with in-flight background C2 compilation of the warmup's generated
+    # code, and the round-2 record showed ambient driver-machine load can
+    # inflate a single pass by >1.3x — min-of-3 reads through both to
+    # steady state (~6 s/pass at sf0.1).
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             t = round(run_query(qs, name, spark, sf_dir), 3)
             timings[name] = min(timings.get(name, t), t)
@@ -119,11 +121,20 @@ def main() -> None:
     if os.path.exists(base_path):
         base = json.load(open(base_path))
         if base.get("sf") == sf:
+            base_ext = base.get("extended", {})
             regressions = {
                 n: {"now": t, "baseline": base["queries"][n]}
                 for n, t in timings.items()
                 if n in base["queries"] and t > 1.3 * base["queries"][n]
             }
+            # the LLM-pipeline representatives regress too: track them
+            # against the baseline's extended map so a scale hazard
+            # (e.g. round 2's j10) is visible round-over-round
+            regressions.update({
+                n: {"now": t, "baseline": base_ext[n]}
+                for n, t in extended.items()
+                if n in base_ext and t > 1.3 * base_ext[n]
+            })
             out["baseline_total"] = base["total"]
             out["regressions"] = regressions
     print(json.dumps(out))
