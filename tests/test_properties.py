@@ -243,6 +243,97 @@ def test_winnowing_random_corpus_matches_reference(spark):
         assert got.get(doc_id, set()) == expect, (doc_id, text)
 
 
+def test_winnowing_arrow_kernel_equals_relational(spark):
+    """tx10's Arrow kernel == the relational winnowing form on a
+    seeded-random mixed corpus (ASCII + non-ASCII + edge docs): the
+    round-3 kernel swap may not change a single fingerprint."""
+    import random
+
+    from etl_project_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    rng = random.Random(20260814)
+    alphabet = "ab cd!\tXY.zé漢"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(40)
+    ] + [(40, "a" * 30), (41, "Aa" * 15), (42, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def as_sets(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        return got
+
+    assert as_sets(winnow_fingerprints_arrow(spark, docs)) == as_sets(
+        winnow_fingerprints(docs)
+    )
+
+
+def _rabin_winnow_py(text: str, k: int, w: int) -> set[int]:
+    """Pure-Python reference of tx11: Rabin codepoint-polynomial hash
+    computed by the O(1) ROLLING recurrence (the streaming form), then
+    the same min-per-window winnowing selection."""
+    from etl_project_spark.operators.text import RABIN_B, RABIN_P
+
+    lt = text.lower()
+    if len(lt) < k + w - 1:
+        return set()
+    cps = [ord(c) for c in lt]
+    top = pow(RABIN_B, k - 1, RABIN_P)
+    h = 0
+    for c in cps[:k]:
+        h = (h * RABIN_B + c) % RABIN_P
+    hs = [h]
+    for i in range(1, len(cps) - k + 1):
+        h = ((h - cps[i - 1] * top) * RABIN_B + cps[i + k - 1]) % RABIN_P
+        hs.append(h)
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_rabin_winnowing_matches_rolling_reference(spark, sf_dir):
+    """tx11's vectorized dot-product kernel == the O(1) rolling
+    recurrence on random text (they are the same polynomial), and the
+    MOSS guarantee carries over to the cheap hash."""
+    import random
+
+    from etl_project_spark.operators.text import WINNOW_K, WINNOW_W
+    from etl_project_spark.registry import get
+
+    rng = random.Random(20260815)
+    alphabet = "ab cd!\tXY.zé漢"
+    shared = "the quick brown fox jumps"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(40)
+    ] + [
+        (40, "alpha beta gamma " + shared + " tail one"),
+        (41, "completely different lead-in, then " + shared + "!"),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # tx11 loads the documents table from a dir; stage the corpus as
+        # one with the same (doc_id, text) columns
+        pdf.to_parquet(os.path.join(td, "documents.parquet"))
+        got: dict[int, set] = {}
+        for r in get("tx11_rabin_winnowing").fn(spark, td).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, text in rows:
+        assert (
+            got.get(doc_id, set())
+            == _rabin_winnow_py(text, WINNOW_K, WINNOW_W)
+        ), (doc_id, text)
+    assert got[40] & got[41], "shared substring must share a fingerprint"
+
+
 def _shingles_py(text: str, n: int = 3) -> list[str]:
     """Pure-Python reference of the _shingles contract: distinct word
     n-grams in first-occurrence order; documents shorter than n tokens
