@@ -1,0 +1,100 @@
+"""Measure approximate-ANN recall vs the exact baseline and record it.
+
+The x3 (sign-LSH bucketed) and x4 (IVF nprobe) top-k paths are
+rows-only in the driver's differential gate (their output is defined by
+the index, not by SQL-expressible math), so their quantitative signal —
+set recall of (query, neighbor) pairs against x1's exact brute-force
+top-k, the same metric the pytest floor asserts — is recorded here as a
+committed artifact (RECALL.json) instead of living only inside a test
+run. dd5b's SimHash multi-probe is included as pair-recall vs the exact
+Hamming-ball join it is proven equal to in pytest (recall 1.0 by
+construction; recorded to keep the claim honest round over round).
+
+Usage: python tools/measure_recall.py [sf_dir ...]   (default sf0.01 sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from etl_project_spark.registry import get  # noqa: E402
+from etl_project_spark.session import get_spark  # noqa: E402
+
+
+def pair_set(df, a: str, b: str) -> set[tuple]:
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    spark = get_spark("measure-recall")
+    out: dict[str, dict] = {}
+    for sf_dir in sf_dirs:
+        sf = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        exact = pair_set(
+            get("x1_topk_cosine_exact").fn(spark, sf_dir),
+            "query_id",
+            "neighbor_id",
+        )
+        entry: dict[str, dict] = {}
+        for name in ("x3_lsh_bucketed_topk", "x4_ivf_topk"):
+            approx = pair_set(
+                get(name).fn(spark, sf_dir), "query_id", "neighbor_id"
+            )
+            entry[name] = {
+                "recall_at_k": round(len(approx & exact) / len(exact), 4),
+                "exact_pairs": len(exact),
+                "returned_pairs": len(approx),
+            }
+        # multiprobe vs the brute-force Hamming join (same signatures):
+        # block-pigeonhole guarantees recall 1.0 within radius 7
+        from etl_project_spark.catalog import load_table
+        from etl_project_spark.operators.dedup import (
+            simhash64,
+            simhash_neardup_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        probe = pair_set(
+            simhash_neardup_pairs(spark, docs), "doc_a", "doc_b"
+        )
+        sigs = simhash64(
+            docs,
+            F.array_distinct(F.split(F.lower(F.col("text")), " ")),
+        )
+        a, b = sigs.alias("a"), sigs.alias("b")
+        brute = pair_set(
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 7),
+            "doc_a",
+            "doc_b",
+        )
+        entry["dd5b_simhash_multiprobe"] = {
+            "recall_vs_bruteforce": round(
+                len(probe & brute) / len(brute), 4
+            )
+            if brute
+            else 1.0,
+            "bruteforce_pairs": len(brute),
+            "returned_pairs": len(probe),
+        }
+        out[sf] = entry
+    with open("RECALL.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
