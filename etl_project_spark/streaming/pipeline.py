@@ -100,6 +100,65 @@ def keyed_session_stats(
     )
 
 
+def session_paths_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of the an3 session-path miner
+    (operators/analytics.py): sessionize each user's event stream and
+    emit one ordered 'a>b>c' path row per CLOSED session; the path
+    popularity ranking is then a tiny batch aggregate over this stream's
+    sink (sessions are the reduction — paths-per-count is O(distinct
+    paths), not O(events)).
+
+    Boundary parity with the batch lag/cumsum rule (strict: gap >
+    ``gap_s`` splits) is exact, not approximate: the batch rule compares
+    SECOND-FLOORED epochs (``cast long`` truncates), so the stream
+    windows on ``date_trunc('second', ts)`` with a ``gap_s + 1`` second
+    session_window — merge iff floored-delta < gap_s + 1 iff
+    floored-delta <= gap_s, the batch predicate. Raw ts stays in the
+    collect struct so within-session ordering keeps the (ts, event_id)
+    tie-break. Replay equality with an3's top paths is pinned in
+    tests/test_ingest_streaming.py.
+
+    At scale: state is one open session per (user, gap-chain) in the
+    state store (same user_id hash shuffle as the batch window),
+    evicted as the watermark passes; late events within the watermark
+    merge/extend sessions exactly like the batch recompute would."""
+    ev = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts_s"),
+        "event_id",
+        "event_type",
+    )
+    return (
+        ev.withWatermark("ts_s", watermark)
+        .groupBy(
+            F.session_window("ts_s", f"{gap_s + 1} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "path",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -453,3 +453,48 @@ def test_stateful_latest_snapshot_matches_batch_cdc1(spark, sf_dir, tmp_path):
         for r in cdc1_latest_snapshot(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_streaming_session_paths_match_batch_an3(spark, sf_dir, tmp_path):
+    """AvailableNow session_window sessionization == an3's lag/cumsum
+    sessionization: after replaying the whole events table, the
+    per-session path rows aggregate to exactly an3's top paths
+    (including the strict gap>1800 boundary and (ts, event_id)
+    tie-breaks)."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import get
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_sessions")
+    # append-mode sessions emit only once the watermark passes their
+    # gap; a sentinel far past the last event closes every real
+    # session (its own open session is never emitted — filtered below)
+    sentinel_ts = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 6 HOURS")).alias("t")
+    ).collect()[0]["t"]
+    sentinel = (
+        ev.limit(1)
+        .withColumn("ts", F.lit(sentinel_ts).cast(dict(ev.dtypes)["ts"]))
+        .withColumn("user_id", F.lit(-1).cast("long"))
+    )
+    ev.unionByName(sentinel).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    sessions = sp.session_paths_stream(stream)
+    sp.run_available_now(
+        sessions,
+        str(tmp_path / "ck_sessions"),
+        output_mode="append",
+        queryName="sess_paths_test",
+    )
+    got = (
+        spark.sql("SELECT * FROM sess_paths_test")
+        .filter(F.col("user_id") >= 0)  # drop the sentinel user
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+        .collect()
+    )
+    expected = get("an3_session_paths").fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
