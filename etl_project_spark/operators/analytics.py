@@ -352,8 +352,11 @@ def a8_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row union — the second stage is O(days), independent of
     event count."""
     ev = load_table(spark, sf_dir, "events")
+    # lgConfigK pinned to 14 so the sketch's error budget matches the
+    # registered rtol (rse ~0.8%, 3-sigma ~2.5%); Spark's default lgK=12
+    # would make 2.5% only ~1.5 sigma once the sketch leaves sparse mode
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sketch")
+        F.hll_sketch_agg("user_id", 14).alias("sketch")
     )
     return daily.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_est")
@@ -476,14 +479,18 @@ def an5_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the expensive part — building the edge relation — is
     ONE fact shuffle (lineitem⋈orders; all dims broadcast, the j7
-    plan) and is persisted, so the 5 iterations run over the tiny
-    (nation, nation) transition relation without ever re-scanning the
-    corpus; each iteration is a broadcast join over |V| rows. At real
-    graph scale the same loop runs with rank/edges co-partitioned by
-    vertex key (each iteration = one shuffle), fixed iteration count
-    keeps the plan static, and checkpointing every ~10 rounds truncates
-    lineage. The oracle unrolls the same iterations as nested CTEs —
-    fixed-point arithmetic parity within round(6)."""
+    plan), executed exactly once: the transition relation is bounded by
+    |nations|^2 = 625 rows, so it is collected to the driver and
+    re-created as a local frame — the 5 iterations never touch the
+    corpus again, every per-iteration join is a broadcast over |V|
+    rows, and no persisted block outlives the call (a .persist() here
+    leaked one cached relation per invocation across a long-lived
+    session — bench loops, the 130-query registry sweep). At real
+    graph scale (edges too big to collect) the same loop runs with
+    rank/edges co-partitioned by vertex key, persisted+checkpointed
+    every ~10 rounds, each iteration one shuffle. The oracle unrolls
+    the same iterations as nested CTEs — fixed-point arithmetic parity
+    within round(6)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -505,14 +512,17 @@ def an5_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    trans = edges.select(
+    trans_rows = edges.select(
         "src",
         "dst",
         (
             F.col("w").cast("double")
             / F.sum("w").over(Window.partitionBy("src"))
         ).alias("p"),
-    ).persist()  # one corpus scan total; iterations reuse the 600-row result
+    ).collect()  # one corpus scan total; <=625 rows by construction
+    trans = spark.createDataFrame(
+        trans_rows, "src string, dst string, p double"
+    )
     nodes = (
         trans.select(F.col("src").alias("nation"))
         .union(trans.select(F.col("dst").alias("nation")))

@@ -154,6 +154,50 @@ def read_json_with_quarantine(
     return good, quarantine
 
 
+def s3a_write_conf(committer: str = "magic") -> dict[str, str]:
+    """K3: the Spark conf block for correct, fast parquet writes to
+    ``s3a://`` destinations — the settings a real deployment passes to
+    :func:`etl_project_spark.session.get_spark` via ``extra_conf``.
+
+    Why each key (all public Hadoop S3A / Spark cloud-integration
+    switches): S3 has no atomic directory rename, so the default
+    FileOutputCommitter (rename-based, O(data) on S3, non-atomic) must
+    be replaced with an S3A committer — ``magic`` streams task output
+    straight to the final destination using S3 multipart uploads that
+    only materialize on job commit (zero-rename, atomic-enough);
+    ``partitioned``/``staging`` are the alternatives when the cluster
+    lacks consistent listing. The two committer-protocol classes bind
+    Spark's commit protocol to the Hadoop PathOutputCommitter family.
+    Credentials resolve through the standard provider chain (env vars,
+    instance profile) — never inline keys in code or conf files.
+
+    The sandbox has no object store, so this stays config the tests
+    can only construct and type-check (tests/test_layout.py) — but it
+    is the exact block the tested ``file://`` write path needs to run
+    against S3, since every writer here goes through the same Hadoop
+    FileSystem abstraction."""
+    return {
+        # zero-rename commit: stream multipart uploads to the final
+        # paths, complete them only at job commit
+        "spark.hadoop.fs.s3a.committer.name": committer,
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        # credential chain: env -> profile -> instance role; no static keys
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        ),
+        # throughput: parallel multipart upload from memory/disk buffers
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.threads.max": "64",
+    }
+
+
 def upload_object(
     spark: SparkSession, local_path: str, dest_uri: str
 ) -> None:
