@@ -46,6 +46,7 @@ BENCH_QUERIES = [
 # comparable against BENCH_BASELINE.json round over round.
 EXTENDED_QUERIES = [
     "dd4_minhash_lsh_pairs",
+    "dd8_jaccard_prefix_join",
     "dd7_dup_clusters",
     "dd5b_simhash_multiprobe",
     "x3_lsh_bucketed_topk",

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import load_table
@@ -155,6 +155,119 @@ def dd3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+DD8_TAU = 0.5  # same threshold/metric as dd4 — dd8 is its exact twin
+
+
+@register(
+    "dd8_jaccard_prefix_join",
+    # identical metric and threshold to dd4's oracle: exact quadratic
+    # shingle-Jaccard pairs over the whole corpus
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+               AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+          >= {DD8_TAU}
+    """,
+)
+def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT whole-corpus n-gram (3-shingle) Jaccard near-dup pairs at
+    threshold {DD8_TAU} WITHOUT a quadratic stage — the prefix-filtered
+    inverted-index self-join (the Vernica et al. / PPJoin candidate
+    rule). Completes the Jaccard triangle: dd3 = bounded quadratic
+    ground truth, dd4 = MinHash approximation (whose band collisions
+    make recall probabilistic), dd8 = exact at corpus scale with a
+    DETERMINISTIC completeness guarantee.
+
+    The candidate rule: order every document's shingles by (global
+    frequency asc, shingle) — a total order that puts each doc's
+    RAREST shingles first — and index only each doc's first
+    |A| - ceil(tau*|A|) + 1 shingles. Two sets with Jaccard >= tau
+    must share an element inside both prefixes (else the overlap
+    bound ceil(tau/(1+tau)*(|A|+|B|)) is violated), so the equi-join
+    on PREFIX postings finds every qualifying pair, while frequent
+    shingles — the quadratic blowup of a naive postings self-join —
+    sit in almost no one's prefix. A symmetric length filter
+    (tau <= |B|/|A| <= 1/tau) prunes at hash time. Shingles (not bare
+    tokens) are the set universe deliberately: this corpus has a
+    31-word vocabulary, so token prefixes can't discriminate
+    (measured 3.7M candidates for 965k true pairs), while 3-gram
+    prefixes are near-unique.
+
+    Verification is reduce-side (Vernica's form): candidates join the
+    per-doc shingle arrays and compute exact Jaccard via
+    array_intersect in codegen — pairs x 1 rows, not pairs x tokens;
+    the array side broadcasts at test scale and becomes a doc_id hash
+    join at corpus scale. The jaccard value is a ratio of exact
+    integers (bit-identical across engines, dd3/dd4 precedent)."""
+    tau = DD8_TAU
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(3).alias("sh")
+    )
+    sizes = docs.select("doc_id", "sh", F.size("sh").alias("sz"))
+    post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    prefix = (
+        post.join(freq, "s")
+        .withColumn("rn", F.row_number().over(by_rarity))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sz", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= tau forces tau <= |B|/|A| <= 1/tau
+            & (F.col("b.sz") * F.lit(1.0) >= F.col("a.sz") * tau)
+            & (F.col("a.sz") * F.lit(1.0) >= F.col("b.sz") * tau),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        # verification is CPU-bound (array intersections), not
+        # byte-bound: pin parallelism so AQE's byte-based coalescing
+        # can't serialize it onto one task (the j10 lesson)
+        .repartition(par, "doc_a")
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
     )
 
 

@@ -82,6 +82,7 @@ def register(
 _FRONT_QUERIES = [
     # round-3 additions
     "tx11_rabin_winnowing",
+    "dd8_jaccard_prefix_join",
     # pipeline (6)
     "pp1_token_shard_packing", "pp2_contamination_check",
     "pp3_quality_funnel", "pp4_source_mixture", "pp5_repeated_ngrams",

@@ -160,3 +160,20 @@ def test_simhash_multiprobe_exact_and_recall(spark, sf_dir):
     assert planted, "corpus has no planted near-dups"
     recall = len(got & planted) / len(planted)
     assert recall >= 0.8, f"multiprobe recall {recall:.2f} vs planted pairs"
+
+
+def test_prefix_join_equals_lsh_verified_pairs(spark, sf_dir):
+    """dd8 (exact prefix-filtered Jaccard join) == dd4 (MinHash-LSH
+    verified pairs) on the test corpus: both are exact pair sets here —
+    dd8 deterministically, dd4 because every planted near-dup sits far
+    above the s-curve knee and verification removes false positives —
+    so their outputs must agree pair for pair, value for value."""
+    dd8 = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in get("dd8_jaccard_prefix_join").fn(spark, sf_dir).collect()
+    }
+    dd4 = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in get("dd4_minhash_lsh_pairs").fn(spark, sf_dir).collect()
+    }
+    assert dd8 == dd4
