@@ -1,0 +1,238 @@
+"""Embedding clustering + semantic dedup — the SemDeDup-shaped pair a
+training-data pipeline runs over an embedded corpus: k-means partitions
+the space, then near-duplicate pruning pays its quadratic cost only
+WITHIN clusters (Abbas et al.'s SemDeDup recipe, re-expressed on
+DataFrames).
+
+Differential-checkability is the hard part of iterative clustering: a
+float k-means diverges across engines because sum order perturbs means,
+means perturb assignments, and one flipped assignment cascades. km1
+sidesteps the whole class: embeddings are quantized once to int64
+(floor(x*10^4 + 0.5), the x7 rule), distances are exact integer sums
+(associative — order cannot matter), and centroid updates re-quantize
+through floor(sum/n + 0.5) where sum is an exact int64 — every engine
+computes bit-identical assignments at every iteration, so the DuckDB
+oracle (the same 3 Lloyd iterations unrolled as CTEs, an5's PageRank
+trick) hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+KM_K = 8  # clusters
+KM_ITERS = 3  # Lloyd iterations (fixed — static plan, an5 precedent)
+KM_DIM = 64  # embedding width of the corpus
+KM_QSCALE = 10000  # quantization: floor(x*1e4 + 0.5), exact in int64
+SD_TAU = 0.4  # semantic-dedup cosine threshold (dd6's corpus-aware bar)
+
+_DIST = (
+    "list_sum(list_transform(list_zip(e.q, c.q), "
+    "p -> (struct_extract(p, 1) - struct_extract(p, 2))"
+    " * (struct_extract(p, 1) - struct_extract(p, 2))))"
+)
+
+
+def _km_oracle_ctes() -> str:
+    """The km1 iterations unrolled as DuckDB CTEs (e0 = quantized
+    vectors, c0 = seed centroids, a{k}/c{k} = assignment/update)."""
+    parts = [
+        f"""
+    WITH e0 AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * {KM_QSCALE} + 0.5) AS BIGINT))
+                   AS q
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cl, q FROM e0 WHERE vec_id < {KM_K}
+    )"""
+    ]
+    for k in range(1, KM_ITERS + 1):
+        parts.append(f""", a{k} AS (
+        -- tie-break packed into one exact BIGINT: dist*K + cl picks
+        -- the lowest cluster id among equal distances (dist < 2^42,
+        -- so the pack cannot overflow or collide)
+        SELECT e.vec_id,
+               arg_min(c.cl, ({_DIST}) * {KM_K} + c.cl) AS cl
+        FROM e0 e CROSS JOIN c{k - 1} c
+        GROUP BY e.vec_id
+    )""")
+        if k < KM_ITERS:
+            parts.append(f""", c{k} AS (
+        SELECT cl, list(ci ORDER BY i) AS q
+        FROM (
+            SELECT a.cl, g.i,
+                   CAST(FLOOR(CAST(SUM(e.q[g.i]) AS DOUBLE) / COUNT(*) + 0.5)
+                        AS BIGINT) AS ci
+            FROM a{k} a JOIN e0 e USING (vec_id)
+            CROSS JOIN generate_series(1, {KM_DIM}) AS g(i)
+            GROUP BY a.cl, g.i
+        ) GROUP BY cl
+    )""")
+    return "".join(parts)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * KM_QSCALE + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) after KM_ITERS integer-exact Lloyd iterations.
+
+    Seeds are the KM_K lowest vec_ids (engine-neutral; production
+    swaps in k-means|| — the loop is init-agnostic). Per iteration:
+    assignment is one numpy int64 kernel per Arrow batch (exact —
+    integer adds are associative, so numpy's reduction order is
+    irrelevant), and the centroid update aggregates exact integer
+    sums per (cluster, dim) — a 512-row collect per iteration steers
+    the next broadcast, the same bounded-driver-pull pattern as the
+    IVF centroids (similarity.py). The corpus is scanned once per
+    iteration; at 100 TB persist the quantized projection and
+    checkpoint like an5."""
+    embq = _quantized(spark, sf_dir)
+    seeds = sorted(
+        embq.filter(F.col("vec_id") < KM_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    clusters = [int(r["vec_id"]) for r in seeds]
+    C = np.array([r["q"] for r in seeds], dtype=np.int64)
+
+    assign = None
+    for it in range(KM_ITERS):
+        assign = _assign_kernel(embq, clusters, C)
+        if it < KM_ITERS - 1:
+            sums = (
+                assign.join(embq, "vec_id")
+                .select("cluster", F.posexplode("q").alias("i", "v"))
+                .groupBy("cluster", "i")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cl: dict[int, list] = {}
+            for r in sums:
+                by_cl.setdefault(int(r["cluster"]), [None] * KM_DIM)[
+                    int(r["i"])
+                ] = math.floor(int(r["s"]) / int(r["n"]) + 0.5)
+            clusters = sorted(by_cl)
+            C = np.array([by_cl[cl] for cl in clusters], dtype=np.int64)
+    return assign
+
+
+def _assign_kernel(
+    embq: DataFrame, clusters: list[int], C: np.ndarray
+) -> DataFrame:
+    bC = embq.sparkSession.sparkContext.broadcast((clusters, C))
+
+    def kernel(batches):
+        cls, cen = bC.value
+        cls = np.array(cls, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            diff = M[:, None, :] - cen[None, :, :]
+            d = (diff * diff).sum(axis=2)  # exact int64; max ~4e11
+            # argmin returns the FIRST minimum: cls ascending = the
+            # lowest-cluster-id tie-break the oracle's arg_min uses
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": cls[np.argmin(d, axis=1)],
+                }
+            )
+
+    return embq.mapInPandas(kernel, schema="vec_id long, cluster long")
+
+
+@register(
+    "km1_kmeans_lloyd",
+    oracle=_km_oracle_ctes()
+    + f"""
+    SELECT vec_id, cl AS cluster FROM a{KM_ITERS}
+    """,
+)
+def km1_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus: {KM_K} clusters, {KM_ITERS}
+    Lloyd iterations, integer-exact arithmetic (module docstring) so
+    the unrolled-CTE oracle hash-matches the per-vector assignment —
+    a differential check most engines can't run on float k-means at
+    all. The iterative-algorithm pattern beyond an5's PageRank: here
+    the per-iteration state (centroids) is driver-small while the
+    assignment stays distributed."""
+    return kmeans_assignments(spark, sf_dir)
+
+
+@register(
+    "sd1_semantic_dedup",
+    oracle=_km_oracle_ctes()
+    + f""", v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS keep, b.vec_id AS drop_
+        FROM a{KM_ITERS} a JOIN a{KM_ITERS} b
+          ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE list_dot_product(va.e, vb.e)
+              / (sqrt(list_dot_product(va.e, va.e))
+                 * sqrt(list_dot_product(vb.e, vb.e)))
+              >= {SD_TAU}
+    )
+    SELECT drop_ AS vec_id, MIN(keep) AS keeper_id
+    FROM pairs GROUP BY drop_
+    """,
+)
+def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicate pruning, clustered first so
+    the pairwise cosine pays out only within clusters — the recipe
+    that makes embedding dedup tractable on a billion-document corpus
+    (clusters bound the quadratic; cross-cluster near-dups are the
+    accepted recall loss, measured here against dd6's exact pair join
+    in pytest). Output: each pruned vector with its keeper (the lowest
+    surviving vec_id it duplicates), ids only — dd6's rule, so
+    cross-engine ulp noise can't perturb the hash; threshold
+    {SD_TAU} sits 1e-5 clear of any pair in the corpus.
+
+    Plan: km1's integer-exact assignment (deterministic clusters),
+    then one numpy GEMM per cluster inside applyInPandas — dd6's
+    kernel with the cluster id as the bucket column, the 100 TB shape
+    (groups parallelize across executors, no global pair space)."""
+    assign = kmeans_assignments(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    clustered = emb.join(assign, "vec_id")
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.vstack(pdf["e"].to_numpy()[order])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sim = m @ m.T
+        ia, ib = np.nonzero(np.triu(sim >= SD_TAU, k=1))
+        return pd.DataFrame({"keep": ids[ia], "drop_": ids[ib]})
+
+    return (
+        clustered.groupBy("cluster")
+        .applyInPandas(pairs, "keep long, drop_ long")
+        .groupBy("drop_")
+        .agg(F.min("keep").alias("keeper_id"))
+        .select(F.col("drop_").alias("vec_id"), "keeper_id")
+    )

@@ -83,6 +83,8 @@ _FRONT_QUERIES = [
     # round-3 additions
     "tx11_rabin_winnowing",
     "dd8_jaccard_prefix_join",
+    "km1_kmeans_lloyd",
+    "sd1_semantic_dedup",
     # pipeline (6)
     "pp1_token_shard_packing", "pp2_contamination_check",
     "pp3_quality_funnel", "pp4_source_mixture", "pp5_repeated_ngrams",
@@ -126,6 +128,7 @@ _MODULE_ORDER = [
     "etl_project_spark.operators.ranking",
     "etl_project_spark.operators.cdc",
     "etl_project_spark.operators.analytics",
+    "etl_project_spark.operators.clustering",
 ]
 
 _SOURCE_MODULE: dict[str, str] = {}

@@ -80,6 +80,40 @@ def main() -> None:
             "doc_a",
             "doc_b",
         )
+        # sd1 SemDeDup: fraction of the exact cosine>=tau dropped set
+        # the clustered pruning retains (cross-cluster pairs = loss)
+        import numpy as np
+
+        from etl_project_spark.operators import clustering as km
+
+        emb_rows = sorted(
+            load_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+            .collect(),
+            key=lambda r: r["vec_id"],
+        )
+        ids = np.array([r["vec_id"] for r in emb_rows])
+        M = np.vstack([r["e"] for r in emb_rows])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        s = M @ M.T
+        _, ib = np.nonzero(np.triu(s >= km.SD_TAU, k=1))
+        exact_dropped = {int(ids[b]) for b in ib}
+        pruned = {
+            r["vec_id"]
+            for r in get("sd1_semantic_dedup").fn(spark, sf_dir).collect()
+        }
+        entry["sd1_semantic_dedup"] = {
+            "recall_vs_exact_drops": round(
+                len(pruned & exact_dropped) / len(exact_dropped), 4
+            )
+            if exact_dropped
+            else 1.0,
+            "exact_drops": len(exact_dropped),
+            "pruned": len(pruned),
+        }
         entry["dd5b_simhash_multiprobe"] = {
             "recall_vs_bruteforce": round(
                 len(probe & brute) / len(brute), 4
