@@ -245,6 +245,96 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mm5 aHash geometry: the 16x8 image pools 2x1 to an 8x8 grid; each
+# cell's gray value is the exact integer sum of its 6 RGB bytes, and
+# bit k is set iff cell_k * 64 > total (the average-hash rule with the
+# division cleared — all-integer, so both engines agree bit for bit).
+_AHASH_CELLS = 64
+
+
+def _ahash_cell_sql(k: str) -> str:
+    """Sum of the 6 bytes of 8x8 cell ``k`` (1-based) over px.b."""
+    terms = []
+    for p in range(2):  # two pooled pixels per cell
+        for j in range(1, 4):  # r, g, b bytes
+            terms.append(
+                f"b[(({k}-1)//8*{PPM_W} + 2*(({k}-1)%8) + {p})*3 + {j}]"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "mm5_perceptual_hash_dedup",
+    oracle=_PX_CTE
+    + f""", g AS (
+        SELECT doc_id,
+               [{_ahash_cell_sql('k')}
+                FOR k IN generate_series(1, {_AHASH_CELLS})] AS gv
+        FROM px
+    ), sig AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(list_transform(
+                   generate_series(1, {_AHASH_CELLS}),
+                   k -> CASE WHEN gv[k] * {_AHASH_CELLS} > list_sum(gv)
+                             THEN '1' ELSE '0' END), '') AS ahash_bits
+        FROM g
+    )
+    SELECT ahash_bits, COUNT(*) AS n_media,
+           ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS media_ids
+    FROM sig GROUP BY ahash_bits HAVING COUNT(*) > 1
+    """,
+)
+def mm5_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash (aHash): REAL decode -> 2x1
+    mean-pool to an 8x8 grid -> per-cell gray integer -> 64-bit
+    signature (bit = cell brighter than the image average), bucketed on
+    the whole signature; groups >1 are perceptual duplicates. The
+    average comparison is division-cleared (cell*64 > total), so the
+    whole pipeline is exact integer arithmetic and the oracle recomputes
+    every bit from the text-derived pixel stream — a differentially
+    checked perceptual hash.
+
+    This is the image-side analogue of dd5's SimHash buckets: for
+    near-duplicate (not identical) signatures, feed these 64-bit strings
+    to the dd5b block-pigeonhole multi-probe join — the same Hamming
+    machinery applies unchanged. Per-row decode, Arrow-batched, one
+    bucket shuffle; at 100 TB the signature becomes a stored column and
+    dedup is a groupBy over it."""
+    m = media_table(spark, sf_dir)
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_ppm(bytes(buf)).astype(np.int64)
+                h, w, _ = img.shape
+                G = img.reshape(h, w // 2, 2, 3).sum(axis=(2, 3))
+                flat = G.reshape(-1)
+                total = int(flat.sum())
+                bits = "".join(
+                    "1" if int(g) * _AHASH_CELLS > total else "0"
+                    for g in flat
+                )
+                ids.append(media_id)
+                sigs.append(bits)
+            yield pd.DataFrame({"media_id": ids, "ahash_bits": sigs})
+
+    sigs = m.select("media_id", "payload").mapInPandas(
+        ahash, schema="media_id long, ahash_bits string"
+    )
+    return (
+        sigs.groupBy("ahash_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.array_join(
+                F.array_sort(F.collect_list("media_id")).cast("array<string>"),
+                ",",
+            ).alias("media_ids"),
+        )
+        .filter(F.col("n_media") > 1)
+    )
+
+
 @register(
     "mm4_media_resize",
     oracle=_PX_CTE
