@@ -199,23 +199,17 @@ def x3_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x4_ivf_topk", oracle=None)  # approximate — rows-only
 def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: partition vectors into Voronoi cells
-    around deterministic centroids (hash-seeded sample), probe the
-    nprobe closest cells per query, exact-rerank inside.
+    around deterministic Lloyd-refined centroids (integer-exact k-means,
+    operators/clustering), probe the nprobe closest cells per query,
+    exact-rerank inside.
 
     Centroid assignment is one numpy GEMM per Arrow batch (mapInPandas);
     at scale the cell id becomes the table's partition column, so a probe
     reads nprobe/ncells of the data."""
     n_cells, nprobe = 8, 2
     emb = load_table(spark, sf_dir, "embeddings")
-    # deterministic centroids: the 8 vectors with smallest xxhash64(vec_id)
-    seeds = (
-        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h")
-        .limit(n_cells)
-        .collect()
-    )
-    C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    # deterministic Lloyd-refined centroids (see ivf_centroids)
+    C = ivf_centroids(spark, sf_dir, n_cells)
     bC = emb.sparkSession.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -288,17 +282,22 @@ def x5_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- persisted IVF index: build once, probe with partition pruning ----------
 
 
-def ivf_centroids(emb: DataFrame, n_cells: int) -> np.ndarray:
-    """Deterministic unit-norm centroids: the ``n_cells`` vectors with
-    the smallest xxhash64(vec_id) — a seedless reproducible sample (the
-    same rule x4 uses, so index and ad-hoc paths agree)."""
-    seeds = (
-        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h")
-        .limit(n_cells)
-        .collect()
+def ivf_centroids(spark: SparkSession, sf_dir: str, n_cells: int) -> np.ndarray:
+    """Deterministic unit-norm centroids for the IVF paths: the
+    Lloyd-refined k-means means (operators/clustering.kmeans_centroids
+    — integer-exact iterations, so fully reproducible). Refined
+    centroids balance the Voronoi cells and nearly double recall@k at
+    a fixed probe budget vs the earlier hash-sample seeds (0.46 ->
+    0.80 at nprobe=2, recorded in RECALL.json). The same rule feeds
+    x4 and the persisted index, so ad-hoc and durable paths agree."""
+    from etl_project_spark.operators.clustering import (
+        KM_K,
+        kmeans_centroids,
     )
-    C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+
+    if n_cells != KM_K:
+        raise ValueError(f"IVF cells must match KM_K={KM_K}, got {n_cells}")
+    C = kmeans_centroids(spark, sf_dir)
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
@@ -321,7 +320,7 @@ def build_ivf_index(
     from etl_project_spark.sources.tables import _drop_table_and_location
 
     emb = load_table(spark, sf_dir, "embeddings")
-    C = ivf_centroids(emb, n_cells)
+    C = ivf_centroids(spark, sf_dir, n_cells)
     bC = spark.sparkContext.broadcast(C)
 
     def assign(batches):

@@ -73,9 +73,10 @@ def test_approx_topk_recall(spark, sf_dir, name):
     assert approx, "approximate search returned nothing"
     recall = len(approx & exact) / len(exact)
     # near-random test embeddings are ANN's hardest case; x3's 32x6
-    # config measures ~0.88 here (deterministic planes), IVF nprobe=2/8
-    # lands lower — assert with margin per path.
-    floor = 0.6 if name == "x3_lsh_bucketed_topk" else 0.3
+    # config measures ~0.88 here (deterministic planes); IVF with
+    # Lloyd-refined centroids measures ~0.80 at nprobe=2 (was ~0.46
+    # on raw hash-sample seeds) — assert with margin per path.
+    floor = 0.6
     assert recall >= floor, f"{name} recall {recall:.2f}"
 
 
