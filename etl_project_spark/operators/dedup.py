@@ -216,8 +216,17 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join at corpus scale. The jaccard value is a ratio of exact
     integers (bit-identical across engines, dd3/dd4 precedent)."""
     tau = DD8_TAU
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles(3).alias("sh")
+    par = spark.sparkContext.defaultParallelism
+    # a small corpus file is one split, and every stage here is
+    # CPU-bound on few bytes (shingling, window, verify) — AQE's
+    # byte-based coalescing would serialize them onto one task, so
+    # parallelism is pinned: partition by doc_id up front (shingling
+    # fans out AND the rarity window reuses the partitioning with no
+    # further exchange)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", _shingles(3).alias("sh"))
     )
     sizes = docs.select("doc_id", "sh", F.size("sh").alias("sz"))
     post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
@@ -225,13 +234,18 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
     prefix = (
-        post.join(freq, "s")
+        # broadcast the frequency map: post keeps its doc_id
+        # partitioning so the window needs no exchange. At corpus
+        # scale the shingle vocabulary outgrows a broadcast and this
+        # becomes a shuffle join on s — the window then re-shuffles by
+        # doc_id, the standard two-exchange prefix build.
+        post.join(F.broadcast(freq), "s")
         .withColumn("rn", F.row_number().over(by_rarity))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sz", "s")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    par = spark.sparkContext.defaultParallelism
+    a = prefix.repartition(par, "s").alias("a")
+    b = prefix.alias("b")
     cand = (
         a.join(
             b,
