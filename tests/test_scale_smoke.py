@@ -155,3 +155,56 @@ def test_connected_components_long_chain_logn_rounds(spark):
     assert wrong_small == 0 and n_small == block_n, (wrong_small, n_small)
     cc.unpersist()
     assert time.time() - t0 < 300, "CC smoke exceeded wall bound"
+
+
+def test_prefix_jaccard_join_at_200k_docs(spark, tmp_path):
+    """dd8's prefix-filtered Jaccard join on a 200k-doc synthetic corpus
+    with closed-form ground truth: doc pairs (2g, 2g+1) share a
+    20-token group vocabulary — even groups identical (jaccard 1.0),
+    odd groups differ in the last token (1 of 18 shingles changes →
+    jaccard 17/19 exactly) — and nothing is shared across groups, so
+    the exact output is one pair per group with a known value. Catches
+    quadratic candidate blowups and single-task serialization that the
+    500-doc corpus can't."""
+    n_docs = 200_000
+    g = F.col("id") / 2
+    last = F.when(
+        (F.col("id") % 2 == 1) & ((F.col("id") / 2).cast("long") % 2 == 1),
+        F.lit(21),
+    ).otherwise(F.lit(20))
+    text = F.concat_ws(
+        " ",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(19)),
+                lambda k: F.concat(
+                    F.lit("w"), g.cast("long"), F.lit("_"), k
+                ),
+            ),
+            F.array(
+                F.concat(F.lit("w"), g.cast("long"), F.lit("_"), last)
+            ),
+        ),
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    src = str(tmp_path / "documents.parquet")
+    docs.write.parquet(src)
+
+    from etl_project_spark.registry import get
+
+    t0 = time.time()
+    rows = get("dd8_jaccard_prefix_join").fn(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"prefix join took {elapsed:.0f}s at 200k docs"
+    assert len(rows) == n_docs // 2
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    # even group: identical docs; odd group: one-token tail difference
+    assert by_pair[(0, 1)] == 1.0
+    assert abs(by_pair[(2, 3)] - 17 / 19) < 1e-12
+    assert by_pair[(4, 5)] == 1.0
+    assert (
+        abs(by_pair[(n_docs - 2, n_docs - 1)] - 17 / 19) < 1e-12
+        or by_pair[(n_docs - 2, n_docs - 1)] == 1.0
+    )
