@@ -413,3 +413,125 @@ def x7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("q"),
     )
+
+
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """The BPE trainer unrolled as DuckDB CTEs: c{k} = spaced symbol
+    sequences after k merges, t{k} = round-k winning pair (count desc,
+    pair asc). Scalar subqueries thread the chosen pair into the next
+    round's REPLACE, mirroring the Spark driver loop."""
+    parts = [
+        """
+    WITH words AS (
+        SELECT w, COUNT(*) AS n FROM (
+            SELECT UNNEST(str_split(lower(text), ' ')) AS w FROM documents
+        ) GROUP BY w
+    ), c0 AS (
+        SELECT ' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '
+                   AS s,
+               n
+        FROM words
+    )"""
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        parts.append(f""", p{k} AS (
+        SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r,
+               SUM(n) AS cnt
+        FROM (
+            SELECT n, UNNEST(list_zip(toks, toks[2:])) AS z
+            FROM (SELECT n, str_split(trim(s), ' ') AS toks FROM c{k - 1})
+        )
+        WHERE struct_extract(z, 2) IS NOT NULL
+        GROUP BY 1, 2
+    ), t{k} AS (
+        SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    )""")
+        if k < BPE_ROUNDS:
+            parts.append(f""", c{k} AS (
+        SELECT REPLACE(s,
+                       ' ' || (SELECT l FROM t{k}) || ' '
+                           || (SELECT r FROM t{k}) || ' ',
+                       ' ' || (SELECT l FROM t{k})
+                           || (SELECT r FROM t{k}) || ' ') AS s,
+               n
+        FROM c{k - 1}
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"cnt AS pair_count FROM t{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@register("bpe1_merge_table", oracle=_bpe_oracle())
+def bpe1_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, differentially checked: {BPE_ROUNDS}
+    merge rounds over the corpus vocabulary — per round, count adjacent
+    symbol pairs weighted by word frequency (overlapping occurrences
+    count, the Sennrich rule), pick the most frequent pair (ties:
+    lexicographic), and merge it everywhere. Output is the merge table
+    (round, left, right, count) — the artifact a tokenizer ships.
+
+    Merging uses single-pass non-regex REPLACE of ' l r ' -> ' lr ' on
+    the spaced symbol string — identical scan-order semantics in both
+    engines (verified: Spark replace() == DuckDB REPLACE, greedy left,
+    shared-separator occurrences skipped). For runs of 3+ repeats of
+    the same symbol this differs from the classical zero-width-boundary
+    fold (RE2 has no lookbehind, so the regex form can't be mirrored);
+    the variant is deterministic, engine-identical, and documented.
+
+    Scale shape: the corpus scan reduces to the VOCABULARY (distinct
+    words + counts) once; each round is one pair-count aggregation over
+    vocab-sized data plus a 1-row argmax pull steering the next round's
+    projection — the an5/km1 driver-loop pattern. At 100 TB the vocab
+    table is millions of rows, still trivially aggregable; rounds cost
+    O(vocab), never O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    corpus = words.select(
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" ")
+        ).alias("s"),
+        "n",
+    )
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        toks = F.split(F.trim("s"), " ")
+        zipped = F.arrays_zip(
+            toks.alias("l"),
+            F.slice(
+                toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))
+            ).alias("r"),
+        )
+        pairs = (
+            corpus.select("n", F.explode(zipped).alias("z"))
+            .filter(F.col("z.r").isNotNull())
+            .groupBy(F.col("z.l").alias("l"), F.col("z.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top["l"], top["r"], int(top["cnt"])))
+        corpus = corpus.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {top['l']} {top['r']} "),
+                F.lit(f" {top['l']}{top['r']} "),
+            ).alias("s"),
+            "n",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, pair_count long",
+    )

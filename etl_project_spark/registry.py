@@ -86,6 +86,7 @@ _FRONT_QUERIES = [
     "km1_kmeans_lloyd",
     "sd1_semantic_dedup",
     "mm5_perceptual_hash_dedup",
+    "bpe1_merge_table",
     # pipeline (6)
     "pp1_token_shard_packing", "pp2_contamination_check",
     "pp3_quality_funnel", "pp4_source_mixture", "pp5_repeated_ngrams",
