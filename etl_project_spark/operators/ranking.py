@@ -284,3 +284,69 @@ def rk3_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lm2_perplexity_score",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), p AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(t))) AS u(i)
+    ), bg AS (
+        SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2
+    ), un AS (
+        SELECT w1, SUM(c) AS wc FROM bg GROUP BY w1
+    ), m AS (
+        SELECT w1, w2, CAST(c AS DOUBLE) / wc AS cp
+        FROM bg JOIN un USING (w1)
+    )
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(cp)), 6) AS avg_logp,
+           ROUND(EXP(-AVG(LN(cp))), 6) AS perplexity
+    FROM p JOIN m USING (w1, w2)
+    GROUP BY p.doc_id
+    """,
+)
+def lm2_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram perplexity under the corpus's own LM (the
+    lm1 model applied back to its training corpus) — the classic
+    pretraining quality signal: boilerplate and templated text scores
+    low-perplexity, noise scores high, and a CCNet-style filter keeps
+    the middle. Self-scoring means every bigram is in-vocabulary;
+    held-out scoring adds smoothing to the same plan.
+
+    Shape: bigrams form array-side (lm1's zip trick) and explode once
+    with doc_id retained; the model aggregates those SAME pairs to
+    vocabulary size; scoring joins doc bigrams back to the model on
+    (w1, w2) — a hash join whose build side is the vocabulary, then
+    one doc-level aggregate. Engine parity: cond-prob is an exact
+    integer ratio; LN/AVG/EXP round(6) absorbs libm-ulp and
+    sum-order drift (~1e-13 relative, far below the 1e-6 grid)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    wc = F.sum("c").over(Window.partitionBy("w1"))
+    model = bg.select(
+        "w1", "w2", (F.col("c").cast("double") / wc).alias("cp")
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("cp")), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg(F.log("cp"))), 6).alias("perplexity"),
+        )
+    )

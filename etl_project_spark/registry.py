@@ -87,6 +87,7 @@ _FRONT_QUERIES = [
     "sd1_semantic_dedup",
     "mm5_perceptual_hash_dedup",
     "bpe1_merge_table",
+    "lm2_perplexity_score",
     # pipeline (6)
     "pp1_token_shard_packing", "pp2_contamination_check",
     "pp3_quality_funnel", "pp4_source_mixture", "pp5_repeated_ngrams",
