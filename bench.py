@@ -63,6 +63,11 @@ EXTENDED_QUERIES = [
     "an2_cohort_retention",
     "an3_session_paths",
     "j10_fuzzy_blocked_join",
+    "km1_kmeans_lloyd",
+    "sd1_semantic_dedup",
+    "mm5_perceptual_hash_dedup",
+    "bpe1_merge_table",
+    "lm2_perplexity_score",
 ]
 
 
