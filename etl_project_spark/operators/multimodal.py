@@ -44,7 +44,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata struct per row, as a multimodal lakehouse table would
     store (payload inline for small media; at scale the column holds an
     object reference and byte-range instead)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # a small corpus file is one split and the decode kernels downstream
+    # are CPU-bound — pin their parallelism here so every mm operator
+    # inherits it (the AQE byte-based-coalescing trap, see j10/dd8)
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     payload = F.encode(
         F.concat(F.lit(_PPM_HEADER), F.expr(_PIXELS_SQL)), "utf-8"
     )
