@@ -88,6 +88,7 @@ _FRONT_QUERIES = [
     "mm5_perceptual_hash_dedup",
     "bpe1_merge_table",
     "lm2_perplexity_score",
+    "ly1_zorder_key",
     # pipeline (6)
     "pp1_token_shard_packing", "pp2_contamination_check",
     "pp3_quality_funnel", "pp4_source_mixture", "pp5_repeated_ngrams",
@@ -132,6 +133,7 @@ _MODULE_ORDER = [
     "etl_project_spark.operators.cdc",
     "etl_project_spark.operators.analytics",
     "etl_project_spark.operators.clustering",
+    "etl_project_spark.sources.tables",  # ly1 z-order layout key
 ]
 
 _SOURCE_MODULE: dict[str, str] = {}

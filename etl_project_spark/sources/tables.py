@@ -26,6 +26,7 @@ SortMergeJoin without Exchange (verified in tests/test_layout.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import load_table
 from etl_project_spark.session import prepare
@@ -118,3 +119,68 @@ def create_partitioned_table(
         .format("parquet")
         .saveAsTable(name)
     )
+
+
+def _zorder_oracle() -> str:
+    """Spread-bit chain as stacked CTEs (each rebinds sd/sk through one
+    magic-mask step) — pure BIGINT ops, identical in both engines."""
+    from etl_project_spark.functions.layout import _SPREAD_MASKS
+
+    parts = [
+        """
+    WITH base AS (
+        SELECT o_orderkey,
+               DATEDIFF('day', DATE '1992-01-01', o_orderdate) AS d,
+               o_custkey % 4096 AS k
+        FROM orders
+    ), c0 AS (
+        SELECT o_orderkey, d, k, d AS sd, k AS sk FROM base
+    )"""
+    ]
+    prev = "c0"
+    for i, (shift, mask) in enumerate(_SPREAD_MASKS, 1):
+        parts.append(f""", c{i} AS (
+        SELECT o_orderkey, d, k,
+               (sd | (sd << {shift})) & {mask} AS sd,
+               (sk | (sk << {shift})) & {mask} AS sk
+        FROM {prev}
+    )""")
+        prev = f"c{i}"
+    parts.append(f"""
+    SELECT o_orderkey, d, k, sd | (sk << 1) AS zkey FROM {prev}
+    """)
+    return "".join(parts)
+
+
+def _register_zorder_query() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.functions.layout import zorder_key
+    from etl_project_spark.registry import register
+
+    @register("ly1_zorder_key", oracle=_zorder_oracle())
+    def ly1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Z-order (Morton) clustering key over orders: date ordinal x
+        customer ordinal, bit-interleaved into one 64-bit sort key —
+        the multidimensional layout primitive behind Delta/Iceberg
+        OPTIMIZE ZORDER. Sorting files by this key bounds BOTH
+        dimensions inside every parquet row group, so min/max stats
+        prune conjunctive two-column scans that partitioning (one
+        dim) and linear sorting (one dim) cannot; the pruning win is
+        measured against a linear sort in
+        tests/test_layout.py::test_zorder_bounds_both_dimensions.
+        Pure long arithmetic in whole-stage codegen, scan-local — the
+        oracle recomputes every key exactly."""
+        o = load_table(spark, sf_dir, "orders")
+        d = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        k = F.col("o_custkey") % 4096
+        return o.select(
+            "o_orderkey",
+            d.alias("d"),
+            k.alias("k"),
+            zorder_key(d, k).alias("zkey"),
+        )
+
+
+_register_zorder_query()

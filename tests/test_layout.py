@@ -217,3 +217,67 @@ def test_s3a_write_conf_constructs_and_applies(spark):
     from etl_project_spark.session import get_spark
 
     assert callable(get_spark)  # extra_conf=s3a_write_conf() is the entry
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """Z-order vs linear sort, measured on real parquet row-group
+    stats: for a conjunctive box predicate narrow in BOTH dimensions,
+    min/max pruning over the z-sorted file reads fewer row groups than
+    over the custkey-sorted file (whose groups all span the full date
+    range)."""
+    import pyarrow.parquet as pq
+
+    from etl_project_spark.registry import get
+
+    df = get("ly1_zorder_key").fn(spark, "/root/testdata/sf0.1")
+
+    def write_sorted(col, path):
+        (
+            df.coalesce(1)
+            .sortWithinPartitions(col)
+            .write.option("parquet.block.size", 65536)
+            .mode("overwrite")
+            .parquet(path)
+        )
+        import glob
+
+        f = glob.glob(path + "/part-*.parquet")[0]
+        meta = pq.ParquetFile(f).metadata
+        names = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }
+        groups = []
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            sd = rg.column(names["d"]).statistics
+            sk = rg.column(names["k"]).statistics
+            groups.append(((sd.min, sd.max), (sk.min, sk.max)))
+        return groups
+
+    zg = write_sorted("zkey", str(tmp_path / "zsort"))
+    lg = write_sorted("k", str(tmp_path / "lsort"))
+    assert len(zg) >= 8 and len(lg) >= 8, (len(zg), len(lg))
+
+    # box = the middle ~1/8 of each dimension's actual domain
+    d0 = min(g[0][0] for g in zg)
+    d1 = max(g[0][1] for g in zg)
+    k0 = min(g[1][0] for g in zg)
+    k1 = max(g[1][1] for g in zg)
+    d_lo = d0 + (d1 - d0) * 7 // 16
+    d_hi = d0 + (d1 - d0) * 9 // 16
+    k_lo = k0 + (k1 - k0) * 7 // 16
+    k_hi = k0 + (k1 - k0) * 9 // 16
+
+    def reads(groups):
+        return sum(
+            1
+            for (dmin, dmax), (kmin, kmax) in groups
+            if dmax >= d_lo and dmin <= d_hi and kmax >= k_lo and kmin <= k_hi
+        )
+
+    z_frac = reads(zg) / len(zg)
+    l_frac = reads(lg) / len(lg)
+    # linear custkey sort: every group spans the full date range, so the
+    # box prunes on custkey only (~1/8 of groups read); z-order bounds
+    # both dims, reading close to the box's area share plus boundary
+    assert z_frac < l_frac, (z_frac, l_frac)
