@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q21_waiting_suppliers",
     "a3_daily_stats",
+    # the reference's own dashboard surface (sql/Redshift_queries.sql):
+    # keyed daily stats + top-1-by-measure, perf-tracked at bench scale
+    "a3g_keyed_daily_stats",
+    "t1_top1_by_value",
     "a4_distinct_agg",
     "t2_topk_by_value",
     "j2_fact_fact_join",
@@ -82,33 +86,35 @@ def run_query(qs, name, spark, sf_dir) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
+    # the driver captures a bounded tail of stdout and parses the LAST
+    # line as JSON (round 3's record was clipped mid-line -> parsed:null):
+    # keep stdout pristine — no Spark console progress, and the result
+    # line is kept compact (full detail goes to BENCH_DETAIL.json).
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     qs = all_queries()
-    # warmup: run every headline query once AT THE BENCH SF so the timed
-    # pass measures steady-state execution, not Janino/JIT compilation of
-    # the AQE-chosen physical plan (which differs per scale factor — a
-    # sf0.001 warmup compiles different generated classes). First-run vs
-    # warm on this corpus is ~7x (compile-dominated).
-    for name in BENCH_QUERIES:
-        run_query(qs, name, spark, sf_dir)
-    # three timed passes, min per query: the first pass still contends
-    # with in-flight background C2 compilation of the warmup's generated
-    # code, and the round-2 record showed ambient driver-machine load can
-    # inflate a single pass by >1.3x — min-of-3 reads through both to
-    # steady state (~6 s/pass at sf0.1).
-    timings: dict[str, float] = {}
-    for _pass in range(3):
-        for name in BENCH_QUERIES:
-            t = round(run_query(qs, name, spark, sf_dir), 3)
-            timings[name] = min(timings.get(name, t), t)
-    # min-of-2 like the headline set: first run of these heavyweight
-    # plans is Janino-compile-dominated (2-10x); steady state is the
-    # number that scales (at real data volume, compile amortizes to 0)
-    extended = {}
-    for _pass in range(2):
-        for name in EXTENDED_QUERIES:
-            t = round(run_query(qs, name, spark, sf_dir), 3)
-            extended[name] = min(extended.get(name, t), t)
+    # Per-query protocol: one untimed warmup then min of N timed runs,
+    # all CONSECUTIVE. Warmup eats Janino/C2 compilation of the
+    # AQE-chosen plan (first-run vs warm is 2-10x, compile-dominated:
+    # measured dd8 12.6 -> 7.5 -> 3.7 -> 2.9 s); min-of-N reads through
+    # ambient driver-machine load (round-2 showed >1.3x inflation on a
+    # single pass). Runs are back-to-back per query — the earlier
+    # interleaved-pass design let the ~40 other queries' generated
+    # classes flush each query's JIT'd code between its passes
+    # (-XX:+UseCodeCacheFlushing), so every "warm" pass recompiled and
+    # heavyweights read 2.5x over steady state. Steady state is the
+    # number that scales: at real data volume compile amortizes to 0.
+    # BENCH_BASELINE.json is recorded under this same protocol (r4).
+    def bench_query(name: str, n_timed: int) -> float:
+        run_query(qs, name, spark, sf_dir)  # warmup (compile)
+        return round(
+            min(run_query(qs, name, spark, sf_dir) for _ in range(n_timed)),
+            3,
+        )
+
+    timings = {name: bench_query(name, 3) for name in BENCH_QUERIES}
+    extended = {name: bench_query(name, 2) for name in EXTENDED_QUERIES}
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -144,7 +150,26 @@ def main() -> None:
             })
             out["baseline_total"] = base["total"]
             out["regressions"] = regressions
-    print(json.dumps(out))
+    # full record (extended + regressions) to a sidecar file; stdout gets
+    # ONLY the compact contract line so the driver's bounded tail capture
+    # can never clip it mid-JSON (the round-3 parsed:null failure mode)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+    }
+    if "baseline_total" in out:
+        compact["baseline_total"] = out["baseline_total"]
+    sys.stdout.flush()
+    print(json.dumps(compact))
+    sys.stdout.flush()
     spark.stop()
 
 

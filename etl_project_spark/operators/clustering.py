@@ -92,8 +92,22 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster) after KM_ITERS integer-exact Lloyd iterations.
+# Final-state memo per sf_dir: the Lloyd loop's driver-side collects
+# re-execute eagerly on every call, and km1/sd1/ivf_centroids/
+# build_ivf_index each need the same state — without the memo a bench
+# or driver window pays the full 3-iteration loop up to 4x per sf
+# (round-3 advice). Pure deterministic data (integer-exact arithmetic,
+# fixed seeds, immutable testdata), so keying on sf_dir alone is safe
+# even across SparkSessions.
+_KM_STATE: dict[str, tuple[list[int], np.ndarray]] = {}
+_KM_CENTROIDS: dict[str, np.ndarray] = {}
+
+
+def _kmeans_final_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], np.ndarray]:
+    """(cluster ids, quantized centroid matrix) after the KM_ITERS-1
+    centroid updates — the state the FINAL assignment pass scans with.
 
     Seeds are the KM_K lowest vec_ids (engine-neutral; production
     swaps in k-means|| — the loop is init-agnostic). Per iteration:
@@ -105,6 +119,8 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF centroids (similarity.py). The corpus is scanned once per
     iteration; at 100 TB persist the quantized projection and
     checkpoint like an5."""
+    if sf_dir in _KM_STATE:
+        return _KM_STATE[sf_dir]
     embq = _quantized(spark, sf_dir)
     seeds = sorted(
         embq.filter(F.col("vec_id") < KM_K).collect(),
@@ -112,26 +128,47 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = [int(r["vec_id"]) for r in seeds]
     C = np.array([r["q"] for r in seeds], dtype=np.int64)
-
-    assign = None
-    for it in range(KM_ITERS):
+    for _it in range(KM_ITERS - 1):
         assign = _assign_kernel(embq, clusters, C)
-        if it < KM_ITERS - 1:
-            sums = (
-                assign.join(embq, "vec_id")
-                .select("cluster", F.posexplode("q").alias("i", "v"))
-                .groupBy("cluster", "i")
-                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            by_cl: dict[int, list] = {}
-            for r in sums:
-                by_cl.setdefault(int(r["cluster"]), [None] * KM_DIM)[
-                    int(r["i"])
-                ] = math.floor(int(r["s"]) / int(r["n"]) + 0.5)
-            clusters = sorted(by_cl)
-            C = np.array([by_cl[cl] for cl in clusters], dtype=np.int64)
-    return assign
+        sums = (
+            assign.join(embq, "vec_id")
+            .select("cluster", F.posexplode("q").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cl: dict[int, list] = {}
+        for r in sums:
+            by_cl.setdefault(int(r["cluster"]), [None] * KM_DIM)[
+                int(r["i"])
+            ] = math.floor(int(r["s"]) / int(r["n"]) + 0.5)
+        clusters = sorted(by_cl)
+        C = np.array([by_cl[cl] for cl in clusters], dtype=np.int64)
+    _KM_STATE[sf_dir] = (clusters, C)
+    return clusters, C
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) after KM_ITERS integer-exact Lloyd iterations
+    (see _kmeans_final_state for the loop and its scale posture)."""
+    clusters, C = _kmeans_final_state(spark, sf_dir)
+    return _assign_kernel(_quantized(spark, sf_dir), clusters, C)
+
+
+def kmeans_probe_assignments(
+    spark: SparkSession, sf_dir: str, nprobe: int = 2
+) -> DataFrame:
+    """(vec_id, cluster) soft assignment: each vector mapped to its
+    ``nprobe`` nearest final centroids (same integer-exact distance and
+    lowest-cluster-id tie-break as the hard assignment — rank 1 is
+    exactly ``kmeans_assignments``). The pruning passes (sd1) scan this
+    instead of the hard assignment so near-dup pairs straddling a
+    Voronoi boundary land in a shared cell; cost is nprobe rows per
+    vector — linear, never quadratic."""
+    clusters, C = _kmeans_final_state(spark, sf_dir)
+    return _assign_kernel(
+        _quantized(spark, sf_dir), clusters, C, nprobe=nprobe
+    )
 
 
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -141,7 +178,9 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     doubles recall@k vs the raw hash-sample seeds (measured 0.46 ->
     0.80 at nprobe=2 on this corpus): refined centroids balance the
     Voronoi cells, so a fixed probe budget covers more of each query's
-    true neighborhood."""
+    true neighborhood. Memoized per sf_dir like the Lloyd state."""
+    if sf_dir in _KM_CENTROIDS:
+        return _KM_CENTROIDS[sf_dir]
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -158,17 +197,22 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     for r in rows:
         by_cl.setdefault(int(r["cluster"]), {})[int(r["i"])] = float(r["m"])
         dim = max(dim, int(r["i"]) + 1)
-    return np.array(
+    out = np.array(
         [
             [by_cl[cl][i] for i in range(dim)]
             for cl in sorted(by_cl)
         ],
         dtype=np.float64,
     )
+    _KM_CENTROIDS[sf_dir] = out
+    return out
 
 
 def _assign_kernel(
-    embq: DataFrame, clusters: list[int], C: np.ndarray
+    embq: DataFrame,
+    clusters: list[int],
+    C: np.ndarray,
+    nprobe: int = 1,
 ) -> DataFrame:
     bC = embq.sparkSession.sparkContext.broadcast((clusters, C))
 
@@ -181,14 +225,28 @@ def _assign_kernel(
             M = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
             diff = M[:, None, :] - cen[None, :, :]
             d = (diff * diff).sum(axis=2)  # exact int64; max ~4e11
-            # argmin returns the FIRST minimum: cls ascending = the
-            # lowest-cluster-id tie-break the oracle's arg_min uses
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cluster": cls[np.argmin(d, axis=1)],
-                }
-            )
+            if nprobe == 1:
+                # argmin returns the FIRST minimum: cls ascending = the
+                # lowest-cluster-id tie-break the oracle's arg_min uses
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": cls[np.argmin(d, axis=1)],
+                    }
+                )
+            else:
+                # top-nprobe by the same packed exact key the oracle
+                # ranks on (dist*K + cl: unique per cell, so the sort
+                # is total and any argsort kind is deterministic)
+                packed = d * KM_K + cls[None, :]
+                idx = np.argsort(packed, axis=1)[:, :nprobe]
+                ids = pdf["vec_id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids, idx.shape[1]),
+                        "cluster": cls[idx].ravel(),
+                    }
+                )
 
     return embq.mapInPandas(kernel, schema="vec_id long, cluster long")
 
@@ -211,14 +269,27 @@ def km1_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(spark, sf_dir)
 
 
+SD_NPROBE = 2  # soft-assignment width for the pruning pass
+
+
 @register(
     "sd1_semantic_dedup",
     oracle=_km_oracle_ctes()
-    + f""", v AS (
+    + f""", probe AS (
+        -- each vector's {SD_NPROBE} nearest final centroids, ranked by
+        -- the same packed exact key the hard assignment arg_min uses
+        SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ({_DIST}) * {KM_K} + c.cl) AS rnk
+            FROM e0 e CROSS JOIN c{KM_ITERS - 1} c
+        ) WHERE rnk <= {SD_NPROBE}
+    ), v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ), pairs AS (
         SELECT a.vec_id AS keep, b.vec_id AS drop_
-        FROM a{KM_ITERS} a JOIN a{KM_ITERS} b
+        FROM probe a JOIN probe b
           ON a.cl = b.cl AND a.vec_id < b.vec_id
         JOIN v va ON va.vec_id = a.vec_id
         JOIN v vb ON vb.vec_id = b.vec_id
@@ -235,18 +306,28 @@ def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic near-duplicate pruning, clustered first so
     the pairwise cosine pays out only within clusters — the recipe
     that makes embedding dedup tractable on a billion-document corpus
-    (clusters bound the quadratic; cross-cluster near-dups are the
-    accepted recall loss, measured here against dd6's exact pair join
-    in pytest). Output: each pruned vector with its keeper (the lowest
-    surviving vec_id it duplicates), ids only — dd6's rule, so
-    cross-engine ulp noise can't perturb the hash; threshold
-    {SD_TAU} sits 1e-5 clear of any pair in the corpus.
+    (Abbas et al.; clusters bound the quadratic). The pruning pass
+    scans a {SD_NPROBE}-nearest-centroid SOFT assignment, not the hard
+    one: a near-dup pair split by a Voronoi boundary still shares its
+    runner-up cell, which lifted measured recall vs the exact cosine
+    drop set from 0.41-0.45 (hard assignment, round 3) to the
+    RECALL.json figure; the residual loss is pairs separated in BOTH
+    probe cells (measured against dd6's exact pair join in pytest).
+    Output: each pruned vector with MIN(keep) over every near-dup pair
+    that names it — the lowest vec_id it duplicates, which may itself
+    be pruned in a transitive chain (consumers wanting surviving
+    keepers follow the chain; dd7's CC resolution is the engine's
+    canonical-root form). Ids only — dd6's rule, so cross-engine ulp
+    noise can't perturb the hash; threshold {SD_TAU} sits 1e-5 clear
+    of any pair in the corpus.
 
-    Plan: km1's integer-exact assignment (deterministic clusters),
-    then one numpy GEMM per cluster inside applyInPandas — dd6's
-    kernel with the cluster id as the bucket column, the 100 TB shape
-    (groups parallelize across executors, no global pair space)."""
-    assign = kmeans_assignments(spark, sf_dir)
+    Plan: km1's integer-exact Lloyd state, a linear nprobe-wide
+    assignment (2 rows/vector), then one numpy GEMM per cluster inside
+    applyInPandas — dd6's kernel with the cluster id as the bucket
+    column, the 100 TB shape (groups parallelize across executors, no
+    global pair space; duplicate pairs from a shared second cell
+    collapse in the MIN aggregate)."""
+    assign = kmeans_probe_assignments(spark, sf_dir, SD_NPROBE)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

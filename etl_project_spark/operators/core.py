@@ -490,10 +490,13 @@ def smp2_hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT o_orderkey) AS distinct_keys,
            (COUNT(*) - COUNT(DISTINCT o_orderkey)) AS dup_key_violations,
            (COUNT(*) - COUNT(o_custkey)) AS null_custkey_violations,
-           COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0)
+           -- CAST: SUM(int) -> HUGEINT in DuckDB -> pandas float64;
+           -- Spark emits int64 and the driver hash needs both integral
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+                         0) AS BIGINT)
                AS nonpositive_price_violations,
-           COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-                             THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
                AS bad_status_violations,
            MIN(o_orderdate) AS min_orderdate,
            MAX(o_orderdate) AS max_orderdate

@@ -244,8 +244,14 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sz", "s")
     )
-    a = prefix.repartition(par, "s").alias("a")
-    b = prefix.alias("b")
+    # ONE prefix exchange feeds BOTH sides of the self-join: the two
+    # subtrees canonicalize identically, so ReuseExchange materializes
+    # the shuffle once (two reads of one write) instead of exchanging
+    # the probe side separately — r3's plan paid a second full prefix
+    # shuffle here and dd8 breached the 2x bench bar on it.
+    pref_s = prefix.repartition(par, "s")
+    a = pref_s.alias("a")
+    b = pref_s.alias("b")
     cand = (
         a.join(
             b,
@@ -259,11 +265,14 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
-        # verification is CPU-bound (array intersections), not
-        # byte-bound: pin parallelism so AQE's byte-based coalescing
-        # can't serialize it onto one task (the j10 lesson)
+        # dedup FUSED into the verify-side partitioning: hash-partitioning
+        # on doc_a alone satisfies the (doc_a, doc_b) aggregation's
+        # clustering requirement, so this is ONE exchange where
+        # .distinct().repartition(par, "doc_a") was two back-to-back.
+        # Pinning par also keeps AQE's byte-based coalescing from
+        # serializing the CPU-bound array-intersect verify (j10 lesson).
         .repartition(par, "doc_a")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"),

@@ -44,7 +44,10 @@ CONTAM_MIN = 0.02  # report train docs with >= 2% eval-shingle overlap
                    - n_tokens AS cum_before
         FROM d
     )
-    SELECT doc_id, n_tokens, cum_before // {SHARD_TOKENS} AS shard_id
+    SELECT doc_id, n_tokens,
+           -- CAST: SUM(int) is HUGEINT in DuckDB and lands as float64 in
+           -- pandas; Spark emits int64 — the driver hash needs both integral
+           CAST(cum_before // {SHARD_TOKENS} AS BIGINT) AS shard_id
     FROM c
     """,
 )
@@ -184,9 +187,13 @@ def pp2_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS n_len,
-           SUM(CASE WHEN len_ok AND lang_ok THEN 1 ELSE 0 END) AS n_len_lang,
-           SUM(CASE WHEN len_ok AND lang_ok AND uniq_ok THEN 1 ELSE 0 END)
+           -- CAST: DuckDB SUM(int) -> HUGEINT -> pandas float64; Spark
+           -- emits int64, and the driver hash compares scalars post-dtype
+           CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(SUM(CASE WHEN len_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_len_lang,
+           CAST(SUM(CASE WHEN len_ok AND lang_ok AND uniq_ok
+                         THEN 1 ELSE 0 END) AS BIGINT)
                AS n_survive
     FROM flags GROUP BY source
     """,
@@ -227,7 +234,9 @@ def pp3_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_source AS (
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(LEN(str_split(lower(text), ' '))) AS n_tokens
+               -- CAST: SUM(int) -> HUGEINT -> pandas float64; Spark int64
+               CAST(SUM(LEN(str_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
         FROM documents GROUP BY source
     ), tot AS (
         SELECT SUM(n_tokens) AS total_tokens,
@@ -447,7 +456,9 @@ def _bpe_oracle() -> str:
         WHERE struct_extract(z, 2) IS NOT NULL
         GROUP BY 1, 2
     ), t{k} AS (
-        SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+        -- CAST: SUM(n) is HUGEINT in DuckDB (pandas float64); Spark int64
+        SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p{k}
+        ORDER BY cnt DESC, l, r LIMIT 1
     )""")
         if k < BPE_ROUNDS:
             parts.append(f""", c{k} AS (

@@ -179,7 +179,9 @@ def rk2_tfidf_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, w2, COUNT(*) AS bigram_count
         FROM p GROUP BY w1, w2
     ), un AS (
-        SELECT w1, SUM(bigram_count) AS w1_count FROM bg GROUP BY w1
+        -- CAST: SUM(int) -> HUGEINT in DuckDB -> pandas float64; Spark int64
+        SELECT w1, CAST(SUM(bigram_count) AS BIGINT) AS w1_count
+        FROM bg GROUP BY w1
     )
     SELECT bg.w1, bg.w2, bg.bigram_count, un.w1_count,
            ROUND(bigram_count / w1_count, 4) AS cond_prob

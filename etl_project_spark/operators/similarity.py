@@ -157,14 +157,14 @@ def x3_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank over the deduped candidate set. The 100 TB path; recall is
     tuned by (n_tables, n_planes) and measured against x1 in tests.
 
-    Config 32×6: on the (near-random, hardest-case) test embeddings this
-    reaches recall ≈0.88 of the exact top-5 while touching ~40% of
-    candidates per query; clustered real-world embeddings bucket far
-    more selectively at the same recall. Tables buy recall, planes buy
-    selectivity — both are one GEMM column-block, so cost scales
-    linearly in L·b."""
+    Config 64×6: on the (near-random, hardest-case) test embeddings this
+    reaches recall 0.94 of the exact top-5 at BOTH test scales (up from
+    0.78-0.80 at 32×6, RECALL.json round over round); clustered
+    real-world embeddings bucket far more selectively at the same
+    recall. Tables buy recall, planes buy selectivity — both are one
+    GEMM column-block, so cost scales linearly in L·b."""
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_bucket_ids(emb, n_tables=32, n_planes=6)
+    buckets = lsh_bucket_ids(emb, n_tables=64, n_planes=6)
     emb_d = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -206,7 +206,13 @@ def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroid assignment is one numpy GEMM per Arrow batch (mapInPandas);
     at scale the cell id becomes the table's partition column, so a probe
     reads nprobe/ncells of the data."""
-    n_cells, nprobe = 8, 2
+    # nprobe 5 of 8 cells: measured recall@5 0.80 -> 0.96/0.90 at
+    # sf0.01/sf0.1 vs nprobe=2 (RECALL.json); probe cost is linear in
+    # nprobe, plan unchanged. The wide probe fraction reflects this
+    # corpus's near-random embeddings (hardest case for IVF — cells
+    # barely separate); clustered real-world embeddings reach the same
+    # recall at far lower nprobe/n_cells.
+    n_cells, nprobe = 8, 5
     emb = load_table(spark, sf_dir, "embeddings")
     # deterministic Lloyd-refined centroids (see ivf_centroids)
     C = ivf_centroids(spark, sf_dir, n_cells)
@@ -358,7 +364,7 @@ def query_ivf_index(
     spark: SparkSession,
     centroids: np.ndarray,
     queries: list[tuple[int, list[float]]],
-    nprobe: int = 2,
+    nprobe: int = 5,
     k: int = TOP_K,
     table: str = "ann_ivf_index",
 ) -> DataFrame:

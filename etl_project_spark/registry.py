@@ -71,45 +71,35 @@ def register(
 # The correctness driver evaluates queries in dict order and caps how
 # many it checks per round (~50), so export order — not Python import
 # order, which pytest collection or any direct operator import can
-# scramble — decides who gets driver rows. Rounds 1+2 proved
-# core/tpch/joins (r01) and dedup/similarity/text/windows/timeseries/
-# setops/skew/scalarfns/mm1 (r02); round 3 front-loads the 30 queries
-# that have never had a driver row (the round-2 additions) plus the
-# three formerly array-erroring rows (dd5/dd5c/fn3, now stringified)
-# and x7 (same array hazard, fixed preemptively). Explicit per-query
-# list because module granularity can't express it: core holds 26
-# queries of which only 7 are unattested.
+# scramble — decides who gets driver rows. Attestation history:
+# r01 core/tpch/joins, r02 dedup/similarity/text/windows/timeseries/
+# setops/skew/scalarfns/mm1, r03 pipeline/ranking/cdc/analytics/
+# multimodal/clustering + the new core entries. Round 4 front-loads
+# (a) the six formerly hash-red rows (DuckDB HUGEINT oracle artifact,
+# CAST-to-BIGINT fixed this round), (b) operators whose plans changed
+# this round (dd8 exchange fusion, sd1/x3/x4 recall upgrades), then
+# (c) the oldest-attested §2 anchors (r1/r2 families) to refresh their
+# evidence. Slack slots past the list fall to core/tpch r01 entries
+# via _MODULE_ORDER — cheap, harmless to re-earn.
 _FRONT_QUERIES = [
-    # round-3 additions
-    "tx11_rabin_winnowing",
-    "dd8_jaccard_prefix_join",
-    "km1_kmeans_lloyd",
-    "sd1_semantic_dedup",
-    "mm5_perceptual_hash_dedup",
-    "bpe1_merge_table",
-    "lm2_perplexity_score",
-    "ly1_zorder_key",
-    # pipeline (6)
-    "pp1_token_shard_packing", "pp2_contamination_check",
-    "pp3_quality_funnel", "pp4_source_mixture", "pp5_repeated_ngrams",
-    "x7_int8_quantize",
-    # ranking / LM (4)
-    "rk1_bm25_score", "rk2_tfidf_postings", "lm1_bigram_model",
-    "rk3_doc_chunking",
-    # cdc (3)
-    "cdc1_latest_snapshot", "cdc2_scd2_history", "cdc3_exactly_once_ingest",
-    # analytics (7)
-    "an1_event_funnel", "an2_cohort_retention", "an3_session_paths",
-    "j10_fuzzy_blocked_join", "a8_hll_daily_merge", "an4_twap",
-    "an5_nation_pagerank",
-    # multimodal beyond mm1 (3)
-    "mm2_media_features", "mm3_frame_sample", "mm4_media_resize",
-    # new core entries (7)
-    "a7_approx_percentile", "smp2_hash_stratified_sample",
-    "dq1_constraint_audit", "dq2_iqr_outliers", "smp3_train_val_test",
-    "a9_value_histogram", "a10_bivariate_stats",
-    # formerly driver-err rows, now scalar-projected (3)
-    "dd5_simhash_buckets", "dd5c_simhash_md5_reference", "fn3_array_funcs",
+    # (a) the six HUGEINT-oracle fixes — re-check first
+    "bpe1_merge_table", "pp1_token_shard_packing", "pp3_quality_funnel",
+    "pp4_source_mixture", "lm1_bigram_model", "dq1_constraint_audit",
+    # (b) plan/recall changes this round
+    "dd8_jaccard_prefix_join", "sd1_semantic_dedup",
+    "x3_lsh_bucketed_topk", "x4_ivf_topk",
+    # (c) §2 anchors last attested r1 (reference dashboard surface)
+    "a2_global_minmax", "a3_daily_stats", "a3g_keyed_daily_stats",
+    "t1_top1_by_value", "t2_topk_by_value", "t3_ordered_series",
+    # r2-attested families due refresh
+    "fn1_string_funcs", "fn2_datetime_funcs", "fn4_math_conditional",
+    "w1_topn_per_key", "w2_lag_delta", "w3_running_sum",
+    "w4_rank_in_group", "w5_moving_avg", "w6_distribution",
+    "ts2_sliding_10min", "ts3_session_window", "ts5_gap_fill_calendar",
+    "s4_rollup", "s5_cube", "s6_grouping_sets", "s7_pivot",
+    "sk1_salted_agg", "sk2_salted_join",
+    "dd6_embedding_neardup", "x2_vector_norms", "x5_centroid_per_label",
+    "tx4_quality_filter", "tx6_langid", "tx9_pii_redact",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES: proven families in
@@ -183,11 +173,11 @@ _loaded = False
 def _ensure_loaded() -> None:
     """Import every operator module so its @register calls run. Export
     order is decided by _canonical_names(), not by these imports —
-    slot math (cap ~50): the 33 _FRONT_QUERIES occupy slots 1-33, the
-    ~17 slack slots fall to core's r01-proven entries (cheap,
-    harmless to re-attest). Pinned in tests/test_entry_contract.py.
-    New queries in round 4+: put them at the TOP of _FRONT_QUERIES and
-    retire proven names from it."""
+    slot math (cap ~50): the len(_FRONT_QUERIES) front entries occupy
+    the first slots, the remaining slack falls to core's r01-proven
+    entries (cheap, harmless to re-attest). Pinned in
+    tests/test_entry_contract.py. New queries in round 5+: put them at
+    the TOP of _FRONT_QUERIES and retire proven names from it."""
     global _loaded
     if _loaded:
         return

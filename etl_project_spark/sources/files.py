@@ -187,12 +187,11 @@ def s3a_write_conf(committer: str = "magic") -> dict[str, str]:
         "spark.sql.parquet.output.committer.class": (
             "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
         ),
-        # credential chain: env -> profile -> instance role; no static keys
-        "spark.hadoop.fs.s3a.aws.credentials.provider": (
-            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
-        ),
-        # throughput: parallel multipart upload from memory/disk buffers
-        "spark.hadoop.fs.s3a.fast.upload": "true",
+        # credentials deliberately NOT pinned: the default S3A provider
+        # chain (env -> profile -> instance role) is already the default,
+        # and naming the SDK-v1 class breaks on Hadoop 3.4+/SDK-v2
+        # clusters where it no longer exists. (fast.upload is likewise
+        # omitted — always-on since Hadoop 3.)
         "spark.hadoop.fs.s3a.connection.maximum": "96",
         "spark.hadoop.fs.s3a.threads.max": "64",
     }

@@ -62,9 +62,8 @@ def test_all_queries_run(spark, sf_dir):
 
 def test_driver_window_covers_front_load_queries():
     """The correctness driver evaluates queries in registry order and
-    caps at ~50 rows. Round 3 front-loads the 30 never-driver-checked
-    round-2 queries plus the three formerly array-erroring rows (and
-    x7, same hazard) — pin that every front name exists, sits inside
+    caps at ~50 rows. The per-round _FRONT_QUERIES rotation decides who
+    gets re-attested — pin that every front name exists, sits inside
     the top 50, and in exactly the declared order, so a module reorder
     or a new op can't silently push one out."""
     from etl_project_spark.registry import _FRONT_QUERIES

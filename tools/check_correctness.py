@@ -38,7 +38,11 @@ def canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "\\N"
     if isinstance(v, float):
-        return f"{v:.9g}"
+        # keep integral floats distinct from ints ("6.0" vs "6"): the
+        # driver's canonicalizer hashes them differently, so a DuckDB
+        # HUGEINT landing as float64 must FAIL here too, not pass
+        s = f"{v:.9g}"
+        return s if ("." in s or "e" in s or "n" in s) else s + ".0"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray, memoryview)):
