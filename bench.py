@@ -72,6 +72,9 @@ EXTENDED_QUERIES = [
     "mm5_perceptual_hash_dedup",
     "bpe1_merge_table",
     "lm2_perplexity_score",
+    "bpe2_tokenize_apply",
+    "pp6_epoch_shuffle",
+    "pp7_dsir_weights",
 ]
 
 

@@ -427,11 +427,12 @@ def x7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_chain() -> str:
     """The BPE trainer unrolled as DuckDB CTEs: c{k} = spaced symbol
     sequences after k merges, t{k} = round-k winning pair (count desc,
     pair asc). Scalar subqueries thread the chosen pair into the next
-    round's REPLACE, mirroring the Spark driver loop."""
+    round's REPLACE, mirroring the Spark driver loop. Shared by the
+    bpe1 (merge table) and bpe2 (apply) oracles."""
     parts = [
         """
     WITH words AS (
@@ -470,12 +471,16 @@ def _bpe_oracle() -> str:
                n
         FROM c{k - 1}
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     selects = "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_round, l AS left_sym, r AS right_sym, "
         f"cnt AS pair_count FROM t{k}"
         for k in range(1, BPE_ROUNDS + 1)
     )
-    return "".join(parts) + "\n    " + selects
+    return _bpe_cte_chain() + "\n    " + selects
 
 
 @register("bpe1_merge_table", oracle=_bpe_oracle())
@@ -501,6 +506,28 @@ def bpe1_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — the an5/km1 driver-loop pattern. At 100 TB the vocab
     table is millions of rows, still trivially aggregable; rounds cost
     O(vocab), never O(corpus)."""
+    return spark.createDataFrame(
+        bpe_merge_rounds(spark, sf_dir),
+        "merge_round int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+# Memoized per sf_dir like the Lloyd k-means state (clustering.py): the
+# trainer's per-round argmax collects execute eagerly, and both bpe1
+# (the merge table) and bpe2 (the apply pass) need the same merges —
+# pure deterministic data over immutable testdata, so the key is safe
+# across SparkSessions.
+_BPE_MERGES: dict[str, list[tuple[int, str, str, int]]] = {}
+
+
+def bpe_merge_rounds(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Train the {BPE_ROUNDS}-round BPE merge list (see bpe1's docstring
+    for semantics and the scale posture: rounds cost O(vocabulary),
+    never O(corpus))."""
+    if sf_dir in _BPE_MERGES:
+        return _BPE_MERGES[sf_dir]
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(_tokens()).alias("w"))
@@ -542,7 +569,203 @@ def bpe1_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "n",
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, left_sym string, right_sym string, pair_count long",
+    _BPE_MERGES[sf_dir] = merges
+    return merges
+
+
+def _bpe2_oracle() -> str:
+    """bpe2: the trained merges applied back to every document. The m
+    CTE flattens the per-round winners (t1..t{BPE_ROUNDS}) into one
+    row of columns so the per-word lambda can reference them; the
+    REPLACE chain is applied in training order (round k's pattern was
+    counted on the post-round-(k-1) corpus, so in-vocabulary words
+    reproduce the trainer's final segmentation exactly)."""
+    mcols = ", ".join(
+        f"t{k}.l AS l{k}, t{k}.r AS r{k}" for k in range(1, BPE_ROUNDS + 1)
+    )
+    mfrom = ", ".join(f"t{k}" for k in range(1, BPE_ROUNDS + 1))
+    enc = "' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '"
+    for k in range(1, BPE_ROUNDS + 1):
+        enc = (
+            f"REPLACE({enc}, ' ' || l{k} || ' ' || r{k} || ' ', "
+            f"' ' || l{k} || r{k} || ' ')"
+        )
+    return (
+        _bpe_cte_chain()
+        + f""", m AS (
+        SELECT {mcols} FROM {mfrom}
+    )
+    SELECT d.doc_id,
+           LEN(str_split(lower(d.text), ' ')) AS n_words,
+           -- CASTs: list_sum(int) -> HUGEINT -> pandas float64
+           CAST(list_sum(list_transform(str_split(lower(d.text), ' '),
+                                        w -> LEN(w))) AS BIGINT) AS n_syms,
+           CAST(list_sum(list_transform(str_split(lower(d.text), ' '),
+                w -> LEN(str_split(trim({enc}), ' ')))) AS BIGINT)
+               AS n_tokens
+    FROM documents d CROSS JOIN m
+    """
+    )
+
+
+@register("bpe2_tokenize_apply", oracle=_bpe2_oracle())
+def bpe2_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the bpe1-trained tokenizer to the corpus — the encode half
+    of the tokenizer loop (train -> apply) every pretraining pipeline
+    runs before packing: per document, the word count, the pre-merge
+    symbol (character) count, and the post-merge BPE token count. The
+    merges are applied per word in training order with the same
+    single-pass non-regex REPLACE the trainer used, so in-vocabulary
+    words (all words here — self-application) segment exactly as the
+    trainer left them; tx7's regex token count is the cheap
+    approximation, this is the real tokenizer's number, and the pp1
+    packer consumes exactly this kind of count.
+
+    Shape: ZERO shuffles — the {BPE_ROUNDS} learned merges arrive as
+    string literals in the projection (driver-trained via the memoized
+    bpe_merge_rounds, bounded collects), and every row is scored
+    scan-locally via array-side transforms. At a production vocabulary
+    (tens of thousands of merges) the literal REPLACE chain stops
+    compiling and the apply becomes one Arrow mapInPandas kernel over
+    a broadcast merge table — same zero-shuffle scan shape, same
+    output contract."""
+    merges = bpe_merge_rounds(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+
+    def bpe_token_count(w):
+        s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
+        for _rnd, left, right, _cnt in merges:
+            s = F.replace(
+                s, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            )
+        return F.size(F.split(F.trim(s), " ")).cast("long")
+
+    zero = F.lit(0).cast("long")
+    add = lambda acc, x: acc + x  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")), zero, add
+        ).alias("n_syms"),
+        F.aggregate(
+            F.transform(words, bpe_token_count), zero, add
+        ).alias("n_tokens"),
+    )
+
+
+@register(
+    "pp6_epoch_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                   doc_id) - 1 AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def pp6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: a dense training position
+    (0..n-1) for every document, ordered by md5(doc_id) — the global
+    reshuffle a training run applies per epoch (salt the hash input
+    with the epoch number for a different-but-reproducible order each
+    epoch). Deterministic so a preempted job resumes mid-epoch at the
+    same order, and engine-neutral so the oracle hash-matches.
+
+    The global ROW_NUMBER never materializes on one partition: the
+    md5 key's first two hex chars bucket rows into 256 hash-ordered
+    groups (the bucket is a PREFIX of the sort key, so bucket-major +
+    in-bucket order IS the global order), positions are composed as
+    in-bucket row_number + broadcast per-bucket prefix offsets — pp1's
+    two-phase scan/prefix/rescan pattern on a hashed key. At 100 TB
+    the bucket width grows to 4 hex chars (65k groups) and the offset
+    relation stays driver-tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    d = docs.select("doc_id", key.alias("k")).withColumn(
+        "bucket", F.substring("k", 1, 2)
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    local = d.withColumn("rn", F.row_number().over(in_bucket))
+    totals = local.groupBy("bucket").agg(F.max("rn").alias("n"))
+    over_buckets = Window.orderBy("bucket")
+    offsets = totals.withColumn(
+        "offset", F.sum("n").over(over_buckets) - F.col("n")
+    ).select("bucket", "offset")
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("offset") + F.col("rn") - 1).cast("long").alias("position"),
+    )
+
+
+PP7_TARGET = "src0"  # the target domain the importance weights aim at
+
+
+@register(
+    "pp7_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, UNNEST(str_split(lower(text), ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS cr,
+               CAST(SUM(CASE WHEN source = '{PP7_TARGET}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM tok GROUP BY w
+    ), tots AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+               COUNT(*) AS v,
+               CAST(SUM(ct) AS BIGINT) AS nt
+        FROM vocab
+    )
+    SELECT tok.doc_id, COUNT(*) AS n_tokens,
+           ROUND(SUM(LN(((ct + 1.0) / (nt + v))
+                        / (CAST(cr AS DOUBLE) / nr))), 6) AS log_ratio
+    FROM tok JOIN vocab USING (w) CROSS JOIN tots
+    GROUP BY tok.doc_id
+    """,
+)
+def pp7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a target-domain unigram LM
+    (source = {PP7_TARGET!r}, add-1 smoothed over the corpus
+    vocabulary) against the raw-corpus unigram LM. High scores read
+    "looks like the target domain" — the selection signal that
+    importance-resamples a web-scale corpus toward a quality domain;
+    swapping unigrams for hashed n-grams (the paper's feature) changes
+    only the tok projection.
+
+    Shape: ONE vocabulary aggregation produces both LMs (cr and the
+    target-filtered ct side by side — not two corpus scans), a 3-value
+    broadcast carries the normalizers, and scoring is an equi-join of
+    the token stream against the vocabulary, then one doc aggregate —
+    lm2's exact plan with a different model relation. Engine parity:
+    each ratio is a fixed chain of single IEEE ops over exact
+    integers; ROUND(…, 6) absorbs LN ulp and sum-order drift (~1e-13
+    relative — the lm2 precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(_tokens()).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("source") == PP7_TARGET).cast("long")).alias("ct"),
+    )
+    tots = vocab.agg(
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ct").alias("nt"),
+    )
+    ratio = (
+        (F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("v"))
+    ) / (F.col("cr").cast("double") / F.col("nr"))
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(F.log(ratio)), 6).alias("log_ratio"),
+        )
     )

@@ -82,6 +82,8 @@ def register(
 # evidence. Slack slots past the list fall to core/tpch r01 entries
 # via _MODULE_ORDER — cheap, harmless to re-earn.
 _FRONT_QUERIES = [
+    # round-4 additions — never driver-checked
+    "bpe2_tokenize_apply", "pp6_epoch_shuffle", "pp7_dsir_weights",
     # (a) the six HUGEINT-oracle fixes — re-check first
     "bpe1_merge_table", "pp1_token_shard_packing", "pp3_quality_funnel",
     "pp4_source_mixture", "lm1_bigram_model", "dq1_constraint_audit",

@@ -87,3 +87,93 @@ def test_packing_reuses_exchange_single_scan(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_bpe2_apply_counts(spark, sf_dir):
+    """bpe2: n_syms equals the exact character mass per doc; every
+    merge can only shrink the token count (n_words <= n_tokens <=
+    n_syms); and the corpus-wide token reduction equals the trained
+    merge replay — applying k merges removes exactly one token per
+    surviving merged occurrence."""
+    rows = all_queries()["bpe2_tokenize_apply"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        words = docs[r["doc_id"]].lower().split(" ")
+        assert r["n_words"] == len(words)
+        assert r["n_syms"] == sum(len(w) for w in words)
+        assert r["n_words"] <= r["n_tokens"] <= r["n_syms"], r
+
+
+def test_bpe2_matches_python_replay(spark, sf_dir):
+    """bpe2's per-doc token count equals a driver-side replay of the
+    trained merges with str.replace (the same single-pass non-regex
+    semantics)."""
+    from etl_project_spark.operators.pipeline import bpe_merge_rounds
+
+    merges = bpe_merge_rounds(spark, sf_dir)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in all_queries()["bpe2_tokenize_apply"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs[:100]:
+        n = 0
+        for w in d["text"].lower().split(" "):
+            s = " " + " ".join(w) + " "
+            for _rnd, left, right, _cnt in merges:
+                s = s.replace(f" {left} {right} ", f" {left}{right} ")
+            n += len(s.strip().split(" "))
+        assert got[d["doc_id"]] == n, d["doc_id"]
+
+
+def test_epoch_shuffle_is_permutation(spark, sf_dir):
+    """pp6: positions are exactly 0..n-1 (a bijection), and the order
+    matches the md5 sort key — i.e., the two-phase bucketed row_number
+    reproduces the single global window."""
+    rows = all_queries()["pp6_epoch_shuffle"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in rows) == list(range(n))
+    import hashlib
+
+    expect = sorted(
+        (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"])
+        for r in rows
+    )
+    by_pos = {r["position"]: r["doc_id"] for r in rows}
+    for pos, (_k, doc_id) in enumerate(expect):
+        assert by_pos[pos] == doc_id
+
+
+def test_dsir_targets_score_higher(spark, sf_dir):
+    """pp7: the importance weight must separate the target domain —
+    mean log-ratio of target-source docs exceeds the non-target mean
+    (the property DSIR selection relies on)."""
+    from etl_project_spark.operators.pipeline import PP7_TARGET
+
+    import pyspark.sql.functions as F
+
+    scored = all_queries()["pp7_dsir_weights"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    means = (
+        scored.join(docs, "doc_id")
+        .groupBy(F.col("source") == PP7_TARGET)
+        .agg(F.avg("log_ratio").alias("m"))
+        .collect()
+    )
+    by_flag = {r[0]: r["m"] for r in means}
+    assert by_flag[True] > by_flag[False]
+
+
+def test_new_pp_plans_scale(spark, sf_dir):
+    """bpe2 is shuffle-free; pp6/pp7 pass the scale audit (no
+    quadratic stage, no unpartitioned corpus window)."""
+    qs = all_queries()
+    s = plan_stats(qs["bpe2_tokenize_apply"](spark, sf_dir))
+    assert s.shuffles == 0, s
+    for name in ("pp6_epoch_shuffle", "pp7_dsir_weights"):
+        assert_scalable(qs[name](spark, sf_dir))
