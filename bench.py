@@ -116,8 +116,16 @@ def main() -> None:
             3,
         )
 
-    timings = {name: bench_query(name, 3) for name in BENCH_QUERIES}
-    extended = {name: bench_query(name, 2) for name in EXTENDED_QUERIES}
+    # optional subset (comma-separated names) — used by the contract
+    # smoke test and for quick per-query iteration
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    only_set = set(only.split(",")) if only else None
+    headline = [n for n in BENCH_QUERIES if only_set is None or n in only_set]
+    ext_names = [
+        n for n in EXTENDED_QUERIES if only_set is None or n in only_set
+    ]
+    timings = {name: bench_query(name, 3) for name in headline}
+    extended = {name: bench_query(name, 2) for name in ext_names}
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -156,7 +164,7 @@ def main() -> None:
     # full record (extended + regressions) to a sidecar file; stdout gets
     # ONLY the compact contract line so the driver's bounded tail capture
     # can never clip it mid-JSON (the round-3 parsed:null failure mode)
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:

@@ -1,0 +1,47 @@
+"""bench.py driver contract: the round-3 record lost its headline
+because the stdout result line was clipped by the driver's bounded tail
+capture (`parsed: null`). Pin the contract: stdout carries exactly one
+non-empty line, it is valid JSON with the required keys, it stays far
+under any plausible tail budget, and the full record lands in
+BENCH_DETAIL.json."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_stdout_is_one_compact_json_line(tmp_path):
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES="a3_daily_stats,t1_top1_by_value",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_DETAIL_PATH=detail_path,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be ONE line, got {len(lines)}"
+    out = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in out, key
+    assert out["unit"] == "sec"
+    assert set(out["queries"]) == {"a3_daily_stats", "t1_top1_by_value"}
+    # the driver's tail capture clipped a ~3 KB line in round 3; the
+    # full headline map is ~700 B — pin generous headroom
+    assert len(lines[0]) < 2000, len(lines[0])
+    detail = json.load(open(detail_path))
+    assert detail["queries"] == out["queries"]
