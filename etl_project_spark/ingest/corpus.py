@@ -38,6 +38,8 @@ def clean_corpus(
     max_chars: int = 500,
     lang: str = "en",
     near_dup_threshold: float | None = None,
+    dsir_target: str | None = None,
+    epoch: int | None = None,
 ) -> DataFrame:
     """The survivors of the cleaning cascade, packed into shards:
     (doc_id, source, shard_id, shard_group, n_tokens, text) where text
@@ -48,7 +50,16 @@ def clean_corpus(
     LSH verified pairs at that Jaccard threshold → large-star/small-star
     components, the dd4/dd7 path) are also collapsed to their minimum
     doc_id BEFORE the gates — the full-strength production dedup on top
-    of the exact-fingerprint pass."""
+    of the exact-fingerprint pass.
+
+    With ``dsir_target`` set, every surviving row carries
+    ``dsir_logratio`` — pp7's importance weight of that source domain
+    vs the raw corpus (scored on the PRE-selection corpus, the paper's
+    setup, so selection can't bias the LMs) — ready for downstream
+    resampling. With ``epoch`` set, rows carry ``position``: a dense
+    0..n-1 deterministic training order over the survivors (pp6's
+    two-phase bucketed row_number, the md5 key salted with the epoch
+    number so each epoch reshuffles reproducibly)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
     first = Window.partitionBy("fp").orderBy("doc_id")
@@ -114,16 +125,73 @@ def clean_corpus(
     shard = ((F.col("offset") + F.col("local_cum")) / shard_tokens).cast(
         "long"
     )
-    return (
-        local.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "text",
-            shard.alias("shard_id"),
-            (shard / SHARDS_PER_DIR).cast("long").alias("shard_group"),
+    out = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "text",
+        shard.alias("shard_id"),
+        (shard / SHARDS_PER_DIR).cast("long").alias("shard_group"),
+    )
+    if dsir_target is not None:
+        out = out.join(
+            _dsir_scores(docs, dsir_target), "doc_id", "left"
         )
+    if epoch is not None:
+        out = _with_epoch_positions(out, epoch)
+    return out
+
+
+def _dsir_scores(docs: DataFrame, target: str) -> DataFrame:
+    """(doc_id, dsir_logratio): pp7's importance weight, scored over the
+    given (pre-selection) corpus relation — one vocabulary aggregation
+    carries both LMs, scoring is a token-stream/vocabulary equi-join
+    (see operators/pipeline.pp7_dsir_weights for semantics and the
+    differential check)."""
+    tok = docs.select("doc_id", "source", F.explode(_tokens()).alias("w"))
+    vocab = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("source") == target).cast("long")).alias("ct"),
+    )
+    tots = vocab.agg(
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ct").alias("nt"),
+    )
+    ratio = ((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("v"))) / (
+        F.col("cr").cast("double") / F.col("nr")
+    )
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.log(ratio)), 6).alias("dsir_logratio"))
+    )
+
+
+def _with_epoch_positions(out: DataFrame, epoch: int) -> DataFrame:
+    """Append ``position`` (dense 0..n-1, deterministic per epoch) via
+    pp6's two-phase bucketed row_number over md5(epoch:doc_id) — no
+    single-partition global window (see operators/pipeline.
+    pp6_epoch_shuffle for the scale argument)."""
+    key = F.md5(
+        F.concat(F.lit(f"{epoch}:"), F.col("doc_id").cast("string"))
+    )
+    d = out.withColumn("_k", key).withColumn(
+        "_b", F.substring("_k", 1, 2)
+    )
+    in_bucket = Window.partitionBy("_b").orderBy("_k", "doc_id")
+    local = d.withColumn("_rn", F.row_number().over(in_bucket))
+    totals = local.groupBy("_b").agg(F.max("_rn").alias("_n"))
+    offs = totals.withColumn(
+        "_off", F.sum("_n").over(Window.orderBy("_b")) - F.col("_n")
+    ).select("_b", "_off")
+    return (
+        local.join(F.broadcast(offs), "_b")
+        .withColumn(
+            "position", (F.col("_off") + F.col("_rn") - 1).cast("long")
+        )
+        .drop("_k", "_b", "_rn", "_off")
     )
 
 

@@ -71,3 +71,41 @@ def test_clean_corpus_near_dup_collapse(spark, sf_dir):
     }
     assert base_ids - kept_ids == base_ids & losers
     assert losers, "corpus should contain at least one near-dup cluster"
+
+
+def test_clean_corpus_dsir_and_positions(spark, sf_dir):
+    """With dsir_target + epoch set: every survivor carries a finite
+    dsir_logratio equal to pp7's standalone score, and position is a
+    dense 0..n-1 permutation that changes between epochs but is stable
+    within one."""
+    import math
+
+    from etl_project_spark.ingest.corpus import clean_corpus
+    from etl_project_spark.registry import all_queries
+
+    out = clean_corpus(
+        spark, sf_dir, dsir_target="src0", epoch=1
+    ).collect()
+    n = len(out)
+    assert sorted(r["position"] for r in out) == list(range(n))
+    assert all(
+        r["dsir_logratio"] is not None and math.isfinite(r["dsir_logratio"])
+        for r in out
+    )
+    pp7 = {
+        r["doc_id"]: r["log_ratio"]
+        for r in all_queries()["pp7_dsir_weights"](spark, sf_dir).collect()
+    }
+    for r in out:
+        assert r["dsir_logratio"] == pp7[r["doc_id"]], r["doc_id"]
+    # a different epoch is a different (but still dense) permutation
+    out2 = clean_corpus(
+        spark, sf_dir, dsir_target=None, epoch=2
+    ).collect()
+    assert sorted(r["position"] for r in out2) == list(range(n))
+    p1 = {r["doc_id"]: r["position"] for r in out}
+    p2 = {r["doc_id"]: r["position"] for r in out2}
+    assert p1 != p2
+    # determinism within an epoch
+    out1b = clean_corpus(spark, sf_dir, epoch=1).collect()
+    assert {r["doc_id"]: r["position"] for r in out1b} == p1
