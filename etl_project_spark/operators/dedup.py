@@ -244,11 +244,17 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sz", "s")
     )
-    # ONE prefix exchange feeds BOTH sides of the self-join: the two
-    # subtrees canonicalize identically, so ReuseExchange materializes
-    # the shuffle once (two reads of one write) instead of exchanging
-    # the probe side separately — r3's plan paid a second full prefix
-    # shuffle here and dd8 breached the 2x bench bar on it.
+    # ONE pre-partitioned prefix relation feeds BOTH sides of the
+    # self-join, so neither side needs an EnsureRequirements exchange on
+    # top (r3's plan exchanged the probe side separately). NOTE the
+    # write itself is still materialized twice today: the subtrees are
+    # structurally identical, but the shingle projection's higher-order
+    # lambdas carry lambda-variable ExprIds that Spark's plan
+    # canonicalization does not normalize, so ReuseExchange cannot prove
+    # them equal (verified against the executed plan). At 100 TB the fix
+    # is to materialize the prefix relation (persist/checkpoint or a
+    # temp table) before the self-join; at bench scale the duplicate
+    # shingle pass costs ~0.5 s and dd8 sits under its baseline.
     pref_s = prefix.repartition(par, "s")
     a = pref_s.alias("a")
     b = pref_s.alias("b")
