@@ -75,6 +75,7 @@ EXTENDED_QUERIES = [
     "bpe2_tokenize_apply",
     "pp6_epoch_shuffle",
     "pp7_dsir_weights",
+    "tx12_heavy_hitters",
 ]
 
 

@@ -646,3 +646,92 @@ def tx11_rabin_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").repartition(par).mapInPandas(
         kernel, schema="doc_id long, fingerprint long"
     )
+
+
+HH_K = 32  # heavy-hitter support: report tokens with count*K >= total
+
+
+def misra_gries_kernel(tokens, k: int) -> dict[str, int]:
+    """Misra-Gries frequent-items sketch with k counters over one token
+    stream: a surviving counter underestimates by at most n/(k+1), so
+    every item with stream frequency >= n/k STRICTLY exceeds n/(k+1)
+    and is guaranteed to survive (k counters, not the textbook k-1 —
+    the one extra counter converts the classic strict ">" guarantee
+    into the ">=" threshold the exact recount filters on). Pure Python
+    over one partition's tokens — property-tested directly in
+    tests/test_text_extra.py against adversarial streams."""
+    counters: dict[str, int] = {}
+    for w in tokens:
+        if w in counters:
+            counters[w] += 1
+        elif len(counters) < k:
+            counters[w] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+@register(
+    "tx12_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(str_split(lower(text), ' ')) AS w FROM documents
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+    )
+    SELECT w, COUNT(*) AS cnt
+    FROM tok CROSS JOIN tot
+    GROUP BY w, n
+    HAVING COUNT(*) * {HH_K} >= n
+    """,
+)
+def tx12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters — every token holding >= 1/{HH_K} of
+    the total token mass, with its exact count — via the two-pass
+    sketch-then-verify pattern that makes frequent-items tractable at
+    100 TB: (1) each partition runs a Misra-Gries sketch ({HH_K}
+    counters) over its own token stream and emits only its surviving
+    candidate words; any GLOBAL heavy hitter must be locally heavy in
+    at least one partition (averaging: sum f_i(w) >= sum(n_i)/K forces
+    some f_i(w) >= n_i/K > n_i/(K+1), which the K-counter sketch
+    guarantees to keep), so the candidate union is a guaranteed
+    superset. (2) an exact recount over the candidate set (broadcast
+    semi-join filter, then one small groupBy) plus the integer threshold
+    cnt*K >= total — exact ints in both engines, no float compare — so
+    the final output is EXACT and fully hash-checked, while the only
+    all-token aggregation is the 1-row total count (map-side partial).
+
+    Shuffle ledger: candidates are <= partitions x {HH_K} rows (tiny),
+    the recount groupBy runs on the candidate-filtered stream, and the
+    exact total is a single-row reduce — nothing vocabulary-sized ever
+    shuffles, unlike tx3's full token top-k. That is the point: at a
+    web-corpus vocabulary (billions of distinct n-grams) the naive
+    group-everything plan shuffles the vocabulary; this plan shuffles
+    K rows per partition."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("w"))
+
+    def mg(batches):
+        counters = misra_gries_kernel(
+            (w for pdf in batches for w in pdf["w"]), HH_K
+        )
+        yield pd.DataFrame({"w": list(counters)})
+
+    candidates = (
+        tok.mapInPandas(mg, schema="w string").distinct()
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K >= F.col("n"))
+        .select("w", "cnt")
+    )
