@@ -1,0 +1,109 @@
+"""Differential query fuzzer: hypothesis composes random (projection,
+predicate, grouping) queries from an engine-parity-safe grammar, runs
+the SAME SQL text through Spark SQL and DuckDB over the same parquet,
+and compares canonicalized results. Complements the hand-written
+per-operator oracles with breadth: any divergence in filter semantics,
+null handling, aggregate typing, or timestamp canon shows up here
+without anyone having thought to write that exact oracle.
+
+Grammar rules keeping the comparison exact (no tolerance pass):
+- only order-independent aggregates (COUNT/MIN/MAX, SUM of integers
+  CAST to BIGINT against the DuckDB HUGEINT hazard, and single-division
+  integer averages) — no floating SUM, whose addition order differs
+  between engines;
+- predicates use literals only (no engine-evaluated nondeterminism);
+- timestamps compare as their pandas string form (identical canon in
+  both engines for microsecond parquet timestamps).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+AGGS = [
+    "COUNT(*) AS cnt",
+    "COUNT(o_custkey) AS n_ck",
+    "MIN(o_totalprice) AS min_price",
+    "MAX(o_totalprice) AS max_price",
+    "MIN(o_orderdate) AS min_date",
+    "MAX(o_orderdate) AS max_date",
+    "MIN(o_orderstatus) AS min_status",
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key",
+    "ROUND(CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*), 6) AS avg_ck",
+]
+
+PREDS = [
+    None,
+    "o_orderstatus = 'O'",
+    "o_orderstatus IN ('F', 'P')",
+    "o_totalprice > 150000.0",
+    "o_totalprice <= 50000.0",
+    "o_orderkey % 7 = 3",
+    "o_orderdate < TIMESTAMP '1997-01-01 00:00:00'",
+    "o_custkey IS NOT NULL AND o_totalprice BETWEEN 10000.0 AND 200000.0",
+    "NOT (o_orderpriority = '1-URGENT')",
+]
+
+GROUPS = [None, "o_orderstatus", "o_orderpriority"]
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "\\N"
+    if isinstance(v, float):
+        s = f"{v:.9g}"
+        return s if ("." in s or "e" in s or "n" in s) else s + ".0"
+    return str(v)
+
+
+def _canon(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(_canon_cell(row[c]) for c in cols)
+        for _, row in pdf[cols].iterrows()
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    yield spark, con
+    con.close()
+    spark.catalog.dropTempView("orders")
+
+
+@given(
+    aggs=st.lists(st.sampled_from(AGGS), min_size=1, max_size=3, unique=True),
+    pred=st.sampled_from(PREDS),
+    group=st.sampled_from(GROUPS),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_query_differential(engines, aggs, pred, group):
+    spark, con = engines
+    select = (f"{group}, " if group else "") + ", ".join(aggs)
+    sql = f"SELECT {select} FROM orders"
+    if pred:
+        sql += f" WHERE {pred}"
+    if group:
+        sql += f" GROUP BY {group}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
