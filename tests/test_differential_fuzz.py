@@ -107,3 +107,70 @@ def test_random_query_differential(engines, aggs, pred, group):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+JOIN_AGGS = [
+    "COUNT(*) AS cnt",
+    "COUNT(c_custkey) AS n_matched",
+    "MIN(c_acctbal) AS min_bal",
+    "MAX(o_totalprice) AS max_price",
+    "CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat",
+    "MIN(c_mktsegment) AS min_seg",
+]
+
+JOIN_PREDS = [
+    None,
+    "o_orderstatus = 'O'",
+    "c_acctbal > 0.0",
+    "c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    "o_totalprice > 100000.0 OR c_nationkey < 5",
+]
+
+JOIN_TYPES = ["JOIN", "LEFT JOIN"]
+JOIN_GROUPS = [None, "o_orderstatus", "c_mktsegment"]
+
+
+@pytest.fixture(scope="module")
+def join_engines(engines):
+    spark, con = engines
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'"
+    )
+    yield spark, con
+    spark.catalog.dropTempView("customer")
+
+
+@given(
+    aggs=st.lists(
+        st.sampled_from(JOIN_AGGS), min_size=1, max_size=3, unique=True
+    ),
+    pred=st.sampled_from(JOIN_PREDS),
+    jt=st.sampled_from(JOIN_TYPES),
+    group=st.sampled_from(JOIN_GROUPS),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_differential(join_engines, aggs, pred, jt, group):
+    """Same grammar over a two-table join: inner/left join semantics,
+    null propagation through outer rows, and NULL group keys all
+    compared exactly between engines."""
+    spark, con = join_engines
+    select = (f"{group}, " if group else "") + ", ".join(aggs)
+    sql = (
+        f"SELECT {select} FROM orders "
+        f"{jt} customer ON o_custkey = c_custkey"
+    )
+    if pred:
+        sql += f" WHERE {pred}"
+    if group:
+        sql += f" GROUP BY {group}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
