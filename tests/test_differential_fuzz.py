@@ -174,3 +174,54 @@ def test_random_join_differential(join_engines, aggs, pred, jt, group):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+SCALAR_EXPRS = [
+    "UPPER(c_name) AS e_upper",
+    "LOWER(c_mktsegment) AS e_lower",
+    "LENGTH(c_name) AS e_len",
+    "SUBSTR(c_name, 2, 5) AS e_substr",
+    "CONCAT(c_name, '_', c_mktsegment) AS e_concat",
+    "TRIM(c_name) AS e_trim",
+    "REPLACE(c_name, 'a', '@') AS e_replace",
+    "ABS(c_acctbal) AS e_abs",
+    # CAST: Spark FLOOR/CEIL(double) -> BIGINT, DuckDB -> DOUBLE — the
+    # same integral-vs-float canon hazard as DuckDB's HUGEINT SUM
+    # (found by this fuzzer; the per-operator oracles CAST for the
+    # same reason)
+    "CAST(FLOOR(c_acctbal) AS BIGINT) AS e_floor",
+    "CAST(CEIL(c_acctbal) AS BIGINT) AS e_ceil",
+    "c_custkey % 13 AS e_mod",
+    "c_custkey * 3 + c_nationkey AS e_arith",
+    "CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS e_case",
+    "COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<b>') AS e_coalesce",
+]
+
+
+@given(
+    exprs=st.lists(
+        st.sampled_from(SCALAR_EXPRS), min_size=1, max_size=4, unique=True
+    ),
+    pred=st.sampled_from(
+        [None, "c_acctbal > 0.0", "c_nationkey % 2 = 0"]
+    ),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_scalar_expression_differential(join_engines, exprs, pred):
+    """Row-level scalar expression semantics (string functions, integer
+    arithmetic, CASE/COALESCE/NULLIF, floor/ceil) compared exactly over
+    the full customer relation. ROUND is deliberately absent: Spark
+    rounds half-up, DuckDB half-away-from-zero — a genuine dialect
+    divergence the per-operator oracles avoid by construction."""
+    spark, con = join_engines
+    sql = f"SELECT c_custkey, {', '.join(exprs)} FROM customer"
+    if pred:
+        sql += f" WHERE {pred}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
