@@ -225,3 +225,50 @@ def test_random_scalar_expression_differential(join_engines, exprs, pred):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+WINDOW_EXPRS = [
+    # all windows order by the UNIQUE o_orderkey, so every rank/offset
+    # function is deterministic and engine-comparable
+    "ROW_NUMBER() OVER "
+    "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS w_rn",
+    "RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS w_rk",
+    "DENSE_RANK() OVER "
+    "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS w_dr",
+    "LAG(o_orderkey, 1) OVER "
+    "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS w_lag",
+    "LEAD(o_orderkey, 2) OVER "
+    "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS w_lead",
+    "CAST(SUM(o_orderkey) OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    " AS BIGINT) AS w_cumsum",
+    "MIN(o_totalprice) OVER (PARTITION BY o_orderstatus) AS w_minp",
+    "NTILE(4) OVER (ORDER BY o_orderkey) AS w_ntile",
+]
+
+
+@given(
+    exprs=st.lists(
+        st.sampled_from(WINDOW_EXPRS), min_size=1, max_size=3, unique=True
+    ),
+    pred=st.sampled_from([None, "o_totalprice > 50000.0"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_differential(engines, exprs, pred):
+    """Window-function semantics (ranking, offsets, running frames,
+    ntile) compared exactly — every window orders by the unique
+    o_orderkey so results are total-order deterministic in both
+    engines; the running SUM casts to BIGINT against DuckDB's HUGEINT
+    window-sum."""
+    spark, con = engines
+    sql = f"SELECT o_orderkey, {', '.join(exprs)} FROM orders"
+    if pred:
+        sql += f" WHERE {pred}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
