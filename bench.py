@@ -76,6 +76,7 @@ EXTENDED_QUERIES = [
     "pp6_epoch_shuffle",
     "pp7_dsir_weights",
     "tx12_heavy_hitters",
+    "mm6_audio_features",
 ]
 
 

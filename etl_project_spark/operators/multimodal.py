@@ -411,3 +411,182 @@ def mm4_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst_h int, dst_w int, resized_sha256 string"
         ),
     )
+
+
+# --- audio: real RIFF/WAVE PCM payloads ------------------------------------
+
+WAV_N = 512  # samples per clip (multiple of 8 -> exact integer ms)
+WAV_RATE = 8000  # Hz, 8-bit unsigned mono PCM
+
+
+def encode_wav(samples: bytes) -> bytes:
+    """Spec-conformant RIFF/WAVE container around 8-bit unsigned mono
+    PCM — a complete binary audio format needing no external codec
+    (pure struct packing), the audio twin of the PPM image path."""
+    import struct
+
+    n = len(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+
+
+def decode_wav(buf: bytes) -> np.ndarray:
+    """Parse a RIFF/WAVE container: validate magics, walk the chunk
+    list (word-aligned), require 8-bit unsigned mono PCM, return the
+    sample vector. A real decoder, not a fixed-offset slice — it
+    tolerates extra chunks the way real WAV files carry LIST/INFO."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if (audio_format, channels, bits) != (1, 1, 8):
+        raise ValueError(f"unsupported PCM layout {(audio_format, channels, bits)}")
+    if rate != WAV_RATE:
+        raise ValueError(f"unexpected rate {rate}")
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → an audio-shaped media table: one real WAV payload
+    ({WAV_N} samples of 8-bit mono PCM whose bytes derive
+    deterministically from the text, the same fixture rule as the PPM
+    images) + typed metadata per row."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", "text", "source")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                raw = text.encode("utf-8")
+                reps = -(-WAV_N // max(len(raw), 1))
+                samples = (raw * reps)[:WAV_N]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "payload": encode_wav(samples),
+                        "mime": "audio/wav",
+                        "origin": source,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        build,
+        schema="media_id long, payload binary, mime string, origin string",
+    )
+
+
+@register(
+    "mm6_audio_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                   CAST(ceil({WAV_N}.0 / length(text)) AS INT)),
+                   1, {WAV_N}) AS s
+        FROM documents
+    ), samp AS (
+        SELECT doc_id,
+               list_transform(str_split_regex(s, ''), c -> ord(c)) AS v
+        FROM base
+    )
+    SELECT doc_id AS media_id,
+           CAST({WAV_N} AS BIGINT) AS n_samples,
+           CAST({WAV_N} * 1000 / {WAV_RATE} AS BIGINT) AS duration_ms,
+           CAST(list_max(v) AS BIGINT) AS peak,
+           ROUND(CAST(list_sum(v) AS DOUBLE) / {WAV_N}, 6) AS mean_amp,
+           ROUND(sqrt(CAST(list_sum(list_transform(v, x -> x * x))
+                           AS DOUBLE) / {WAV_N}), 6) AS rms,
+           CAST(LEN(list_filter(range(1, {WAV_N}),
+                    i -> (v[i] < 128) != (v[i + 1] < 128))) AS BIGINT)
+               AS zero_crossings
+    FROM samp
+    """,
+)
+def mm6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL WAV payloads: the kernel
+    parses the RIFF container (chunk walk, PCM layout validation) and
+    reduces each clip to exact integer accumulators — sample count,
+    peak, amplitude sum, energy sum, midline (zero) crossings — with
+    the float features (mean amplitude, RMS energy) derived JVM-side as
+    single IEEE divisions over those exact integers (the lm2/x7 parity
+    rule), so the DuckDB oracle recomputing from the text-derived
+    sample stream hash-matches bit for bit.
+
+    Shape: one Arrow mapInPandas pass over the payloads (numpy uint8
+    vector ops per clip, no per-sample Python), zero shuffles after the
+    pinned-parallelism repartition the media fixture shares. At scale
+    this is the ingest-side featurization that gates audio corpora
+    (silence/clipping screens, duration accounting) before any model
+    sees a byte; a production path swaps the codec for ffmpeg behind
+    the same batch signature."""
+    audio = audio_table(spark, sf_dir)
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_wav(bytes(buf)).astype(np.int64)
+                below = v < 128
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_samples": int(v.size),
+                        "peak": int(v.max()),
+                        "sum_amp": int(v.sum()),
+                        "sum_sq": int((v * v).sum()),
+                        "zero_crossings": int(
+                            np.count_nonzero(below[:-1] != below[1:])
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    acc = audio.select("media_id", "payload").mapInPandas(
+        features,
+        schema=(
+            "media_id long, n_samples long, peak long, "
+            "sum_amp long, sum_sq long, zero_crossings long"
+        ),
+    )
+    n = F.col("n_samples")
+    return acc.select(
+        "media_id",
+        "n_samples",
+        (n * 1000 / WAV_RATE).cast("long").alias("duration_ms"),
+        "peak",
+        F.round(F.col("sum_amp") / n, 6).alias("mean_amp"),
+        F.round(F.sqrt(F.col("sum_sq") / n), 6).alias("rms"),
+        "zero_crossings",
+    )

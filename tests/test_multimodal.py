@@ -68,3 +68,71 @@ def test_mm2_isolates_decode_errors(spark, sf_dir):
     assert all(r["media_id"] % 2 == 1 for r in bad)
     assert all(r["height"] is None for r in bad)
     assert all(r["mean_intensity"] is not None for r in good)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """decode(encode(x)) == x, and the decoder's chunk walk tolerates
+    an extra LIST chunk (with odd-length word-alignment padding)
+    between fmt and data — the layout real WAV writers emit."""
+    import struct
+
+    import numpy as np
+
+    from etl_project_spark.operators.multimodal import (
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = bytes(range(256)) * 2
+    assert decode_wav(encode_wav(samples)).tobytes() == samples
+
+    extra = b"INFO-tool"  # odd length (9) -> exercises the pad byte
+    wav = encode_wav(samples)
+    fmt_end = 12 + 8 + 16
+    padded = (
+        wav[:fmt_end]
+        + b"LIST"
+        + struct.pack("<I", len(extra))
+        + extra
+        + b"\x00"
+        + wav[fmt_end:]
+    )
+    assert decode_wav(padded).tobytes() == samples
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav[4:])
+    bad_rate = bytearray(wav)
+    bad_rate[12 + 8 + 4 : 12 + 8 + 8] = struct.pack("<I", WAV_RATE * 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad_rate))
+    assert isinstance(decode_wav(wav), np.ndarray)
+
+
+def test_audio_features_match_manual(spark, sf_dir):
+    """mm6's features equal a driver-side recomputation from the text
+    fixture rule (repeat-to-512 ascii bytes)."""
+    import math
+
+    from etl_project_spark.operators.multimodal import WAV_N
+    from etl_project_spark.registry import get
+
+    got = {
+        r["media_id"]: r
+        for r in get("mm6_audio_features").fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs[:50]:
+        raw = d["text"].encode()
+        v = (raw * (-(-WAV_N // len(raw))))[:WAV_N]
+        r = got[d["doc_id"]]
+        assert r["n_samples"] == WAV_N
+        assert r["peak"] == max(v)
+        assert abs(r["mean_amp"] - sum(v) / WAV_N) < 1e-6
+        assert abs(r["rms"] - math.sqrt(sum(x * x for x in v) / WAV_N)) < 1e-6
+        zc = sum(
+            1 for i in range(WAV_N - 1) if (v[i] < 128) != (v[i + 1] < 128)
+        )
+        assert r["zero_crossings"] == zc
