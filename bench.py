@@ -77,6 +77,7 @@ EXTENDED_QUERIES = [
     "pp7_dsir_weights",
     "tx12_heavy_hitters",
     "mm6_audio_features",
+    "mm7_video_frame_stats",
 ]
 
 

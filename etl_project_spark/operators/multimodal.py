@@ -590,3 +590,165 @@ def mm6_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("sum_sq") / n), 6).alias("rms"),
         "zero_crossings",
     )
+
+
+# --- video: real YUV4MPEG2 (Y4M) container payloads -------------------------
+
+Y4M_W, Y4M_H = 16, 8
+Y4M_FRAMES = 6
+Y4M_PLANE = Y4M_W * Y4M_H  # 128 bytes per plane (C444: Y,U,V full size)
+Y4M_FSZ = 3 * Y4M_PLANE  # bytes per frame
+Y4M_STREAM = Y4M_FRAMES * Y4M_FSZ
+_Y4M_HEADER = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C444\n".encode()
+Y4M_SAMPLE_EVERY = 2  # mm7 samples frames 0, 2, 4
+
+
+def encode_y4m(stream: bytes) -> bytes:
+    """Spec-conformant YUV4MPEG2 container around raw C444 planes — a
+    complete video file format with no compression, so no external
+    codec is needed (the video leg of the PPM/WAV fixture family)."""
+    assert len(stream) == Y4M_STREAM
+    out = [_Y4M_HEADER]
+    for i in range(Y4M_FRAMES):
+        out.append(b"FRAME\n")
+        out.append(stream[i * Y4M_FSZ : (i + 1) * Y4M_FSZ])
+    return b"".join(out)
+
+
+def decode_y4m(buf: bytes) -> np.ndarray:
+    """Parse a Y4M stream: validate the signature, read the header
+    parameters (width/height/colorspace), then walk FRAME markers
+    (each may carry frame-level params up to its newline). Returns
+    (frames, 3, H, W) uint8 planes."""
+    nl = buf.index(b"\n")
+    header = buf[:nl].decode("ascii")
+    parts = header.split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    params = {p[0]: p[1:] for p in parts[1:] if p}
+    w, h = int(params["W"]), int(params["H"])
+    if params.get("C", "420") != "444":
+        raise ValueError(f"unsupported colorspace C{params.get('C')}")
+    plane = w * h
+    pos = nl + 1
+    frames = []
+    while pos < len(buf):
+        fnl = buf.index(b"\n", pos)
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        raw = buf[pos : pos + 3 * plane]
+        frames.append(
+            np.frombuffer(raw, dtype=np.uint8).reshape(3, h, w)
+        )
+        pos += 3 * plane
+    return np.stack(frames)
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → a video-shaped media table: one real Y4M payload
+    ({Y4M_FRAMES} frames of {Y4M_W}x{Y4M_H} C444 planes whose bytes
+    derive deterministically from the text) + typed metadata."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", "text", "source")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                raw = text.encode("utf-8")
+                reps = -(-Y4M_STREAM // max(len(raw), 1))
+                stream = (raw * reps)[:Y4M_STREAM]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "payload": encode_y4m(stream),
+                        "mime": "video/x-yuv4mpeg",
+                        "origin": source,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        build,
+        schema="media_id long, payload binary, mime string, origin string",
+    )
+
+
+@register(
+    "mm7_video_frame_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                   CAST(ceil({Y4M_STREAM}.0 / length(text)) AS INT)),
+                   1, {Y4M_STREAM}) AS s
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, i AS frame_idx,
+               list_transform(
+                   str_split_regex(
+                       substring(s, i * {Y4M_FSZ} + 1, {Y4M_PLANE}), ''),
+                   c -> ord(c)) AS y
+        FROM base,
+             UNNEST([{", ".join(str(i) for i in
+                      range(0, Y4M_FRAMES, Y4M_SAMPLE_EVERY))}]) AS u(i)
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(list_max(y) AS BIGINT) AS max_luma,
+           ROUND(CAST(list_sum(y) AS DOUBLE) / {Y4M_PLANE}, 6) AS mean_luma
+    FROM fr
+    """,
+)
+def mm7_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over REAL Y4M containers: the kernel parses
+    the YUV4MPEG2 header and FRAME markers (a real demuxer walk, not a
+    fixed slice), samples every {Y4M_SAMPLE_EVERY}nd frame, and reduces
+    each sampled frame's luma plane to exact integer accumulators; the
+    float mean derives as one JVM-side IEEE division (the mm6/lm2
+    parity rule), so the oracle recomputing from the text-derived byte
+    stream hash-matches exactly. This is the frame-sampling shape a
+    video-corpus pipeline runs before any embedding model sees a frame
+    (keyframe selection, black/blank-frame screens, luma histograms);
+    a production path swaps the demuxer for pyav behind the same
+    mapInPandas batch signature and emits sampled frames as image rows
+    into the mm2/mm4/mm5 image operators.
+
+    Shape: one Arrow pass over payloads, numpy per-plane reductions,
+    output rows = clips x sampled frames — the only expansion; zero
+    shuffles after the fixture's pinned-parallelism repartition."""
+    video = video_table(spark, sf_dir)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                planes = decode_y4m(bytes(buf))
+                for i in range(0, planes.shape[0], Y4M_SAMPLE_EVERY):
+                    y = planes[i, 0].astype(np.int64)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": i,
+                            "max_luma": int(y.max()),
+                            "sum_luma": int(y.sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    acc = video.select("media_id", "payload").mapInPandas(
+        stats,
+        schema="media_id long, frame_idx long, max_luma long, sum_luma long",
+    )
+    return acc.select(
+        "media_id",
+        "frame_idx",
+        "max_luma",
+        F.round(F.col("sum_luma") / Y4M_PLANE, 6).alias("mean_luma"),
+    )

@@ -136,3 +136,59 @@ def test_audio_features_match_manual(spark, sf_dir):
             1 for i in range(WAV_N - 1) if (v[i] < 128) != (v[i + 1] < 128)
         )
         assert r["zero_crossings"] == zc
+
+
+def test_y4m_roundtrip_and_header_validation():
+    """decode(encode(x)) reproduces every plane byte; header width/
+    height are honored; non-C444 colorspace and a bad signature are
+    rejected."""
+    import numpy as np
+    import pytest
+
+    from etl_project_spark.operators.multimodal import (
+        Y4M_FRAMES,
+        Y4M_H,
+        Y4M_STREAM,
+        Y4M_W,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    stream = bytes(i % 251 for i in range(Y4M_STREAM))
+    planes = decode_y4m(encode_y4m(stream))
+    assert planes.shape == (Y4M_FRAMES, 3, Y4M_H, Y4M_W)
+    assert planes.tobytes() == stream
+    assert isinstance(planes, np.ndarray)
+
+    wav = encode_y4m(stream)
+    with pytest.raises(ValueError):
+        decode_y4m(b"JUNKMPEG2" + wav[9:])
+    with pytest.raises(ValueError):
+        decode_y4m(wav.replace(b"C444", b"C420", 1))
+
+
+def test_video_frame_stats_match_manual(spark, sf_dir):
+    """mm7's per-frame stats equal a driver-side recomputation from the
+    text fixture rule (sampled frames' Y planes)."""
+    from etl_project_spark.operators.multimodal import (
+        Y4M_FSZ,
+        Y4M_PLANE,
+        Y4M_SAMPLE_EVERY,
+        Y4M_FRAMES,
+        Y4M_STREAM,
+    )
+    from etl_project_spark.registry import get
+
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in get("mm7_video_frame_stats").fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs[:50]:
+        raw = d["text"].encode()
+        stream = (raw * (-(-Y4M_STREAM // len(raw))))[:Y4M_STREAM]
+        for i in range(0, Y4M_FRAMES, Y4M_SAMPLE_EVERY):
+            y = stream[i * Y4M_FSZ : i * Y4M_FSZ + Y4M_PLANE]
+            r = got[(d["doc_id"], i)]
+            assert r["max_luma"] == max(y)
+            assert abs(r["mean_luma"] - sum(y) / Y4M_PLANE) < 1e-6
