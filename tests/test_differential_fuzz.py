@@ -272,3 +272,72 @@ def test_random_window_differential(engines, exprs, pred):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+SETOP_PROJS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey % 50",
+]
+
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+
+
+@given(
+    proj=st.sampled_from(SETOP_PROJS),
+    op=st.sampled_from(SETOPS),
+    p1=st.sampled_from(PREDS),
+    p2=st.sampled_from(PREDS),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_setop_differential(engines, proj, op, p1, p2):
+    """Set-operation semantics (dedup vs ALL, set-difference) compared
+    exactly between engines over matching branch projections."""
+    spark, con = engines
+    w1 = f" WHERE {p1}" if p1 else ""
+    w2 = f" WHERE {p2}" if p2 else ""
+    sql = (
+        f"SELECT {proj} AS k FROM orders{w1} "
+        f"{op} SELECT {proj} AS k FROM orders{w2}"
+    )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
+
+
+SUBQUERY_SQLS = [
+    "SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)",
+    "SELECT COUNT(*) AS n FROM orders WHERE o_custkey NOT IN "
+    "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+    "SELECT COUNT(*) AS n FROM orders o WHERE EXISTS "
+    "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+    "AND c.c_acctbal < 0)",
+    "SELECT COUNT(*) AS n FROM orders o WHERE NOT EXISTS "
+    "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)",
+    "SELECT COUNT(*) AS n FROM orders "
+    "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)",
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+    "WHERE c_acctbal > (SELECT MIN(c_acctbal) FROM customer) "
+    "GROUP BY c_mktsegment",
+]
+
+
+@given(sql=st.sampled_from(SUBQUERY_SQLS))
+@settings(
+    max_examples=len(SUBQUERY_SQLS),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_subquery_differential(join_engines, sql):
+    """Semi/anti-join rewrites (IN/NOT IN/EXISTS/NOT EXISTS) and scalar
+    subqueries compared exactly — the decorrelation paths both engines
+    optimize differently but must agree on."""
+    spark, con = join_engines
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
