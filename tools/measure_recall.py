@@ -123,6 +123,30 @@ def main() -> None:
             "bruteforce_pairs": len(brute),
             "returned_pairs": len(probe),
         }
+        # dd4 MinHash-LSH pair recall vs dd8's EXACT whole-corpus pair
+        # set (same metric, same threshold): quantifies the 32x4-band
+        # s-curve (≈0.87 at j exactly 0.5, -> 1 as j rises); dd4's
+        # precision is 1.0 by construction (exact verify).
+        exact_pairs = pair_set(
+            get("dd8_jaccard_prefix_join").fn(spark, sf_dir),
+            "doc_a",
+            "doc_b",
+        )
+        lsh_pairs = pair_set(
+            get("dd4_minhash_lsh_pairs").fn(spark, sf_dir),
+            "doc_a",
+            "doc_b",
+        )
+        entry["dd4_minhash_lsh_pairs"] = {
+            "recall_vs_exact_pairs": round(
+                len(lsh_pairs & exact_pairs) / len(exact_pairs), 4
+            )
+            if exact_pairs
+            else 1.0,
+            "exact_pairs": len(exact_pairs),
+            "returned_pairs": len(lsh_pairs),
+            "false_positives": len(lsh_pairs - exact_pairs),
+        }
         out[sf] = entry
     with open("RECALL.json", "w") as f:
         json.dump(out, f, indent=1)
