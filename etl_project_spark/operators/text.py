@@ -651,7 +651,9 @@ def tx11_rabin_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 HH_K = 32  # heavy-hitter support: report tokens with count*K >= total
 
 
-def misra_gries_kernel(tokens, k: int) -> dict[str, int]:
+def misra_gries_kernel(
+    tokens, k: int, counters: dict[str, int] | None = None
+) -> dict[str, int]:
     """Misra-Gries frequent-items sketch with k counters over one token
     stream: a surviving counter underestimates by at most n/(k+1), so
     every item with stream frequency >= n/k STRICTLY exceeds n/(k+1)
@@ -659,8 +661,12 @@ def misra_gries_kernel(tokens, k: int) -> dict[str, int]:
     the one extra counter converts the classic strict ">" guarantee
     into the ">=" threshold the exact recount filters on). Pure Python
     over one partition's tokens — property-tested directly in
-    tests/test_text_extra.py against adversarial streams."""
-    counters: dict[str, int] = {}
+    tests/test_text_extra.py against adversarial streams.
+
+    ``counters`` resumes an existing sketch (the streaming twin feeds
+    each micro-batch through the same eviction rule,
+    streaming/stateful.heavy_hitters_stream)."""
+    counters = dict(counters) if counters else {}
     for w in tokens:
         if w in counters:
             counters[w] += 1

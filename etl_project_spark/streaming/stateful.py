@@ -222,3 +222,62 @@ def latest_snapshot(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stream(
+    tokens: DataFrame,
+    k: int = 32,
+    n_groups: int = 8,
+    token_col: str = "w",
+) -> DataFrame:
+    """Streaming frequent-items sketch — the stateful twin of the batch
+    ``tx12_heavy_hitters`` candidate pass: tokens hash-partition into
+    ``n_groups`` groups, each group's state is a k-counter Misra-Gries
+    sketch fed incrementally across micro-batches, and every batch
+    re-emits the group's current candidate set (update mode). Because
+    a token always hashes to the same group, any item holding >= 1/k of
+    the TOTAL stream mass is heavy within its own group's substream and
+    survives that sketch — the union of group candidates is a superset
+    of the true heavy hitters at every point in the stream, ready for
+    the batch recount to exactify.
+
+    State is O(k) per group FOREVER — n_groups*k counters total no
+    matter how many distinct tokens flow past; contrast a streaming
+    groupBy(token) count whose state grows with the vocabulary. That
+    bounded-state property is the whole reason a 100 TB/day token
+    stream can afford a continuously-maintained candidate set."""
+    from etl_project_spark.operators.text import misra_gries_kernel
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            words, counts = state.get
+            counters = dict(zip(list(words), [int(c) for c in counts]))
+        else:
+            counters = {}
+
+        # continue the sketch: preload the stored counters, then feed
+        # the new tokens through the SAME eviction rule as the batch
+        # operator (shared kernel)
+        merged = misra_gries_kernel(
+            (w for pdf in pdfs for w in pdf[token_col]), k, counters
+        )
+        state.update((list(merged), [merged[w] for w in merged]))
+        yield pd.DataFrame(
+            {
+                "grp": [int(key[0])] * len(merged),
+                "w": list(merged),
+                "est_count": [merged[w] for w in merged],
+            }
+        )
+
+    return tokens.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType="grp int, w string, est_count long",
+        stateStructType="words array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -498,3 +498,40 @@ def test_streaming_session_paths_match_batch_an3(spark, sf_dir, tmp_path):
     )
     expected = get("an3_session_paths").fn(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_stateful_heavy_hitters_superset(spark, sf_dir, tmp_path):
+    """Streaming MG sketch after consuming the whole corpus: the union
+    of per-group candidates covers every true >=1/k heavy hitter, and
+    state stays bounded at <= k counters per group."""
+    from collections import Counter
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.streaming import stateful
+
+    k, n_groups = 32, 8
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).withColumn("grp", F.pmod(F.xxhash64("w"), F.lit(n_groups)).cast("int"))
+    src_dir = str(tmp_path / "tok_src")
+    tok.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.heavy_hitters_stream(stream, k=k, n_groups=n_groups)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_hh"), output_mode="update", queryName="hh_test"
+    )
+    rows = spark.sql("SELECT * FROM hh_test").collect()
+    # last emission per (grp, w) is the final sketch content
+    candidates = {r["w"] for r in rows}
+    per_group = Counter(r["grp"] for r in rows)
+    assert all(c <= k for c in per_group.values()), per_group
+    counts = Counter(
+        w
+        for d in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        for w in d["text"].lower().split(" ")
+    )
+    n = sum(counts.values())
+    true_hh = {w for w, c in counts.items() if c * k >= n}
+    assert true_hh, "vacuous corpus"
+    assert true_hh <= candidates, true_hh - candidates
