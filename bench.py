@@ -78,6 +78,7 @@ EXTENDED_QUERIES = [
     "tx12_heavy_hitters",
     "mm6_audio_features",
     "mm7_video_frame_stats",
+    "rk4_reciprocal_rank_fusion",
 ]
 
 

@@ -352,3 +352,161 @@ def lm2_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.avg(F.log("cp"))), 6).alias("perplexity"),
         )
     )
+
+
+RRF_QUERIES = 10  # doc_id < 10 are the query docs (x1's convention)
+RRF_DEPTH = 20  # per-ranker candidate depth feeding the fusion
+RRF_C = 60  # the standard RRF dampening constant
+RRF_K = 5  # fused results returned per query
+
+_RRF_SEM_RANK = f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.e, c.e)
+                            / (sqrt(list_dot_product(q.e, q.e))
+                               * sqrt(list_dot_product(c.e, c.e))) DESC,
+                            c.vec_id
+               ) AS r
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < {RRF_QUERIES}) q
+        CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id >= {RRF_QUERIES}) c
+"""
+
+
+@register(
+    "rk4_reciprocal_rank_fusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS t
+        FROM documents
+    ), lex AS (
+        SELECT query_id, doc_id, r FROM (
+            SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.doc_id
+                       ORDER BY CAST(LEN(list_intersect(q.t, c.t)) AS DOUBLE)
+                                / (LEN(q.t) + LEN(c.t)
+                                   - LEN(list_intersect(q.t, c.t))) DESC,
+                                c.doc_id
+                   ) AS r
+            FROM toks q CROSS JOIN toks c
+            WHERE q.doc_id < {RRF_QUERIES} AND c.doc_id >= {RRF_QUERIES}
+        ) WHERE r <= {RRF_DEPTH}
+    ), sem AS (
+        SELECT query_id, doc_id, r FROM ({_RRF_SEM_RANK})
+        WHERE r <= {RRF_DEPTH}
+    ), fused AS (
+        SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(1.0 / ({RRF_C} + l.r), 0)
+                   + COALESCE(1.0 / ({RRF_C} + s.r), 0) AS score
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, fused_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {RRF_K}
+    """,
+)
+def rk4_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al.
+    2009): a lexical ranker (distinct-token-set Jaccard, the sparse/
+    keyword side) and a semantic ranker (exact cosine over the aligned
+    embedding, x1's rule) each contribute 1/({RRF_C}+rank) for their
+    top-{RRF_DEPTH}; fused score sorts the final top-{RRF_K} per query.
+    RRF is the standard way production search fuses BM25-family and
+    vector retrieval without score calibration — only RANKS cross the
+    ranker boundary, so the two sides' incomparable score scales never
+    meet.
+
+    Engine parity: each fused score is two exact divisions and one add
+    over identical operands, so ordering (and the deterministic doc_id
+    tie-break) agrees bit-for-bit; ids + rank are the only outputs
+    (x1's hash rule). Scale: both rankers broadcast the bounded query
+    set and scan the corpus once — linear per query, never corpus x
+    corpus; at depth {RRF_DEPTH} the fusion join touches <= 2 x
+    {RRF_DEPTH} x |queries| rows. Production swaps the lexical side
+    for rk1's BM25 postings and the semantic side for the x4/IVF
+    probe — the fusion stage is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    ql = docs.filter(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("t").alias("qt")
+    )
+    cl = docs.filter(F.col("doc_id") >= RRF_QUERIES)
+    inter = F.size(F.array_intersect(F.col("qt"), F.col("t")))
+    jac = inter.cast("double") / (
+        F.size("qt") + F.size("t") - inter
+    )
+    wq = Window.partitionBy("query_id")
+    lex = (
+        F.broadcast(ql)
+        .crossJoin(cl)
+        .select("query_id", "doc_id", jac.alias("s"))
+        .withColumn(
+            "r",
+            F.row_number().over(wq.orderBy(F.desc("s"), F.asc("doc_id"))),
+        )
+        .filter(F.col("r") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "r")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    from etl_project_spark.functions.vectors import cosine_sim
+
+    qe = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    ce = emb.filter(F.col("vec_id") >= RRF_QUERIES).select(
+        F.col("vec_id").alias("doc_id"), F.col("e").alias("ce")
+    )
+    sem = (
+        F.broadcast(qe)
+        .crossJoin(ce)
+        .select(
+            "query_id",
+            "doc_id",
+            cosine_sim(F.col("qe"), F.col("ce")).alias("s"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(wq.orderBy(F.desc("s"), F.asc("doc_id"))),
+        )
+        .filter(F.col("r") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "r")
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_C) + r), F.lit(0.0)
+    )
+    fused = (
+        lex.withColumnRenamed("r", "rl")
+        .join(
+            sem.withColumnRenamed("r", "rs"),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (contrib(F.col("rl")) + contrib(F.col("rs"))).alias("score"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                wq.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("fused_rank") <= RRF_K)
+        .select("query_id", "doc_id", "fused_rank")
+    )
