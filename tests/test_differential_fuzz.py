@@ -126,7 +126,7 @@ JOIN_PREDS = [
     "o_totalprice > 100000.0 OR c_nationkey < 5",
 ]
 
-JOIN_TYPES = ["JOIN", "LEFT JOIN"]
+JOIN_TYPES = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
 JOIN_GROUPS = [None, "o_orderstatus", "c_mktsegment"]
 
 
@@ -338,6 +338,41 @@ def test_subquery_differential(join_engines, sql):
     subqueries compared exactly — the decorrelation paths both engines
     optimize differently but must agree on."""
     spark, con = join_engines
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
+
+
+GROUPING_FORMS = [
+    "ROLLUP (o_orderstatus, o_orderpriority)",
+    "CUBE (o_orderstatus, o_orderpriority)",
+    "GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+]
+
+
+@given(
+    form=st.sampled_from(GROUPING_FORMS),
+    agg=st.sampled_from(
+        ["COUNT(*) AS cnt", "CAST(SUM(o_orderkey) AS BIGINT) AS s",
+         "MIN(o_totalprice) AS mn"]
+    ),
+    pred=st.sampled_from([None, "o_totalprice > 100000.0"]),
+)
+@settings(
+    max_examples=18,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouping_form_differential(engines, form, agg, pred):
+    """ROLLUP/CUBE/GROUPING SETS: the super-aggregate NULL rows and
+    their interaction with real NULL-free group keys compared exactly
+    between engines."""
+    spark, con = engines
+    where = f" WHERE {pred}" if pred else ""
+    sql = (
+        f"SELECT o_orderstatus, o_orderpriority, {agg} "
+        f"FROM orders{where} GROUP BY {form}"
+    )
     spdf = spark.sql(sql).toPandas()
     opdf = con.sql(sql).df()
     assert _canon(spdf) == _canon(opdf), sql
