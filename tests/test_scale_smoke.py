@@ -208,3 +208,38 @@ def test_prefix_jaccard_join_at_200k_docs(spark, tmp_path):
         abs(by_pair[(n_docs - 2, n_docs - 1)] - 17 / 19) < 1e-12
         or by_pair[(n_docs - 2, n_docs - 1)] == 1.0
     )
+
+
+def test_epoch_shuffle_bijection_at_10m(spark):
+    """pp6's two-phase bucketed row_number over 10M synthetic ids:
+    positions form an exact 0..N-1 bijection (checked via aggregates,
+    never a driver collect) and no single window partition sees more
+    than a ~1% slice of the data (256 md5-prefix buckets)."""
+    import time
+
+    t0 = time.time()
+    d = spark.range(N).select(F.col("id").alias("doc_id")).withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("bucket", F.substring("k", 1, 2))
+    in_bucket = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    local = d.withColumn("rn", F.row_number().over(in_bucket))
+    totals = local.groupBy("bucket").agg(F.max("rn").alias("n"))
+    offsets = totals.withColumn(
+        "offset", F.sum("n").over(Window.orderBy("bucket")) - F.col("n")
+    ).select("bucket", "offset")
+    pos = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("offset") + F.col("rn") - 1).alias("position")
+    )
+    agg = pos.agg(
+        F.count("*").alias("n"),
+        F.min("position").alias("mn"),
+        F.max("position").alias("mx"),
+        F.count_distinct("position").alias("nd"),
+        F.sum("position").alias("s"),
+    ).collect()[0]
+    assert agg["n"] == N and agg["nd"] == N
+    assert agg["mn"] == 0 and agg["mx"] == N - 1
+    assert agg["s"] == N * (N - 1) // 2  # exact bijection certificate
+    biggest = totals.agg(F.max("n")).collect()[0][0]
+    assert biggest < N // 50, biggest  # 256 buckets -> ~N/256 each
+    assert time.time() - t0 < 120
