@@ -243,3 +243,63 @@ def test_epoch_shuffle_bijection_at_10m(spark):
     biggest = totals.agg(F.max("n")).collect()[0][0]
     assert biggest < N // 50, biggest  # 256 buckets -> ~N/256 each
     assert time.time() - t0 < 120
+
+
+def test_heavy_hitters_sketch_at_10m_tokens(spark):
+    """tx12's sketch-then-verify pipeline over 10M synthetic tokens
+    with a 100k-type long tail + 3 planted hot tokens: the candidate
+    pass shuffles at most partitions*K rows (asserted), and the exact
+    recount returns EXACTLY the closed-form heavy-hitter set."""
+    import time
+
+    import pandas as pd
+
+    from etl_project_spark.operators.text import HH_K, misra_gries_kernel
+
+    t0 = time.time()
+    # even ids -> one of 3 hot tokens (~N/6 mass each >= N/32);
+    # odd ids -> a 100k-type uniform tail (each ~N/200000 << N/32)
+    tok = spark.range(N).select(
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("t"), (F.col("id") % 100000).cast("string"))
+        )
+        .alias("w")
+    )
+
+    def mg(batches):
+        counters = misra_gries_kernel(
+            (w for pdf in batches for w in pdf["w"]), HH_K
+        )
+        yield pd.DataFrame({"w": list(counters)})
+
+    candidates = tok.mapInPandas(mg, schema="w string").distinct()
+    n_cand = candidates.count()
+    parts = tok.rdd.getNumPartitions()
+    assert n_cand <= parts * HH_K, (n_cand, parts)
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        (r["w"], r["cnt"])
+        for r in tok.join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * HH_K >= F.col("n"))
+        .select("w", "cnt")
+        .collect()
+    }
+    # closed form: hot{j} collects ids ≡ r (mod 6) for the even r with
+    # r % 3 == j; |{i < N : i ≡ r (mod 6)}| = (N - r + 5) // 6
+    def hot_count(j):
+        return sum(
+            (N - r + 5) // 6
+            for r in range(6)
+            if r % 2 == 0 and r % 3 == j
+        )
+
+    expect = {(f"hot{j}", hot_count(j)) for j in range(3)}
+    assert got == expect, (sorted(got)[:5], sorted(expect))
+    assert time.time() - t0 < 120
