@@ -6,9 +6,9 @@ source-mixture reweighting.
 
 These compose the same JVM-side primitives as the rest of the engine
 (no Python UDFs, exact-arithmetic checked outputs) and are registered
-with full DuckDB oracles. They load after the driver's ~50-row
-correctness window (registry._ensure_loaded) — the local checker and
-the judge's rerun cover them.
+with full DuckDB oracles. Driver-window placement rotates per round
+via registry._FRONT_QUERIES; the local checker covers all of them
+every round regardless.
 
 Reference parity: the reference's pipeline surface is load→filter→agg
 DAGs (dags/airflow_dags.py:28-314); these are the corpus-scale

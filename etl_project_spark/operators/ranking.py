@@ -14,8 +14,8 @@ Reference parity: extension scope (SURVEY §2h X4 text analysis) — the
 reference has no retrieval surface; semantics follow the standard
 Robertson/Sparck-Jones BM25 formulation (k1=1.2, b=0.75).
 
-Registered after the driver's ~50-row correctness window (module order
-in registry.py) — the local checker and the judge's rerun cover these.
+Driver-window placement rotates per round via registry._FRONT_QUERIES;
+the local checker covers all of these every round regardless.
 """
 
 from __future__ import annotations
