@@ -79,6 +79,7 @@ EXTENDED_QUERIES = [
     "mm6_audio_features",
     "mm7_video_frame_stats",
     "rk4_reciprocal_rank_fusion",
+    "dq3_psi_drift",
 ]
 
 

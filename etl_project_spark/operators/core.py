@@ -686,3 +686,131 @@ def a10_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_slope("l_extendedprice", "l_quantity"), 6
         ).alias("slope"),
     )
+
+
+PSI_BUCKETS = 10
+PSI_SPLIT = "2024-01-16 00:00:00"  # reference window < split <= current
+
+
+@register(
+    "dq3_psi_drift",
+    oracle=f"""
+    WITH ref AS (
+        SELECT value FROM events
+        WHERE ts < TIMESTAMP '{PSI_SPLIT}'
+    ), cur AS (
+        SELECT value FROM events
+        WHERE ts >= TIMESTAMP '{PSI_SPLIT}'
+    ), bounds AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx,
+               (MAX(value) - MIN(value)) / {PSI_BUCKETS} AS w
+        FROM ref
+    ), rb AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((value - mn) / w) AS BIGINT), 0),
+                     {PSI_BUCKETS - 1}) AS bucket,
+               COUNT(*) AS n_ref
+        FROM ref CROSS JOIN bounds GROUP BY 1
+    ), cb AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((value - mn) / w) AS BIGINT), 0),
+                     {PSI_BUCKETS - 1}) AS bucket,
+               COUNT(*) AS n_cur
+        FROM cur CROSS JOIN bounds GROUP BY 1
+    ), tot AS (
+        SELECT CAST((SELECT COUNT(*) FROM ref) AS BIGINT) AS nr,
+               CAST((SELECT COUNT(*) FROM cur) AS BIGINT) AS nc
+    ), grid AS (
+        SELECT i AS bucket FROM UNNEST(generate_series(0,
+            {PSI_BUCKETS - 1})) AS g(i)
+    )
+    SELECT grid.bucket,
+           CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+           CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur,
+           ROUND(((COALESCE(n_ref, 0) + 0.5) / (nr + {PSI_BUCKETS * 0.5}))
+                 - ((COALESCE(n_cur, 0) + 0.5)
+                    / (nc + {PSI_BUCKETS * 0.5})), 6) AS share_delta,
+           ROUND((((COALESCE(n_ref, 0) + 0.5) / (nr + {PSI_BUCKETS * 0.5}))
+                  - ((COALESCE(n_cur, 0) + 0.5)
+                     / (nc + {PSI_BUCKETS * 0.5})))
+                 * LN(((COALESCE(n_ref, 0) + 0.5)
+                       / (nr + {PSI_BUCKETS * 0.5}))
+                      / ((COALESCE(n_cur, 0) + 0.5)
+                         / (nc + {PSI_BUCKETS * 0.5}))), 6) AS psi_term
+    FROM grid
+    LEFT JOIN rb ON grid.bucket = rb.bucket
+    LEFT JOIN cb ON grid.bucket = cb.bucket
+    CROSS JOIN tot
+    """,
+)
+def dq3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two time windows
+    of ``events.value`` — the feature-drift monitor an ML pipeline runs
+    before trusting a new data window (PSI > 0.25 on any feature is the
+    classic retrain/investigate trigger). {PSI_BUCKETS} equal-width
+    buckets are fitted on the REFERENCE window's min/max (the standard
+    protocol: the monitored window is scored against the reference
+    grid, out-of-range values clamp into the edge buckets); shares are
+    Laplace-smoothed (+0.5 per bucket) so empty buckets don't blow up
+    the log; psi_term = (p_ref - p_cur) * ln(p_ref / p_cur) per bucket
+    — the total PSI is their sum.
+
+    Engine parity: bucket ids are floor() of an identical IEEE chain
+    over exact inputs; shares are single divisions of exact integers;
+    ROUND(…, 6) absorbs LN ulp (the lm2 rule). Shape: two filtered
+    scans (one partial-agg count shuffle each at {PSI_BUCKETS}-bucket
+    width), a 2-value broadcast of window totals, and a {PSI_BUCKETS}-
+    row grid join — nothing is ever wider than the bucket count; at
+    100 TB add more features as more (feature, bucket) rows, same
+    plan."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    bounds = ref.agg(
+        F.min("value").alias("mn"),
+        ((F.max("value") - F.min("value")) / PSI_BUCKETS).alias("w"),
+    )
+
+    def bucketed(side: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("mn")) / F.col("w")).cast(
+                    "long"
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(PSI_BUCKETS - 1).cast("long"),
+        )
+        return (
+            side.crossJoin(F.broadcast(bounds))
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rb = bucketed(ref, "n_ref")
+    cb = bucketed(cur, "n_cur")
+    tot = ref.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        cur.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    grid = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    sm = PSI_BUCKETS * 0.5
+    p_ref = (F.coalesce(F.col("n_ref"), F.lit(0)) + 0.5) / (
+        F.col("nr") + F.lit(sm)
+    )
+    p_cur = (F.coalesce(F.col("n_cur"), F.lit(0)) + 0.5) / (
+        F.col("nc") + F.lit(sm)
+    )
+    return (
+        grid.join(rb, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+            F.round(p_ref - p_cur, 6).alias("share_delta"),
+            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias(
+                "psi_term"
+            ),
+        )
+    )

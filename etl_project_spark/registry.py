@@ -85,7 +85,7 @@ _FRONT_QUERIES = [
     # round-4 additions — never driver-checked
     "bpe2_tokenize_apply", "pp6_epoch_shuffle", "pp7_dsir_weights",
     "tx12_heavy_hitters", "mm6_audio_features", "mm7_video_frame_stats",
-    "rk4_reciprocal_rank_fusion",
+    "rk4_reciprocal_rank_fusion", "dq3_psi_drift",
     # (a) the six HUGEINT-oracle fixes — re-check first
     "bpe1_merge_table", "pp1_token_shard_packing", "pp3_quality_funnel",
     "pp4_source_mixture", "lm1_bigram_model", "dq1_constraint_audit",
