@@ -80,6 +80,8 @@ EXTENDED_QUERIES = [
     "mm7_video_frame_stats",
     "rk4_reciprocal_rank_fusion",
     "dq3_psi_drift",
+    "x8_hard_negative_mining",
+    "ts6_interpolated_resample",
 ]
 
 

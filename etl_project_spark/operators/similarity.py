@@ -512,3 +512,80 @@ def x6_rademacher_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nn_rank") <= TOP_K)
     )
+
+
+@register(
+    "x8_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlab,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, label AS clab,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(cv, cv))) DESC,
+                            neighbor_id
+               ) AS nn_rank
+        FROM q CROSS JOIN c
+        WHERE qlab <> clab
+    ) WHERE nn_rank <= {TOP_K}
+    """,
+)
+def x8_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query
+    vector's top-{TOP_K} MOST similar candidates with a DIFFERENT
+    label — the "hardest" negatives a contrastive/metric-learning batch
+    builder pairs against the positives (easy random negatives teach
+    nothing; the near-boundary ones carry the gradient). Same exact
+    ranking contract as x1 (broadcast query set, ids + rank out), with
+    the label-inequality predicate applied BEFORE ranking so ranks are
+    dense over the negative pool.
+
+    Scale: identical to x1 — the label filter rides inside the
+    broadcast-crossJoin projection (no extra shuffle), and at corpus
+    scale the same mining runs over the IVF/LSH candidate stream
+    instead of the exact scan (x3/x4 with this predicate), trading the
+    guarantee for probe cost like any ANN retrieval."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("e").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clab"),
+        F.col("e").alias("cv"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qlab") != F.col("clab"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("nn_rank"),
+        )
+        .filter(F.col("nn_rank") <= TOP_K)
+    )

@@ -214,3 +214,143 @@ def ts5_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "period_date", F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")
         )
     )
+
+
+TS6_START = "2024-01-01 00:00:00"
+TS6_END = "2024-01-31 00:00:00"
+TS6_STEP_H = 6  # resample grid step (hours)
+_TS6_SENTINEL = 9223372036854775807  # event_id tie-break for grid rows
+
+
+@register(
+    "ts6_interpolated_resample",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, ts, value, event_id, 0 AS is_grid
+        FROM events
+    ), grid AS (
+        SELECT u.user_id, g.t AS ts, CAST(NULL AS DOUBLE) AS value,
+               CAST(NULL AS BIGINT) AS event_id, 1 AS is_grid
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(TIMESTAMP '{TS6_START}',
+                                          TIMESTAMP '{TS6_END}',
+                                          INTERVAL {TS6_STEP_H} HOUR)) AS t
+        ) g
+    ), unioned AS (
+        SELECT *, COALESCE(event_id, {_TS6_SENTINEL}) AS tie
+        FROM (SELECT * FROM ev UNION ALL SELECT * FROM grid)
+    ), walked AS (
+        SELECT user_id, ts, is_grid,
+               LAST_VALUE(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pv,
+               LAST_VALUE(CASE WHEN is_grid = 0 THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, tie
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pt,
+               FIRST_VALUE(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, tie
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nv,
+               FIRST_VALUE(CASE WHEN is_grid = 0 THEN epoch_us(ts) END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_grid, tie
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nt
+        FROM unioned
+    )
+    SELECT user_id, ts AS grid_ts,
+           CASE WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE ROUND(pv + (nv - pv)
+                           * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                              / (nt - pt)), 6)
+           END AS value_interp
+    FROM walked WHERE is_grid = 1
+    """,
+)
+def ts6_interpolated_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular→regular resampling with LINEAR interpolation: every
+    user's event series sampled onto a fixed {TS6_STEP_H}-hour grid,
+    each grid value interpolated between the bracketing observations
+    (v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev); NULL
+    outside the observed range) — the resampling rule financial and
+    sensor pipelines use where ts5's gap-fill (previous-value hold)
+    would step. Completes the resampling family: ts4 = OHLCV
+    aggregation, ts5 = hold-last, ts6 = linear.
+
+    Shape: grid rows (users × grid points — bounded by calendar, not
+    by events) union the event stream, ONE user-partitioned sort
+    carries four IGNORE NULLS running-edge windows (prev/next value
+    and integer-microsecond timestamp), and grid rows project the
+    interpolation — no join against the event table at all, so the
+    plan is a single exchange regardless of how dense the series is.
+    Engine parity: the bracketing choice is a total order (ts, grid
+    flag, event_id sentinel — no NULL sort keys, where the engines'
+    NULLS FIRST/LAST defaults differ); the interpolation is a fixed
+    chain of single IEEE ops over exact microsecond integers, ROUND(6)
+    absorbing nothing but formatting. At 100 TB, partition the union
+    by (user bucket, month) so each window sorts locally."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id", F.lit(0).alias("is_grid")
+    )
+    grid_ts = F.explode(
+        F.sequence(
+            F.lit(TS6_START).cast("timestamp"),
+            F.lit(TS6_END).cast("timestamp"),
+            F.expr(f"INTERVAL {TS6_STEP_H} HOURS"),
+        )
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            grid_ts.alias("ts"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    unioned = ev.unionByName(grid).withColumn(
+        "tie", F.coalesce("event_id", F.lit(_TS6_SENTINEL))
+    )
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts", "is_grid", "tie")
+    back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev_us = F.when(
+        F.col("is_grid") == 0,
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")),
+    )
+    walked = unioned.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(back).alias("pv"),
+        F.last(ev_us, ignorenulls=True).over(back).alias("pt"),
+        F.first("value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(ev_us, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((t_us - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt"))),
+        6,
+    )
+    return (
+        walked.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.when(
+                F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None)
+            )
+            .otherwise(interp)
+            .alias("value_interp"),
+        )
+    )

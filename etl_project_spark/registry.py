@@ -86,6 +86,7 @@ _FRONT_QUERIES = [
     "bpe2_tokenize_apply", "pp6_epoch_shuffle", "pp7_dsir_weights",
     "tx12_heavy_hitters", "mm6_audio_features", "mm7_video_frame_stats",
     "rk4_reciprocal_rank_fusion", "dq3_psi_drift",
+    "x8_hard_negative_mining", "ts6_interpolated_resample",
     # (a) the six HUGEINT-oracle fixes — re-check first
     "bpe1_merge_table", "pp1_token_shard_packing", "pp3_quality_funnel",
     "pp4_source_mixture", "lm1_bigram_model", "dq1_constraint_audit",
@@ -103,7 +104,7 @@ _FRONT_QUERIES = [
     "s4_rollup", "s5_cube", "s6_grouping_sets", "s7_pivot",
     "sk1_salted_agg", "sk2_salted_join",
     "dd6_embedding_neardup", "x2_vector_norms", "x5_centroid_per_label",
-    "tx4_quality_filter", "tx6_langid", "tx9_pii_redact",
+    "tx9_pii_redact",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES: proven families in
