@@ -191,7 +191,10 @@ def ts4_ohlcv_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts5_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill: dense daily series with zero-filled missing days
     (``F.sequence`` + explode + left join) — what a dashboard needs when a
-    day has no bars. The calendar side is tiny → broadcast."""
+    day has no bars. The DAILY side broadcasts (it is post-aggregation,
+    day-cardinality): a left outer join can only build its non-preserved
+    side, so hinting the tiny calendar (the preserved side) is a no-op —
+    Spark logs "build left not supported" and falls back to SMJ."""
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min(F.col("ts").cast("date")).alias("d0"),
@@ -208,8 +211,7 @@ def ts5_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("value").alias("sum_value"))
     )
     return (
-        F.broadcast(calendar)
-        .join(daily, "period_date", "left")
+        calendar.join(F.broadcast(daily), "period_date", "left")
         .select(
             "period_date", F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")
         )
