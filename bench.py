@@ -82,6 +82,7 @@ EXTENDED_QUERIES = [
     "dq3_psi_drift",
     "x8_hard_negative_mining",
     "ts6_interpolated_resample",
+    "an6_markov_transitions",
 ]
 
 

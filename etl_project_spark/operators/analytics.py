@@ -556,3 +556,63 @@ def an5_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rank.select("nation", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "an6_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS prev_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ), outdeg AS (
+        -- CAST: SUM(int) -> HUGEINT in DuckDB -> pandas float64
+        SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+        FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n_transitions, o.n_from,
+           ROUND(CAST(p.n_transitions AS DOUBLE) / o.n_from, 6) AS p_cond
+    FROM pairs p JOIN outdeg o USING (prev_type)
+    """,
+)
+def an6_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    every (event_type → next event_type) pair with its count, the
+    source type's total outgoing transitions, and the conditional
+    probability P(next|prev) — the model behind user-flow Sankey
+    charts, next-action prediction baselines, and anomaly screens
+    (a transition whose observed rate collapses versus this matrix is
+    a product regression). Transitions follow each user's own timeline
+    (ties broken by event_id so both engines pair identical events).
+
+    Shape: ONE user-partitioned lead window (same exchange an3's
+    sessionization uses), a (prev, next) aggregation — bounded by
+    event-type-squared, tiny forever — and a window-sum denominator
+    over the already-aggregated matrix rows (lm1's trick: never a
+    second corpus scan). The conditional probability is a single IEEE
+    division of exact integers — bit-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(order).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    n_from = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        n_from.alias("n_from"),
+        F.round(
+            F.col("n_transitions").cast("double") / n_from, 6
+        ).alias("p_cond"),
+    )

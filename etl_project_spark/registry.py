@@ -87,6 +87,7 @@ _FRONT_QUERIES = [
     "tx12_heavy_hitters", "mm6_audio_features", "mm7_video_frame_stats",
     "rk4_reciprocal_rank_fusion", "dq3_psi_drift",
     "x8_hard_negative_mining", "ts6_interpolated_resample",
+    "an6_markov_transitions",
     # (a) the six HUGEINT-oracle fixes — re-check first
     "bpe1_merge_table", "pp1_token_shard_packing", "pp3_quality_funnel",
     "pp4_source_mixture", "lm1_bigram_model", "dq1_constraint_audit",
@@ -104,7 +105,6 @@ _FRONT_QUERIES = [
     "s4_rollup", "s5_cube", "s6_grouping_sets", "s7_pivot",
     "sk1_salted_agg", "sk2_salted_join",
     "dd6_embedding_neardup", "x2_vector_norms", "x5_centroid_per_label",
-    "tx9_pii_redact",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES: proven families in
