@@ -376,3 +376,43 @@ def test_grouping_form_differential(engines, form, agg, pred):
     spdf = spark.sql(sql).toPandas()
     opdf = con.sql(sql).df()
     assert _canon(spdf) == _canon(opdf), sql
+
+
+HAVING_AGGS = [
+    "COUNT(*) AS cnt",
+    "COUNT(DISTINCT o_custkey) AS n_cust",
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key",
+    "MIN(o_totalprice) AS mn",
+]
+
+HAVINGS = [
+    "COUNT(*) > 100",
+    "COUNT(DISTINCT o_custkey) >= 10",
+    "MIN(o_totalprice) < 50000.0",
+    "COUNT(*) * 5 >= COUNT(DISTINCT o_custkey) * 6",
+]
+
+
+@given(
+    aggs=st.lists(
+        st.sampled_from(HAVING_AGGS), min_size=1, max_size=3, unique=True
+    ),
+    having=st.sampled_from(HAVINGS),
+    group=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+)
+@settings(
+    max_examples=24,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_having_distinct_differential(engines, aggs, having, group):
+    """DISTINCT aggregates and HAVING predicates (including ones over
+    aggregates not in the SELECT list) compared exactly."""
+    spark, con = engines
+    sql = (
+        f"SELECT {group}, {', '.join(aggs)} FROM orders "
+        f"GROUP BY {group} HAVING {having}"
+    )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
