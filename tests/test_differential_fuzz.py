@@ -416,3 +416,60 @@ def test_having_distinct_differential(engines, aggs, having, group):
     spdf = spark.sql(sql).toPandas()
     opdf = con.sql(sql).df()
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Recursive integer-expression trees: exercises constant folding,
+# CASE simplification, and arithmetic rewrite rules rather than surface
+# forms. Leaves are bounded (|leaf| <= 97) so 8-leaf products stay
+# ~1e15, far inside int64 in both engines; all arithmetic is integer
+# (+, -, *) so results are exact and order-independent.
+_LEAVES = st.sampled_from(
+    ["(o_orderkey % 97)", "(o_custkey % 89)", "7", "13", "(0 - 5)"]
+)
+_CONDS = st.sampled_from(
+    [
+        "o_orderkey % 2 = 0",
+        "o_totalprice > 100000.0",
+        "o_orderstatus = 'O'",
+    ]
+)
+
+
+def _binop(children):
+    return st.builds(
+        lambda a, op, b: f"({a} {op} {b})",
+        children,
+        st.sampled_from(["+", "-", "*"]),
+        children,
+    )
+
+
+def _case(children):
+    return st.builds(
+        lambda c, a, b: f"(CASE WHEN {c} THEN {a} ELSE {b} END)",
+        _CONDS,
+        children,
+        children,
+    )
+
+
+_EXPR_TREE = st.recursive(
+    _LEAVES, lambda kids: _binop(kids) | _case(kids), max_leaves=8
+)
+
+
+@given(expr=_EXPR_TREE)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_recursive_int_expression_differential(engines, expr):
+    """Randomly-shaped nested integer expression trees evaluated
+    row-level over orders — each engine's optimizer folds/rewrites the
+    tree differently, but results must agree exactly."""
+    spark, con = engines
+    sql = f"SELECT o_orderkey, CAST({expr} AS BIGINT) AS e FROM orders"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
