@@ -281,3 +281,54 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bucket_counts_stream(
+    values: DataFrame,
+    mn: float,
+    width: float,
+    n_buckets: int = 10,
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming histogram state for drift monitoring — the stateful
+    half of the batch ``dq3_psi_drift``: values bucket against a FIXED
+    reference grid (mn/width fitted on the reference window, exactly
+    dq3's clamp rule) and each bucket's running count is maintained
+    across micro-batches and re-emitted on update. State is one
+    integer per bucket FOREVER (n_buckets counters total), so a
+    never-ending monitored stream costs O(buckets) memory; a trivial
+    batch query over the latest emitted snapshot joins the reference
+    shares and computes the PSI terms (tested equal to dq3's n_cur
+    column after replaying the same window in
+    tests/test_ingest_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(mn)) / F.lit(width)).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    bucketed = values.select(b.alias("bucket"))
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"bucket": [int(key[0])], "n_cur": [n]})
+
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket long, n_cur long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

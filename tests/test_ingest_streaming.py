@@ -535,3 +535,44 @@ def test_stateful_heavy_hitters_superset(spark, sf_dir, tmp_path):
     true_hh = {w for w, c in counts.items() if c * k >= n}
     assert true_hh, "vacuous corpus"
     assert true_hh <= candidates, true_hh - candidates
+
+
+def test_stateful_bucket_counts_match_batch_dq3(spark, sf_dir, tmp_path):
+    """Streaming bucket counts after replaying the monitored window ==
+    the batch dq3 psi report's n_cur column (same reference-fitted
+    grid, same clamp rule)."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.core import PSI_SPLIT, PSI_BUCKETS
+    from etl_project_spark.registry import all_queries
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split)
+    bounds = ref.agg(
+        F.min("value").alias("mn"),
+        ((F.max("value") - F.min("value")) / PSI_BUCKETS).alias("w"),
+    ).collect()[0]
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    src_dir = str(tmp_path / "psi_src")
+    cur.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.bucket_counts_stream(
+        stream, mn=bounds["mn"], width=bounds["w"], n_buckets=PSI_BUCKETS
+    )
+    sp.run_available_now(
+        out, str(tmp_path / "ck_psi"), output_mode="update",
+        queryName="psi_test",
+    )
+    # last emission per bucket = final running count
+    rows = spark.sql(
+        "SELECT bucket, MAX(n_cur) AS n_cur FROM psi_test GROUP BY bucket"
+    ).collect()
+    got = {r["bucket"]: r["n_cur"] for r in rows}
+    want = {
+        r["bucket"]: r["n_cur"]
+        for r in all_queries()["dq3_psi_drift"](spark, sf_dir).collect()
+        if r["n_cur"] > 0
+    }
+    assert got == want
