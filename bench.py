@@ -83,6 +83,7 @@ EXTENDED_QUERIES = [
     "x8_hard_negative_mining",
     "ts6_interpolated_resample",
     "an6_markov_transitions",
+    "smp4_weighted_sample",
 ]
 
 

@@ -24,7 +24,7 @@ filters become partition pruning over ``period_date=…`` directories.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import load_table
@@ -813,4 +813,69 @@ def dq3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "psi_term"
             ),
         )
+    )
+
+
+SMP4_R = 50  # weighted-sample size
+
+
+@register(
+    "smp4_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+               -- u = (hash8 + 1) / 16^8 from the md5 hex prefix, folded
+               -- digit-by-digit (exact integer arithmetic in doubles);
+               -- Spark computes the same integer via conv(hex, 16, 10)
+               LN((list_sum(list_transform(generate_series(1, 8), i ->
+                       (strpos('0123456789abcdef',
+                               array_extract(str_split_regex(
+                                   substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8), ''), i)) - 1)
+                       * 16 ** (8 - i))) + 1) / 4294967296.0)
+               / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, weight, sample_rank FROM (
+        SELECT doc_id, weight,
+               ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS sample_rank
+        FROM keyed
+    ) WHERE sample_rank <= {SMP4_R}
+    """,
+)
+def smp4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis A-ES rule): each document draws a "uniform"
+    u from its md5 hash, keys on ln(u)/w, and the top-{SMP4_R} keys
+    are the sample — inclusion probability proportional to weight,
+    reproducible across reruns, engines, and partitionings because the
+    randomness is the hash (smp2/smp3's determinism contract extended
+    to WEIGHTED selection). This is the execution half of importance
+    resampling: score with pp7's DSIR log-ratios, plug exp(score) in
+    as the weight, and this operator materializes the resampled
+    corpus. Weight here is n_chars (any positive column works).
+
+    Shape: scan-local key projection, then ONE top-{SMP4_R} (Spark
+    plans the rank filter as TakeOrderedAndProject at this k — no
+    global sort materializes). Engine parity: u's integer is folded
+    from the same 8 hex digits both sides (exact ≤ 16^8 in doubles),
+    the division and ln are single IEEE/libm ops over identical
+    operands (lm2 precedent), and ties break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    k = F.log(u) / F.col("n_chars")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        k.alias("k"),
+    )
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.select(
+            "doc_id", "weight", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= SMP4_R)
     )

@@ -87,7 +87,7 @@ _FRONT_QUERIES = [
     "tx12_heavy_hitters", "mm6_audio_features", "mm7_video_frame_stats",
     "rk4_reciprocal_rank_fusion", "dq3_psi_drift",
     "x8_hard_negative_mining", "ts6_interpolated_resample",
-    "an6_markov_transitions",
+    "an6_markov_transitions", "smp4_weighted_sample",
     # (a) the six HUGEINT-oracle fixes — re-check first
     "bpe1_merge_table", "pp1_token_shard_packing", "pp3_quality_funnel",
     "pp4_source_mixture", "lm1_bigram_model", "dq1_constraint_audit",
