@@ -228,7 +228,19 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "doc_id")
         .select("doc_id", _shingles(3).alias("sh"))
     )
-    sizes = docs.select("doc_id", "sh", F.size("sh").alias("sz"))
+    # MATERIALIZE the shingled relation once (eager localCheckpoint):
+    # it feeds the prefix build AND both verify-side array lookups, and
+    # the shingle projection's higher-order-function lambdas carry
+    # lambda-variable ExprIds that plan canonicalization cannot
+    # normalize, so ReuseExchange re-ran the corpus scan + shingling
+    # per consumer (three times; SURVEY §12.1 — the known scale tax,
+    # now paid once). The checkpoint preserves the doc_id partitioning,
+    # so the rarity window below still needs no exchange. At 100 TB
+    # this is a persisted parquet temp table instead of executor-local
+    # blocks — same plan shape.
+    sizes = docs.select(
+        "doc_id", "sh", F.size("sh").alias("sz")
+    ).localCheckpoint()
     post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
@@ -246,15 +258,9 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE pre-partitioned prefix relation feeds BOTH sides of the
     # self-join, so neither side needs an EnsureRequirements exchange on
-    # top (r3's plan exchanged the probe side separately). NOTE the
-    # write itself is still materialized twice today: the subtrees are
-    # structurally identical, but the shingle projection's higher-order
-    # lambdas carry lambda-variable ExprIds that Spark's plan
-    # canonicalization does not normalize, so ReuseExchange cannot prove
-    # them equal (verified against the executed plan). At 100 TB the fix
-    # is to materialize the prefix relation (persist/checkpoint or a
-    # temp table) before the self-join; at bench scale the duplicate
-    # shingle pass costs ~0.5 s and dd8 sits under its baseline.
+    # top (r3's plan exchanged the probe side separately); the shingle
+    # subtree underneath is the sizes checkpoint, scanned — not
+    # recomputed — per side.
     pref_s = prefix.repartition(par, "s")
     a = pref_s.alias("a")
     b = pref_s.alias("b")

@@ -320,31 +320,47 @@ def lm2_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out scoring adds smoothing to the same plan.
 
     Shape: bigrams form array-side (lm1's zip trick) and explode once
-    with doc_id retained; the model aggregates those SAME pairs to
-    vocabulary size; scoring joins doc bigrams back to the model on
-    (w1, w2) — a hash join whose build side is the vocabulary, then
-    one doc-level aggregate. Engine parity: cond-prob is an exact
-    integer ratio; LN/AVG/EXP round(6) absorbs libm-ulp and
-    sum-order drift (~1e-13 relative, far below the 1e-6 grid)."""
+    with doc_id retained, then the exploded relation is MATERIALIZED
+    (eager localCheckpoint) — it feeds both the model aggregate and the
+    scoring join, and the explode subtree's higher-order-function
+    lambdas carry lambda-variable ExprIds that plan canonicalization
+    cannot normalize, so ReuseExchange would otherwise re-scan and
+    re-explode the corpus for each consumer (the dd8 lesson, SURVEY
+    §12.1; measured 2.1x before the checkpoint). The model aggregates
+    the checkpointed pairs to vocabulary size (map-side partial agg
+    collapses heavy words before the shuffle) and BROADCASTS back onto
+    them — the scoring join moves zero corpus rows; one doc-level
+    aggregate ends the plan. At 100 TB: the checkpoint becomes a
+    persisted parquet temp table, and a bigram model too big to
+    broadcast degrades to a shuffle hash join on (w1, w2). Engine
+    parity: cond-prob is an exact integer ratio; LN/AVG/EXP round(6)
+    absorbs libm-ulp and sum-order drift (~1e-13 relative, far below
+    the 1e-6 grid)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     )
-    pairs = docs.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
-                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
-            )
-        ).alias("p"),
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                    F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        .localCheckpoint()
+    )
     bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     wc = F.sum("c").over(Window.partitionBy("w1"))
     model = bg.select(
         "w1", "w2", (F.col("c").cast("double") / wc).alias("cp")
     )
     return (
-        pairs.join(model, ["w1", "w2"])
+        pairs.join(F.broadcast(model), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

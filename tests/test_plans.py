@@ -153,3 +153,28 @@ def test_int8_quantize_keeps_amax_out_of_lambda(spark, sf_dir):
 
     for m in re.finditer(r"Project \[[^\]]*AS q#[^\]]*\]", stats.plan):
         assert "array_max" not in m.group(0), stats.plan
+
+
+def test_lm2_corpus_scanned_once(spark, sf_dir):
+    """lm2: the exploded bigram relation is materialized (eager
+    localCheckpoint) before fanning out to the model aggregate and the
+    scoring join, because the HOF-lambda explode subtree defeats
+    ReuseExchange (SURVEY §12.1) — so the final plan must contain ZERO
+    parquet scans of documents (the corpus was read exactly once, in
+    the checkpoint job) and the model side must broadcast."""
+    df = all_queries()["lm2_perplexity_score"](spark, sf_dir)
+    stats = assert_scalable(df)
+    assert stats.scans == 0, stats.plan
+    assert stats.broadcasts >= 1, stats.plan
+    assert "Scan ExistingRDD" in stats.plan, stats.plan
+
+
+def test_dd8_corpus_scanned_once(spark, sf_dir):
+    """dd8: the shingled relation feeds the prefix build AND both
+    verify-side array lookups; materializing it (eager localCheckpoint)
+    means the final plan reads the checkpoint, never the parquet — the
+    corpus scan + shingling runs exactly once."""
+    df = all_queries()["dd8_jaccard_prefix_join"](spark, sf_dir)
+    stats = assert_scalable(df)
+    assert stats.scans == 0, stats.plan
+    assert "Scan ExistingRDD" in stats.plan, stats.plan
