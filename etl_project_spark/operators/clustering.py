@@ -269,7 +269,9 @@ def km1_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(spark, sf_dir)
 
 
-SD_NPROBE = 2  # soft-assignment width for the pruning pass
+SD_NPROBE = 3  # soft-assignment width for the pruning pass (r5: 2 -> 3
+# lifted recall vs the exact cosine drop set from 0.85/0.79 to
+# 1.0/0.96 at sf0.01/sf0.1 — cost is linear, nprobe rows per vector)
 
 
 @register(
@@ -308,11 +310,13 @@ def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes embedding dedup tractable on a billion-document corpus
     (Abbas et al.; clusters bound the quadratic). The pruning pass
     scans a {SD_NPROBE}-nearest-centroid SOFT assignment, not the hard
-    one: a near-dup pair split by a Voronoi boundary still shares its
+    one: a near-dup pair split by a Voronoi boundary still shares a
     runner-up cell, which lifted measured recall vs the exact cosine
-    drop set from 0.41-0.45 (hard assignment, round 3) to the
-    RECALL.json figure; the residual loss is pairs separated in BOTH
-    probe cells (measured against dd6's exact pair join in pytest).
+    drop set from 0.41-0.45 (hard assignment, round 3) through
+    0.85/0.79 (nprobe=2, round 4) to 1.0/0.96 at sf0.01/sf0.1
+    (nprobe=3, the RECALL.json figure); the residual loss is pairs
+    separated in ALL probe cells (measured against the exact pair set
+    in pytest and tools/measure_recall.py).
     Output: each pruned vector with MIN(keep) over every near-dup pair
     that names it — the lowest vec_id it duplicates, which may itself
     be pruned in a transitive chain (consumers wanting surviving

@@ -108,7 +108,7 @@ def test_semantic_dedup_precision_and_recall(spark, sf_dir):
     # production tau≈0.95 true duplicates are near-identical vectors
     # and co-cluster with probability ≈1.
     recall = len(set(got) & exact_dropped) / len(exact_dropped)
-    assert recall >= 0.6, f"clustered dedup recall {recall:.2f}"
+    assert recall >= 0.9, f"clustered dedup recall {recall:.2f}"
 
 
 def test_probe_assignment_contract(spark, sf_dir):
