@@ -17,6 +17,8 @@ equivalents the mandate adds on top.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -424,22 +426,29 @@ def x7_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BPE_ROUNDS = 3
+BPE_ROUNDS = 64  # r5: 3 (demo) -> 64. The corpus's 31-word vocabulary
+# exhausts at 89 merges (every word a single token), so 64 is the
+# largest "production-shaped" table that still leaves multi-token
+# words — at exhaustion n_tokens == n_words and the differential check
+# would stop discriminating a real tokenizer from a word counter.
 
 
 def _bpe_cte_chain() -> str:
     """The BPE trainer unrolled as DuckDB CTEs: c{k} = spaced symbol
     sequences after k merges, t{k} = round-k winning pair (count desc,
     pair asc). Scalar subqueries thread the chosen pair into the next
-    round's REPLACE, mirroring the Spark driver loop. Shared by the
-    bpe1 (merge table) and bpe2 (apply) oracles."""
+    round's REPLACE, mirroring the engine's trainer loop. Shared by the
+    bpe1 (merge table) and bpe2 (apply) oracles. Every CTE is
+    MATERIALIZED: DuckDB inlines single-reference CTEs, and with
+    {BPE_ROUNDS} rounds the inlined t{k}-inside-c{k}-inside-p{k+1}
+    chain would blow up the expression tree exponentially."""
     parts = [
         """
-    WITH words AS (
+    WITH words AS MATERIALIZED (
         SELECT w, COUNT(*) AS n FROM (
             SELECT UNNEST(str_split(lower(text), ' ')) AS w FROM documents
         ) GROUP BY w
-    ), c0 AS (
+    ), c0 AS MATERIALIZED (
         SELECT ' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '
                    AS s,
                n
@@ -447,7 +456,7 @@ def _bpe_cte_chain() -> str:
     )"""
     ]
     for k in range(1, BPE_ROUNDS + 1):
-        parts.append(f""", p{k} AS (
+        parts.append(f""", p{k} AS MATERIALIZED (
         SELECT struct_extract(z, 1) AS l, struct_extract(z, 2) AS r,
                SUM(n) AS cnt
         FROM (
@@ -456,13 +465,13 @@ def _bpe_cte_chain() -> str:
         )
         WHERE struct_extract(z, 2) IS NOT NULL
         GROUP BY 1, 2
-    ), t{k} AS (
+    ), t{k} AS MATERIALIZED (
         -- CAST: SUM(n) is HUGEINT in DuckDB (pandas float64); Spark int64
         SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p{k}
         ORDER BY cnt DESC, l, r LIMIT 1
     )""")
         if k < BPE_ROUNDS:
-            parts.append(f""", c{k} AS (
+            parts.append(f""", c{k} AS MATERIALIZED (
         SELECT REPLACE(s,
                        ' ' || (SELECT l FROM t{k}) || ' '
                            || (SELECT r FROM t{k}) || ' ',
@@ -501,11 +510,16 @@ def bpe1_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the variant is deterministic, engine-identical, and documented.
 
     Scale shape: the corpus scan reduces to the VOCABULARY (distinct
-    words + counts) once; each round is one pair-count aggregation over
-    vocab-sized data plus a 1-row argmax pull steering the next round's
-    projection — the an5/km1 driver-loop pattern. At 100 TB the vocab
-    table is millions of rows, still trivially aggregable; rounds cost
-    O(vocab), never O(corpus)."""
+    words + counts) in ONE distributed aggregation; the {BPE_ROUNDS}
+    merge rounds then run in-memory over the collected vocab — the
+    standard tokenizer-training recipe (Sennrich et al.; HF tokenizers
+    train the same way): the loop is O(vocab x rounds) driver-side
+    work on kilobytes of state, not {BPE_ROUNDS} cluster jobs. At
+    100 TB the vocab is millions of rows; a frequency floor
+    (HAVING n >= min_count, standard for web corpora) bounds the
+    collect, and the round-3 per-round-Spark-aggregation form (git
+    history, bpe_merge_rounds pre-r5) remains the fallback if the
+    vocab must stay distributed."""
     return spark.createDataFrame(
         bpe_merge_rounds(spark, sf_dir),
         "merge_round int, left_sym string, right_sym string, pair_count long",
@@ -524,51 +538,47 @@ def bpe_merge_rounds(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, str, str, int]]:
     """Train the {BPE_ROUNDS}-round BPE merge list (see bpe1's docstring
-    for semantics and the scale posture: rounds cost O(vocabulary),
-    never O(corpus))."""
+    for semantics and the scale posture: ONE distributed vocab
+    aggregation, then an in-memory loop over kilobytes of state).
+
+    The loop replicates the oracle CTE chain exactly: per round, count
+    adjacent symbol pairs over the spaced vocab weighted by word
+    frequency (overlapping occurrences count), pick max by (count
+    desc, left asc, right asc — Python tuple order == DuckDB binary
+    collation for this ASCII corpus), then single-pass left-to-right
+    ' l r ' -> ' lr ' replace (str.replace == Spark replace() ==
+    DuckDB REPLACE: leftmost, non-overlapping, resume after the
+    replacement). Stops early if the pair space exhausts before
+    {BPE_ROUNDS} rounds (every word a single token)."""
     if sf_dir in _BPE_MERGES:
         return _BPE_MERGES[sf_dir]
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    vocab = (
         docs.select(F.explode(_tokens()).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    corpus = words.select(
-        F.concat(
-            F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" ")
-        ).alias("s"),
-        "n",
-    )
-    merges = []
+    corpus: dict[str, int] = {
+        " " + " ".join(r["w"]) + " ": int(r["n"]) for r in vocab
+    }
+    merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, BPE_ROUNDS + 1):
-        toks = F.split(F.trim("s"), " ")
-        zipped = F.arrays_zip(
-            toks.alias("l"),
-            F.slice(
-                toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))
-            ).alias("r"),
+        cnt: dict[tuple[str, str], int] = {}
+        for s, n in corpus.items():
+            toks = s.strip().split(" ")
+            for pair in zip(toks, toks[1:]):
+                cnt[pair] = cnt.get(pair, 0) + n
+        if not cnt:
+            break
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        pairs = (
-            corpus.select("n", F.explode(zipped).alias("z"))
-            .filter(F.col("z.r").isNotNull())
-            .groupBy(F.col("z.l").alias("l"), F.col("z.r").alias("r"))
-            .agg(F.sum("n").alias("cnt"))
-        )
-        top = (
-            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()[0]
-        )
-        merges.append((rnd, top["l"], top["r"], int(top["cnt"])))
-        corpus = corpus.select(
-            F.replace(
-                F.col("s"),
-                F.lit(f" {top['l']} {top['r']} "),
-                F.lit(f" {top['l']}{top['r']} "),
-            ).alias("s"),
-            "n",
-        )
+        merges.append((rnd, left, right, c))
+        corpus = {
+            s.replace(f" {left} {right} ", f" {left}{right} "): n
+            for s, n in corpus.items()
+        }
     _BPE_MERGES[sf_dir] = merges
     return merges
 
@@ -576,14 +586,18 @@ def bpe_merge_rounds(
 def _bpe2_oracle() -> str:
     """bpe2: the trained merges applied back to every document. The m
     CTE flattens the per-round winners (t1..t{BPE_ROUNDS}) into one
-    row of columns so the per-word lambda can reference them; the
-    REPLACE chain is applied in training order (round k's pattern was
-    counted on the post-round-(k-1) corpus, so in-vocabulary words
-    reproduce the trainer's final segmentation exactly)."""
+    row of scalar-subquery columns; the {BPE_ROUNDS}-deep REPLACE
+    chain is applied in training order (round k's pattern was counted
+    on the post-round-(k-1) corpus, so in-vocabulary words reproduce
+    the trainer's final segmentation exactly) — but over the VOCAB
+    (wt: one segmentation per distinct word, the same dedup the
+    engine's kernel cache does), then per-document token sums come
+    from unnest + join + group-by (a DuckDB lambda cannot contain the
+    wt subquery lookup)."""
     mcols = ", ".join(
-        f"t{k}.l AS l{k}, t{k}.r AS r{k}" for k in range(1, BPE_ROUNDS + 1)
+        f"(SELECT l FROM t{k}) AS l{k}, (SELECT r FROM t{k}) AS r{k}"
+        for k in range(1, BPE_ROUNDS + 1)
     )
-    mfrom = ", ".join(f"t{k}" for k in range(1, BPE_ROUNDS + 1))
     enc = "' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '"
     for k in range(1, BPE_ROUNDS + 1):
         enc = (
@@ -592,18 +606,25 @@ def _bpe2_oracle() -> str:
         )
     return (
         _bpe_cte_chain()
-        + f""", m AS (
-        SELECT {mcols} FROM {mfrom}
+        + f""", m AS MATERIALIZED (
+        SELECT {mcols}
+    ), wt AS MATERIALIZED (
+        SELECT w, CAST(LEN(str_split(trim({enc}), ' ')) AS BIGINT) AS tc
+        FROM words CROSS JOIN m
+    ), dtok AS (
+        SELECT doc_id, UNNEST(str_split(lower(text), ' ')) AS w
+        FROM documents
+    ), dsum AS MATERIALIZED (
+        SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS n_tokens
+        FROM dtok JOIN wt USING (w) GROUP BY doc_id
     )
     SELECT d.doc_id,
            LEN(str_split(lower(d.text), ' ')) AS n_words,
            -- CASTs: list_sum(int) -> HUGEINT -> pandas float64
            CAST(list_sum(list_transform(str_split(lower(d.text), ' '),
                                         w -> LEN(w))) AS BIGINT) AS n_syms,
-           CAST(list_sum(list_transform(str_split(lower(d.text), ' '),
-                w -> LEN(str_split(trim({enc}), ' ')))) AS BIGINT)
-               AS n_tokens
-    FROM documents d CROSS JOIN m
+           s.n_tokens AS n_tokens
+    FROM documents d JOIN dsum s USING (doc_id)
     """
     )
 
@@ -615,43 +636,64 @@ def bpe2_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before packing: per document, the word count, the pre-merge
     symbol (character) count, and the post-merge BPE token count. The
     merges are applied per word in training order with the same
-    single-pass non-regex REPLACE the trainer used, so in-vocabulary
-    words (all words here — self-application) segment exactly as the
-    trainer left them; tx7's regex token count is the cheap
-    approximation, this is the real tokenizer's number, and the pp1
-    packer consumes exactly this kind of count.
+    single-pass non-regex replace the trainer used (Python str.replace
+    == Spark replace() == DuckDB REPLACE: leftmost, non-overlapping),
+    so in-vocabulary words (all words here — self-application) segment
+    exactly as the trainer left them; tx7's regex token count is the
+    cheap approximation, this is the real tokenizer's number, and the
+    pp1 packer consumes exactly this kind of count.
 
-    Shape: ZERO shuffles — the {BPE_ROUNDS} learned merges arrive as
-    string literals in the projection (driver-trained via the memoized
-    bpe_merge_rounds, bounded collects), and every row is scored
-    scan-locally via array-side transforms. At a production vocabulary
-    (tens of thousands of merges) the literal REPLACE chain stops
-    compiling and the apply becomes one Arrow mapInPandas kernel over
-    a broadcast merge table — same zero-shuffle scan shape, same
-    output contract."""
+    Shape (the r4 docstring's pinned swap point, now shipped): ZERO
+    shuffles — one Arrow mapInPandas kernel over a BROADCAST merge
+    table. Round 3's literal-REPLACE-chain projection stopped being
+    the right form at {BPE_ROUNDS} merges (codegen compiles a
+    {BPE_ROUNDS}-deep expression per row-batch; a production 50k-merge
+    table wouldn't compile at all). The kernel memoizes segmentation
+    per DISTINCT word within each Arrow batch, so the replace chain
+    runs O(vocab) times per batch, not O(corpus words) — the same
+    dedup the oracle's wt CTE does. Partition-parallel, scan-local,
+    state = the broadcast merge list."""
     merges = bpe_merge_rounds(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower("text"), " ")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bmerges = spark.sparkContext.broadcast(
+        [(left, right) for _rnd, left, right, _cnt in merges]
+    )
 
-    def bpe_token_count(w):
-        s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
-        for _rnd, left, right, _cnt in merges:
-            s = F.replace(
-                s, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+    def kernel(batches):
+        mg = bmerges.value
+        cache: dict[str, int] = {}
+
+        def tok_count(w: str) -> int:
+            tc = cache.get(w)
+            if tc is None:
+                s = " " + " ".join(w) + " "
+                for left, right in mg:
+                    s = s.replace(f" {left} {right} ", f" {left}{right} ")
+                tc = len(s.strip().split(" "))
+                cache[w] = tc
+            return tc
+
+        for pdf in batches:
+            words_l = [t.lower().split(" ") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": np.array(
+                        [len(ws) for ws in words_l], dtype=np.int32
+                    ),
+                    "n_syms": np.array(
+                        [sum(len(w) for w in ws) for ws in words_l],
+                        dtype=np.int64,
+                    ),
+                    "n_tokens": np.array(
+                        [sum(tok_count(w) for w in ws) for ws in words_l],
+                        dtype=np.int64,
+                    ),
+                }
             )
-        return F.size(F.split(F.trim(s), " ")).cast("long")
 
-    zero = F.lit(0).cast("long")
-    add = lambda acc, x: acc + x  # noqa: E731
-    return docs.select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        F.aggregate(
-            F.transform(words, lambda w: F.length(w).cast("long")), zero, add
-        ).alias("n_syms"),
-        F.aggregate(
-            F.transform(words, bpe_token_count), zero, add
-        ).alias("n_tokens"),
+    return docs.mapInPandas(
+        kernel, schema="doc_id long, n_words int, n_syms long, n_tokens long"
     )
 
 
