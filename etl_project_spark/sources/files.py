@@ -29,12 +29,116 @@ def read_csv(
     return spark.read.csv(path, schema=schema, header=header)
 
 
-def write_csv_export(df: DataFrame, path: str, single_file: bool = False) -> None:
+def with_surrogate_id(
+    df: DataFrame,
+    mode: str = "dense",
+    order_by: list[str] | None = None,
+    start: int = 1,
+    col_name: str = CSV_EXPORT_FIRST_COL,
+) -> DataFrame:
+    """Assign the surrogate id column the reference's export contract
+    puts FIRST in the positional CSV (Postgres ``SERIAL id`` riding the
+    day file, /root/reference/dags/airflow_dags.py:66-69 + DDL :94-108).
+    Two modes — the monotonically_increasing_id-vs-row_number decision
+    documented in SURVEY §1, made explicit per use:
+
+    - ``mode="unique"`` — ``monotonically_increasing_id()``:
+      64-bit partition-encoded ids, unique across the job, NOT dense
+      and NOT stable across runs. Zero extra work at any scale (no
+      shuffle, no driver state); the right default when the contract
+      only needs a unique key.
+    - ``mode="dense"`` — a dense 1-based sequence (``start``
+      configurable), the faithful SERIAL re-expression: per-partition
+      row counts are collected (O(#partitions) driver state — the pp6
+      two-phase prefix-sum pattern, never a corpus-sized
+      single-partition window), cumulative offsets broadcast back, and
+      an Arrow kernel stamps ``offset + position`` streaming through
+      each partition in order. With ``order_by`` (must be a total
+      order — include a tiebreaker) the frame is range-partitioned and
+      sorted first, making the numbering DETERMINISTIC across runs;
+      without it, ids are dense but follow the incoming partition
+      order, exactly like SERIAL under concurrent inserts. Costs one
+      extra pass over ``df`` for the counts.
+    """
+    if mode == "unique":
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.monotonically_increasing_id().alias(col_name), "*"
+        )
+    if mode != "dense":
+        raise ValueError(f"mode must be 'unique' or 'dense', got {mode!r}")
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    if order_by:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(n, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    # MATERIALIZE before the two consumers (count pass, stamp pass):
+    # each pass would otherwise re-execute the lineage, and a re-run of
+    # repartitionByRange can sample different range bounds — the
+    # pid->count map from pass 1 would then describe partitions pass 2
+    # never sees (silent id overlap). The checkpoint pins one physical
+    # partitioning both passes read; an export slice is day-bounded, so
+    # the materialization is small even at warehouse scale.
+    tagged = df.withColumn(
+        "__sid_pid", F.spark_partition_id()
+    ).localCheckpoint()
+    counts = {
+        r["__sid_pid"]: r["count"]
+        for r in tagged.groupBy("__sid_pid").count().collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    boff = df.sparkSession.sparkContext.broadcast(offsets)
+    out_cols = [col_name] + df.columns
+    schema = f"{col_name} long, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def stamp(batches):
+        pos = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = boff.value[int(pdf["__sid_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[col_name] = np.arange(
+                base + pos, base + pos + len(pdf), dtype=np.int64
+            )
+            pos += len(pdf)
+            yield pdf[out_cols]
+
+    return tagged.mapInPandas(stamp, schema=schema)
+
+
+def write_csv_export(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    id_mode: str = "dense",
+    order_by: list[str] | None = None,
+) -> None:
     """K2: headerless CSV export, id first (column order load-bearing).
+
+    A frame without the id column gets one assigned via
+    :func:`with_surrogate_id` (``id_mode``/``order_by`` forwarded), so
+    the reference's SERIAL-id-first positional contract
+    (airflow_dags.py:66-69) reproduces byte-for-byte from an id-less
+    day slice.
 
     ``single_file=True`` reproduces the reference's one-file-per-day
     contract via coalesce(1) — only sane for small daily slices; leave
     False at scale to write one file per partition."""
+    if CSV_EXPORT_FIRST_COL not in df.columns:
+        df = with_surrogate_id(df, mode=id_mode, order_by=order_by)
     cols = [CSV_EXPORT_FIRST_COL] + [
         c for c in df.columns if c != CSV_EXPORT_FIRST_COL
     ]

@@ -576,3 +576,56 @@ def test_stateful_bucket_counts_match_batch_dq3(spark, sf_dir, tmp_path):
         if r["n_cur"] > 0
     }
     assert got == want
+
+
+def test_surrogate_id_dense_deterministic(spark):
+    """with_surrogate_id(dense, order_by): ids are exactly start..n in
+    sort order, and a second run reproduces them bit-for-bit — the
+    SERIAL re-expression the reference's id-first CSV contract needs
+    (airflow_dags.py:66-69)."""
+    from etl_project_spark.sources.files import with_surrogate_id
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    ).drop("id")
+    out = with_surrogate_id(df, mode="dense", order_by=["k"])
+    rows = out.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(1, 1001))
+    # dense numbering follows the sort order exactly
+    ks = [r["k"] for r in rows]
+    assert ks == sorted(ks)
+    # id column rides first
+    assert out.columns[0] == "id"
+    again = with_surrogate_id(df, mode="dense", order_by=["k"]).collect()
+    assert sorted((r["id"], r["k"], r["v"]) for r in again) == sorted(
+        (r["id"], r["k"], r["v"]) for r in rows
+    )
+
+
+def test_surrogate_id_unique_mode(spark):
+    """mode='unique': monotonically_increasing_id — unique, id first,
+    zero-shuffle (no dense guarantee)."""
+    from etl_project_spark.sources.files import with_surrogate_id
+
+    df = spark.range(0, 500).select((F.col("id") % 9).alias("v"))
+    out = with_surrogate_id(df, mode="unique")
+    assert out.columns[0] == "id"
+    ids = [r["id"] for r in out.collect()]
+    assert len(set(ids)) == 500
+
+
+def test_csv_export_assigns_id_when_missing(spark, tmp_path):
+    """An id-less day slice exports with a dense 1-based id first —
+    the reference's SERIAL contract reproduced end to end."""
+    path = str(tmp_path / "csv_id")
+    df = spark.createDataFrame(
+        [(30.5, "c"), (10.5, "a"), (20.5, "b")], "volume double, name string"
+    )
+    write_csv_export(df, path, single_file=True, order_by=["name"])
+    back = read_csv(
+        spark, path, schema="id long, volume double, name string", header=False
+    )
+    rows = sorted(back.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert [r["name"] for r in rows] == ["a", "b", "c"]
