@@ -778,22 +778,43 @@ def pp7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapping unigrams for hashed n-grams (the paper's feature) changes
     only the tok projection.
 
-    Shape: ONE vocabulary aggregation produces both LMs (cr and the
+    Shape: the exploded token stream is MATERIALIZED once (eager
+    localCheckpoint — it feeds both the vocabulary aggregate and the
+    scoring join; the lm2/dd8 ReuseExchange lesson, SURVEY §12.1), ONE
+    vocabulary aggregation over it produces both LMs (cr and the
     target-filtered ct side by side — not two corpus scans), a 3-value
-    broadcast carries the normalizers, and scoring is an equi-join of
-    the token stream against the vocabulary, then one doc aggregate —
-    lm2's exact plan with a different model relation. Engine parity:
-    each ratio is a fixed chain of single IEEE ops over exact
-    integers; ROUND(…, 6) absorbs LN ulp and sum-order drift (~1e-13
-    relative — the lm2 precedent)."""
+    broadcast carries the normalizers, and scoring is a BROADCAST
+    equi-join of the checkpointed tokens against the vocabulary, then
+    one doc aggregate — lm2's exact plan with a different model
+    relation. At 100 TB the paper's hashed-n-gram buckets cap the
+    vocabulary at a fixed 10k rows, so the broadcast holds; a raw
+    unigram vocab too big to broadcast degrades to a shuffle hash
+    join. Engine parity: each ratio is a fixed chain of single IEEE
+    ops over exact integers; ROUND(…, 6) absorbs LN ulp and sum-order
+    drift (~1e-13 relative — the lm2 precedent).
+
+    Streaming twin: streaming/stateful.dsir_vocab_stream maintains the
+    same (cr, ct) vocabulary incrementally; dsir_score_tokens over its
+    final snapshot replays to these exact weights
+    (tests/test_ingest_streaming.py)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(_tokens()).alias("w")
-    )
+    ).localCheckpoint()
     vocab = tok.groupBy("w").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("source") == PP7_TARGET).cast("long")).alias("ct"),
     )
+    return dsir_score_tokens(tok, vocab)
+
+
+def dsir_score_tokens(tok: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Score a (doc_id, w) token stream against a DSIR vocabulary
+    relation (w, cr, ct): the add-1-smoothed target LM over the raw LM,
+    summed per document in log space (see pp7_dsir_weights). Shared by
+    the batch operator and the streaming twin's snapshot scoring so
+    replay equality is equality of one code path fed two vocabularies.
+    """
     tots = vocab.agg(
         F.sum("cr").alias("nr"),
         F.count(F.lit(1)).alias("v"),
@@ -803,7 +824,7 @@ def pp7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("v"))
     ) / (F.col("cr").cast("double") / F.col("nr"))
     return (
-        tok.join(vocab, "w")
+        tok.join(F.broadcast(vocab), "w")
         .crossJoin(F.broadcast(tots))
         .groupBy("doc_id")
         .agg(

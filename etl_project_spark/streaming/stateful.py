@@ -283,6 +283,58 @@ def heavy_hitters_stream(
     )
 
 
+def dsir_vocab_stream(
+    tokens: DataFrame,
+    target: str,
+    source_col: str = "source",
+    token_col: str = "w",
+) -> DataFrame:
+    """Running-vocabulary DSIR state — the streaming twin of the batch
+    ``pp7_dsir_weights`` model build (SURVEY §12.6's last open
+    batch/streaming parity item): as (source, token) rows arrive, each
+    token's state is the pair of counters the DSIR vocabulary needs —
+    ``cr`` (occurrences in the raw stream) and ``ct`` (occurrences in
+    the target domain) — maintained across micro-batches and re-emitted
+    on update. The latest emission per token IS the vocabulary
+    relation; ``operators.pipeline.dsir_score_tokens`` over that
+    snapshot produces importance weights, and after an AvailableNow
+    replay of the full corpus they equal the batch pp7 weights exactly
+    (same scoring code path, same vocabulary — asserted in
+    tests/test_ingest_streaming.py).
+
+    State is two integers per DISTINCT token forever — vocabulary-
+    bounded, not corpus-bounded, exactly the state the batch aggregate
+    shuffles; with the paper's hashed n-gram features the key space is
+    a fixed bucket count and the state store size is a constant. This
+    is the model-maintenance half; scoring stays a batch (or
+    foreachBatch) join against the current snapshot, the
+    bucket_counts_stream recipe."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        cr, ct = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cr += len(pdf)
+            ct += int((pdf[source_col] == target).sum())
+        state.update((cr, ct))
+        yield pd.DataFrame(
+            {token_col: [key[0]], "cr": [cr], "ct": [ct]}
+        )
+
+    return tokens.groupBy(token_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{token_col} string, cr long, ct long",
+        stateStructType="cr long, ct long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def bucket_counts_stream(
     values: DataFrame,
     mn: float,

@@ -629,3 +629,50 @@ def test_csv_export_assigns_id_when_missing(spark, tmp_path):
     rows = sorted(back.collect(), key=lambda r: r["id"])
     assert [r["id"] for r in rows] == [1, 2, 3]
     assert [r["name"] for r in rows] == ["a", "b", "c"]
+
+
+def test_dsir_vocab_stream_replays_to_batch_pp7(spark, sf_dir, tmp_path):
+    """Running-vocab DSIR (SURVEY §12.6): after an AvailableNow replay
+    of the exploded corpus in 4 micro-batches, the final streamed
+    vocabulary snapshot scored through the SAME dsir_score_tokens code
+    path equals the batch pp7 weights exactly."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.dedup import _tokens
+    from etl_project_spark.operators.pipeline import (
+        PP7_TARGET,
+        dsir_score_tokens,
+    )
+    from etl_project_spark.registry import all_queries
+    from etl_project_spark.streaming import stateful
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(_tokens()).alias("w"))
+    src_dir = str(tmp_path / "dsir_src")
+    # 4 files + maxFilesPerTrigger=1 -> 4 micro-batches: the vocabulary
+    # state must genuinely accumulate across batches, not be rebuilt
+    tok.repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(
+        spark, src_dir, schema, max_files_per_trigger=1
+    )
+    out = stateful.dsir_vocab_stream(stream, target=PP7_TARGET)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_dsir"), output_mode="update",
+        queryName="dsir_test",
+    )
+    # counters grow monotonically: MAX per token = final state
+    vocab = spark.sql(
+        "SELECT w, MAX(cr) AS cr, MAX(ct) AS ct FROM dsir_test GROUP BY w"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in dsir_score_tokens(tok, vocab).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in all_queries()["pp7_dsir_weights"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n, lr) in want.items():
+        assert got[d][0] == n, d
+        assert abs(got[d][1] - lr) < 2e-6, (d, got[d][1], lr)
