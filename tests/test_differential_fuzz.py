@@ -473,3 +473,133 @@ def test_recursive_int_expression_differential(engines, expr):
     spdf = spark.sql(sql).toPandas()
     opdf = con.sql(sql).df()
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 11 (r5): WINDOWS OVER JOINS — the prior grammars fuzz window
+# functions and joins in isolation; this one composes them, because the
+# engines decorrelate/plan the combination differently (outer-join NULL
+# rows entering window partitions, partition keys from either side,
+# frames over the padded row set). Determinism: every window orders by
+# COALESCE(o_orderkey, -c_custkey) — unique and non-NULL on every row
+# of any join type (o_orderkey is unique per order row; unmatched
+# customers are unique by c_custkey; the negation keeps the ranges
+# disjoint) — so ranking/offset results are total-order deterministic.
+_WJ_KEY = "COALESCE(o_orderkey, 0 - c_custkey)"
+
+WJ_WINDOWS = [
+    f"ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY {_WJ_KEY})"
+    " AS wj_rn",
+    f"RANK() OVER (PARTITION BY c_mktsegment ORDER BY {_WJ_KEY}) AS wj_rk",
+    f"LAG({_WJ_KEY}, 1) OVER (PARTITION BY c_mktsegment ORDER BY {_WJ_KEY})"
+    " AS wj_lag",
+    f"LEAD({_WJ_KEY}, 2) OVER (PARTITION BY o_orderstatus "
+    f"ORDER BY {_WJ_KEY}) AS wj_lead",
+    f"CAST(SUM({_WJ_KEY}) OVER (PARTITION BY o_orderstatus ORDER BY "
+    f"{_WJ_KEY} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS wj_cumsum",
+    "MIN(c_acctbal) OVER (PARTITION BY o_orderstatus) AS wj_minbal",
+    "COUNT(c_custkey) OVER (PARTITION BY c_mktsegment) AS wj_nmatch",
+    f"NTILE(3) OVER (ORDER BY {_WJ_KEY}) AS wj_ntile",
+]
+
+WJ_PREDS = [
+    None,
+    "o_totalprice > 100000.0",
+    "c_acctbal > 0.0 OR o_orderstatus = 'O'",
+    "c_mktsegment IS NULL OR c_mktsegment = 'BUILDING'",
+]
+
+
+@given(
+    exprs=st.lists(
+        st.sampled_from(WJ_WINDOWS), min_size=1, max_size=3, unique=True
+    ),
+    jt=st.sampled_from(JOIN_TYPES),
+    pred=st.sampled_from(WJ_PREDS),
+)
+@settings(
+    max_examples=110,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_over_join_differential(join_engines, exprs, jt, pred):
+    """Window functions evaluated over every join type: NULL-padded
+    outer rows entering partitions keyed from either side, frames and
+    offsets over the combined row set — compared exactly."""
+    spark, con = join_engines
+    sql = (
+        f"SELECT {_WJ_KEY} AS k, {', '.join(exprs)} FROM orders "
+        f"{jt} customer ON o_custkey = c_custkey"
+    )
+    if pred:
+        sql += f" WHERE {pred}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 12 (r5): CORRELATED SUBQUERIES, composed — correlated scalar
+# aggregates in the SELECT list and in predicates, including a window
+# RANKED BY a correlated scalar (ties broken by the unique outer key).
+# Both engines decorrelate these into joins through entirely different
+# rewrite pipelines; the COUNT-over-empty-correlation case (must be 0,
+# not NULL) is the classic decorrelation bug this grammar pins.
+CORR_SCALARS = [
+    "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey{ip})"
+    " AS n_orders",
+    "(SELECT CAST(SUM(o.o_orderkey) AS BIGINT) FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey{ip}) AS sum_key",
+    "(SELECT MIN(o.o_totalprice) FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey{ip}) AS min_price",
+    "(SELECT MAX(o.o_orderdate) FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey{ip}) AS max_date",
+]
+
+CORR_INNER_PREDS = [
+    "",
+    " AND o.o_orderstatus = 'O'",
+    " AND o.o_totalprice > 150000.0",  # often empty -> COUNT must be 0
+]
+
+CORR_OUTER_PREDS = [
+    None,
+    "c_acctbal > 0.0",
+    "c_mktsegment IN ('BUILDING', 'MACHINERY')",
+]
+
+
+@given(
+    scalar=st.sampled_from(CORR_SCALARS),
+    ip=st.sampled_from(CORR_INNER_PREDS),
+    outer=st.sampled_from(CORR_OUTER_PREDS),
+    ranked=st.booleans(),
+)
+@settings(
+    max_examples=100,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_correlated_subquery_differential(
+    join_engines, scalar, ip, outer, ranked
+):
+    """Correlated scalar subqueries per outer row — alone, and as the
+    ordering key of a window over the outer relation (composition the
+    isolated grammars never reach). Compared exactly."""
+    spark, con = join_engines
+    sexpr = scalar.format(ip=ip)
+    alias = sexpr.rsplit(" AS ", 1)[1]
+    cols = f"c_custkey, {sexpr}"
+    if ranked:
+        cols += (
+            f", RANK() OVER (PARTITION BY c_mktsegment "
+            f"ORDER BY {sexpr.rsplit(' AS ', 1)[0]} DESC NULLS LAST, "
+            f"c_custkey) AS corr_rank"
+        )
+    sql = f"SELECT {cols} FROM customer c"
+    if outer:
+        sql += f" WHERE {outer}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), (sql, alias)
+    assert _canon(spdf) == _canon(opdf), sql
