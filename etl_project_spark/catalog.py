@@ -69,6 +69,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """A cheap identity of one table's bytes on disk: (path, mtime_ns,
+    size) per file under the parquet path. Derived-state memo caches
+    (k-means Lloyd state, BPE merges) key on this alongside sf_dir so a
+    regenerated fixture under the same path invalidates them instead of
+    serving stale models (r4 advice); costs one stat() per file, no
+    reads."""
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(p):
+        files = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if not f.startswith("_")
+        )
+    else:
+        files = [p]
+    out = []
+    for f in files:
+        st = os.stat(f)
+        out.append((f, st.st_mtime_ns, st.st_size))
+    return tuple(out)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each corpus table as a temp view for spark.sql queries."""
     for name in tables:

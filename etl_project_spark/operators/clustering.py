@@ -92,15 +92,22 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Final-state memo per sf_dir: the Lloyd loop's driver-side collects
-# re-execute eagerly on every call, and km1/sd1/ivf_centroids/
-# build_ivf_index each need the same state — without the memo a bench
-# or driver window pays the full 3-iteration loop up to 4x per sf
-# (round-3 advice). Pure deterministic data (integer-exact arithmetic,
-# fixed seeds, immutable testdata), so keying on sf_dir alone is safe
-# even across SparkSessions.
-_KM_STATE: dict[str, tuple[list[int], np.ndarray]] = {}
-_KM_CENTROIDS: dict[str, np.ndarray] = {}
+# Final-state memo: the Lloyd loop's driver-side collects re-execute
+# eagerly on every call, and km1/sd1/ivf_centroids/build_ivf_index each
+# need the same state — without the memo a bench or driver window pays
+# the full 3-iteration loop up to 4x per sf (round-3 advice). Pure
+# deterministic data (integer-exact arithmetic, fixed seeds), so the
+# memo is safe across SparkSessions; keyed on (sf_dir, parquet
+# fingerprint) so a REGENERATED fixture under the same path invalidates
+# it instead of serving stale clusters (round-4 advice).
+_KM_STATE: dict[tuple, tuple[list[int], np.ndarray]] = {}
+_KM_CENTROIDS: dict[tuple, np.ndarray] = {}
+
+
+def _km_key(sf_dir: str) -> tuple:
+    from etl_project_spark.catalog import table_fingerprint
+
+    return (sf_dir, table_fingerprint(sf_dir, "embeddings"))
 
 
 def _kmeans_final_state(
@@ -119,8 +126,9 @@ def _kmeans_final_state(
     IVF centroids (similarity.py). The corpus is scanned once per
     iteration; at 100 TB persist the quantized projection and
     checkpoint like an5."""
-    if sf_dir in _KM_STATE:
-        return _KM_STATE[sf_dir]
+    key = _km_key(sf_dir)
+    if key in _KM_STATE:
+        return _KM_STATE[key]
     embq = _quantized(spark, sf_dir)
     seeds = sorted(
         embq.filter(F.col("vec_id") < KM_K).collect(),
@@ -144,7 +152,7 @@ def _kmeans_final_state(
             ] = math.floor(int(r["s"]) / int(r["n"]) + 0.5)
         clusters = sorted(by_cl)
         C = np.array([by_cl[cl] for cl in clusters], dtype=np.int64)
-    _KM_STATE[sf_dir] = (clusters, C)
+    _KM_STATE[key] = (clusters, C)
     return clusters, C
 
 
@@ -179,8 +187,9 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
     0.80 at nprobe=2 on this corpus): refined centroids balance the
     Voronoi cells, so a fixed probe budget covers more of each query's
     true neighborhood. Memoized per sf_dir like the Lloyd state."""
-    if sf_dir in _KM_CENTROIDS:
-        return _KM_CENTROIDS[sf_dir]
+    key = _km_key(sf_dir)
+    if key in _KM_CENTROIDS:
+        return _KM_CENTROIDS[key]
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -204,7 +213,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
         ],
         dtype=np.float64,
     )
-    _KM_CENTROIDS[sf_dir] = out
+    _KM_CENTROIDS[key] = out
     return out
 
 

@@ -702,8 +702,14 @@ PSI_SPLIT = "2024-01-16 00:00:00"  # reference window < split <= current
         SELECT value FROM events
         WHERE ts >= TIMESTAMP '{PSI_SPLIT}'
     ), bounds AS (
+        -- GREATEST vs 1e-12: a degenerate reference window (min == max)
+        -- makes w = 0, where Spark's floor(x/0) is NULL but DuckDB's is
+        -- inf (then a BIGINT-cast error) — the clamp sends everything
+        -- to bucket 0 identically in both engines (r4 advice); for any
+        -- real window w >> 1e-12 and GREATEST is a bit-exact no-op
         SELECT MIN(value) AS mn, MAX(value) AS mx,
-               (MAX(value) - MIN(value)) / {PSI_BUCKETS} AS w
+               GREATEST((MAX(value) - MIN(value)) / {PSI_BUCKETS}, 1e-12)
+                   AS w
         FROM ref
     ), rb AS (
         SELECT LEAST(GREATEST(CAST(FLOOR((value - mn) / w) AS BIGINT), 0),
@@ -767,7 +773,11 @@ def dq3_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = ev.filter(F.col("ts") >= split).select("value")
     bounds = ref.agg(
         F.min("value").alias("mn"),
-        ((F.max("value") - F.min("value")) / PSI_BUCKETS).alias("w"),
+        # clamp vs the degenerate min==max window (oracle's GREATEST
+        # comment): floor(x/0) is NULL here but inf-then-error in DuckDB
+        F.greatest(
+            (F.max("value") - F.min("value")) / PSI_BUCKETS, F.lit(1e-12)
+        ).alias("w"),
     )
 
     def bucketed(side: DataFrame, out: str) -> DataFrame:

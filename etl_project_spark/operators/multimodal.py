@@ -488,6 +488,11 @@ def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(
                 pdf["doc_id"], pdf["text"], pdf["source"]
             ):
+                # the DuckDB oracle rebuilds these bytes from TEXT via
+                # ord/substring (characters); byte==char only for ASCII
+                # — fail loudly rather than silently diverge on a
+                # non-ASCII corpus (r4 advice)
+                assert text.isascii(), f"non-ASCII doc {doc_id}"
                 raw = text.encode("utf-8")
                 reps = -(-WAV_N // max(len(raw), 1))
                 samples = (raw * reps)[:WAV_N]
@@ -662,6 +667,9 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, source in zip(
                 pdf["doc_id"], pdf["text"], pdf["source"]
             ):
+                # byte==char only for ASCII; the oracle works on
+                # characters (see the wav builder's guard)
+                assert text.isascii(), f"non-ASCII doc {doc_id}"
                 raw = text.encode("utf-8")
                 reps = -(-Y4M_STREAM // max(len(raw), 1))
                 stream = (raw * reps)[:Y4M_STREAM]

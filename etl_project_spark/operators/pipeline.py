@@ -526,12 +526,12 @@ def bpe1_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Memoized per sf_dir like the Lloyd k-means state (clustering.py): the
-# trainer's per-round argmax collects execute eagerly, and both bpe1
+# Memoized like the Lloyd k-means state (clustering.py): both bpe1
 # (the merge table) and bpe2 (the apply pass) need the same merges —
-# pure deterministic data over immutable testdata, so the key is safe
-# across SparkSessions.
-_BPE_MERGES: dict[str, list[tuple[int, str, str, int]]] = {}
+# pure deterministic data, so the memo is safe across SparkSessions;
+# keyed on (sf_dir, parquet fingerprint) so a regenerated fixture under
+# the same path retrains instead of serving stale merges (r4 advice).
+_BPE_MERGES: dict[tuple, list[tuple[int, str, str, int]]] = {}
 
 
 def bpe_merge_rounds(
@@ -550,8 +550,11 @@ def bpe_merge_rounds(
     DuckDB REPLACE: leftmost, non-overlapping, resume after the
     replacement). Stops early if the pair space exhausts before
     {BPE_ROUNDS} rounds (every word a single token)."""
-    if sf_dir in _BPE_MERGES:
-        return _BPE_MERGES[sf_dir]
+    from etl_project_spark.catalog import table_fingerprint
+
+    key = (sf_dir, table_fingerprint(sf_dir, "documents"))
+    if key in _BPE_MERGES:
+        return _BPE_MERGES[key]
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(_tokens()).alias("w"))
@@ -579,7 +582,7 @@ def bpe_merge_rounds(
             s.replace(f" {left} {right} ", f" {left}{right} "): n
             for s, n in corpus.items()
         }
-    _BPE_MERGES[sf_dir] = merges
+    _BPE_MERGES[key] = merges
     return merges
 
 

@@ -265,7 +265,12 @@ _TS6_SENTINEL = 9223372036854775807  # event_id tie-break for grid rows
         FROM unioned
     )
     SELECT user_id, ts AS grid_ts,
-           CASE WHEN pv IS NULL OR nv IS NULL THEN NULL
+           CASE WHEN pv IS NULL THEN NULL
+                -- closed right boundary: a grid point coinciding with
+                -- the LAST observation is inside the observed range
+                -- and emits that observation (r4 advice)
+                WHEN nv IS NULL AND epoch_us(ts) = pt THEN ROUND(pv, 6)
+                WHEN nv IS NULL THEN NULL
                 ELSE ROUND(pv + (nv - pv)
                            * (CAST(epoch_us(ts) - pt AS DOUBLE)
                               / (nt - pt)), 6)
@@ -278,7 +283,9 @@ def ts6_interpolated_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's event series sampled onto a fixed {TS6_STEP_H}-hour grid,
     each grid value interpolated between the bracketing observations
     (v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev); NULL
-    outside the observed range) — the resampling rule financial and
+    outside the CLOSED observed range [first, last] — a grid point
+    coinciding exactly with the last observation emits that
+    observation, not NULL) — the resampling rule financial and
     sensor pipelines use where ts5's gap-fill (previous-value hold)
     would step. Completes the resampling family: ts4 = OHLCV
     aggregation, ts5 = hold-last, ts6 = linear.
@@ -349,9 +356,14 @@ def ts6_interpolated_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("ts").alias("grid_ts"),
-            F.when(
-                F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None)
+            F.when(F.col("pv").isNull(), F.lit(None))
+            # closed right boundary (oracle's CASE comment): exact hit
+            # on the last observation emits it instead of NULL
+            .when(
+                F.col("nv").isNull() & (t_us == F.col("pt")),
+                F.round(F.col("pv"), 6),
             )
+            .when(F.col("nv").isNull(), F.lit(None))
             .otherwise(interp)
             .alias("value_interp"),
         )

@@ -192,3 +192,20 @@ def test_video_frame_stats_match_manual(spark, sf_dir):
             r = got[(d["doc_id"], i)]
             assert r["max_luma"] == max(y)
             assert abs(r["mean_luma"] - sum(y) / Y4M_PLANE) < 1e-6
+
+
+def test_documents_corpus_is_ascii(spark, sf_dir):
+    """The mm6/mm7 payload builders treat utf-8 BYTES of text as
+    samples while their DuckDB oracles operate on CHARACTERS
+    (ord/substring) — parity rests on byte==char, i.e. ASCII. Pin the
+    fixture assumption corpus-wide (the kernels also assert per-doc):
+    any future non-ASCII regeneration fails here, not as a silent
+    engine-vs-oracle divergence (r4 advice)."""
+    from pyspark.sql import functions as F
+
+    n = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert n == 0
