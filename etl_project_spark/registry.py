@@ -74,37 +74,43 @@ def register(
 # scramble — decides who gets driver rows. Attestation history:
 # r01 core/tpch/joins, r02 dedup/similarity/text/windows/timeseries/
 # setops/skew/scalarfns/mm1, r03 pipeline/ranking/cdc/analytics/
-# multimodal/clustering + the new core entries. Round 4 front-loads
-# (a) the six formerly hash-red rows (DuckDB HUGEINT oracle artifact,
-# CAST-to-BIGINT fixed this round), (b) operators whose plans changed
-# this round (dd8 exchange fusion, sd1/x3/x4 recall upgrades), then
-# (c) the oldest-attested §2 anchors (r1/r2 families) to refresh their
-# evidence. Slack slots past the list fall to core/tpch r01 entries
-# via _MODULE_ORDER — cheap, harmless to re-earn.
+# multimodal/clustering + the new core entries, r04 the remaining 50
+# (every registry row now has >= 1 attestation). Round 5 front-loads
+# (a) the rows whose RESULTS or plans changed this round — their r04
+# attestations no longer describe the shipped code, so re-earning them
+# outranks pure rotation (the one deliberate exception to "no row
+# already attested in r04"); then (b) tx4/tx6/tx9 (displaced in r4)
+# and (c) every r01-attested row — the oldest evidence in the tree,
+# and the tpch/joins family has had plan-affecting conf changes since
+# r01 — plus the oldest r02 rows as slack. Slack past the list falls
+# to core r03 entries via _MODULE_ORDER.
 _FRONT_QUERIES = [
-    # round-4 additions — never driver-checked
-    "bpe2_tokenize_apply", "pp6_epoch_shuffle", "pp7_dsir_weights",
-    "tx12_heavy_hitters", "mm6_audio_features", "mm7_video_frame_stats",
-    "rk4_reciprocal_rank_fusion", "dq3_psi_drift",
-    "x8_hard_negative_mining", "ts6_interpolated_resample",
-    "an6_markov_transitions", "smp4_weighted_sample",
-    # (a) the six HUGEINT-oracle fixes — re-check first
-    "bpe1_merge_table", "pp1_token_shard_packing", "pp3_quality_funnel",
-    "pp4_source_mixture", "lm1_bigram_model", "dq1_constraint_audit",
-    # (b) plan/recall changes this round
-    "dd8_jaccard_prefix_join", "sd1_semantic_dedup",
-    "x3_lsh_bucketed_topk", "x4_ivf_topk",
-    # (c) §2 anchors last attested r1 (reference dashboard surface)
-    "a2_global_minmax", "a3_daily_stats", "a3g_keyed_daily_stats",
-    "t1_top1_by_value", "t2_topk_by_value", "t3_ordered_series",
-    # r2-attested families due refresh
-    "fn1_string_funcs", "fn2_datetime_funcs", "fn4_math_conditional",
-    "w1_topn_per_key", "w2_lag_delta", "w3_running_sum",
-    "w4_rank_in_group", "w5_moving_avg", "w6_distribution",
-    "ts2_sliding_10min", "ts3_session_window", "ts5_gap_fill_calendar",
-    "s4_rollup", "s5_cube", "s6_grouping_sets", "s7_pivot",
-    "sk1_salted_agg", "sk2_salted_join",
-    "dd6_embedding_neardup", "x2_vector_norms", "x5_centroid_per_label",
+    # (a) changed this round: bpe1/bpe2 retrained at 64 merges (new
+    # rows/values + Arrow-kernel apply), sd1 nprobe 3 (new rows), ts6
+    # closed right boundary (new semantics), dq3 width clamp, dd8/lm2/
+    # pp7 single-scan materialization (plan change)
+    "bpe1_merge_table", "bpe2_tokenize_apply", "sd1_semantic_dedup",
+    "ts6_interpolated_resample", "dq3_psi_drift",
+    "dd8_jaccard_prefix_join", "lm2_perplexity_score", "pp7_dsir_weights",
+    # (b) displaced in r4, last attested r02
+    "tx4_quality_filter", "tx6_langid", "tx9_pii_redact",
+    # (c) every row last attested r01 — core aggregates/sorts, the full
+    # TPC-H suite, the join family
+    "a4_distinct_agg", "a5_approx_distinct", "a6_stat_moments",
+    "smp1_stratified_sample", "sq1_scalar_subquery",
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_late_shipments", "q13_custdist",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_promo_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
+    "j1_broadcast_dim_join", "j2_fact_fact_join", "j3_semi_join",
+    "j4_anti_join", "j5_outer_join", "j6_asof_join", "j7_nation_flows",
+    "j8_part_revenue", "j9_range_join",
+    # slack: the oldest r02-attested dedup rows
+    "dd1_exact_dedup", "dd2_fingerprint_dedup", "dd3_jaccard_pairs",
+    "dd4_minhash_lsh_pairs",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES: proven families in
