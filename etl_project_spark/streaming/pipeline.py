@@ -291,3 +291,43 @@ def clicks_to_purchases(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def ingest_loop(
+    spark: SparkSession,
+    source,
+    bronze_path: str,
+    checkpoint_dir: str,
+    interval: str = "5 minutes",
+    period: str = "5MIN",
+    limit: int = 1,
+):
+    """O1's literal long-running form: a ``processingTime`` micro-batch
+    driver on the reference's cron cadence (``*/5 * * * *``,
+    /root/reference/dags/airflow_dags.py:82-89) — each trigger fetches
+    the latest bar(s) per coin from the REST source and appends them to
+    the partitioned bronze store via ``ingest_tick``. The rate source
+    is the clock; its rows are ignored — it exists so the scheduling,
+    checkpointing, and restart semantics are Structured Streaming's
+    (a restarted query resumes the cadence from the checkpoint; no
+    external cron, no Airflow). ``run_available_now`` +
+    ``file_event_stream`` remain the deterministic catchup=False twin
+    the tests replay; this is the steady-state driver a deployment
+    leaves running. Returns the live StreamingQuery — caller owns
+    ``stop()``."""
+    from etl_project_spark.ingest.ohlcv import ingest_tick
+
+    prepare(spark)
+    ticks = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+
+    def tick(_batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_tick(spark, source, bronze_path, period=period, limit=limit)
+
+    return (
+        ticks.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )

@@ -676,3 +676,51 @@ def test_dsir_vocab_stream_replays_to_batch_pp7(spark, sf_dir, tmp_path):
     for d, (n, lr) in want.items():
         assert got[d][0] == n, d
         assert abs(got[d][1] - lr) < 2e-6, (d, got[d][1], lr)
+
+
+def test_ingest_loop_processing_time_ticks(spark, tmp_path):
+    """O1 steady-state: the processingTime loop fetches-and-appends on
+    every trigger — after >=2 ticks the bronze store holds multiples of
+    the per-tick row count (3 coins x 1 bar), proving the cadence loop
+    actually re-fetches rather than processing once (the literal
+    re-expression of the reference's */5 cron DAG)."""
+    import itertools
+    import time as _time
+
+    calls = itertools.count()
+
+    def fetcher(url, headers):
+        # one fresh bar per coin per fetch: unique start times per tick
+        # so appended batches are distinguishable
+        n = next(calls)
+        bars = ohlcv.fake_bars(coins=("bitcoin",), n_bars=1)
+        for b in bars:
+            b["time_period_start"] = (
+                f"2023-04-26T{(n // 12) % 24:02d}:{(n % 12) * 5:02d}:00.0000000Z"
+            )
+        return bars
+
+    src = OhlcvRestSource("k", coins={"bitcoin": "BITSTAMP_SPOT_BTC_USD"},
+                          fetcher=fetcher)
+    bronze = str(tmp_path / "bronze_loop")
+    q = sp.ingest_loop(
+        spark, src, bronze, str(tmp_path / "ck_loop"), interval="1 seconds"
+    )
+    try:
+        import os
+
+        deadline = _time.time() + 45
+        while _time.time() < deadline:
+            if os.path.isdir(bronze):
+                try:
+                    if spark.read.parquet(bronze).count() >= 2:
+                        break
+                except Exception:
+                    pass  # first file still being written
+            _time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.read.parquet(bronze)
+    assert got.count() >= 2
+    # every tick appended a distinct bar
+    assert got.select("time_period_start").distinct().count() >= 2
