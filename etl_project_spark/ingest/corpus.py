@@ -119,6 +119,8 @@ def clean_corpus(
     )
     offsets = totals.withColumn(
         "offset",
+        # (WindowExec "No Partition Defined" warning: expected — the
+        # window covers only the bounded bucket-totals relation)
         F.sum("bucket_total").over(Window.orderBy("bucket"))
         - F.col("bucket_total"),
     ).select("bucket", "offset")
@@ -184,6 +186,7 @@ def _with_epoch_positions(out: DataFrame, epoch: int) -> DataFrame:
     local = d.withColumn("_rn", F.row_number().over(in_bucket))
     totals = local.groupBy("_b").agg(F.max("_rn").alias("_n"))
     offs = totals.withColumn(
+        # (bounded bucket relation — the WindowExec warning is expected)
         "_off", F.sum("_n").over(Window.orderBy("_b")) - F.col("_n")
     ).select("_b", "_off")
     return (

@@ -88,6 +88,9 @@ def pp1_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = local.groupBy("bucket").agg(
         F.max(F.col("local_cum") + F.col("n_tokens")).alias("bucket_total")
     )
+    # (WindowExec logs "No Partition Defined" here: expected and
+    # harmless — this window runs over the BOUNDED bucket-totals
+    # relation (hundreds of rows), never the corpus; see SURVEY §13)
     over_buckets = Window.orderBy("bucket")
     offsets = totals.withColumn(
         "offset",
@@ -733,6 +736,9 @@ def pp6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_bucket = Window.partitionBy("bucket").orderBy("k", "doc_id")
     local = d.withColumn("rn", F.row_number().over(in_bucket))
     totals = local.groupBy("bucket").agg(F.max("rn").alias("n"))
+    # (WindowExec logs "No Partition Defined" here: expected and
+    # harmless — this window runs over the BOUNDED bucket-totals
+    # relation (hundreds of rows), never the corpus; see SURVEY §13)
     over_buckets = Window.orderBy("bucket")
     offsets = totals.withColumn(
         "offset", F.sum("n").over(over_buckets) - F.col("n")
