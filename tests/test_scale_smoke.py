@@ -303,3 +303,25 @@ def test_heavy_hitters_sketch_at_10m_tokens(spark):
     expect = {(f"hot{j}", hot_count(j)) for j in range(3)}
     assert got == expect, (sorted(got)[:5], sorted(expect))
     assert time.time() - t0 < 120
+
+
+def test_dense_surrogate_id_bijection_at_10m(spark):
+    """with_surrogate_id(dense): at 10M rows the two-phase prefix-sum
+    assignment emits exactly 1..n with no driver-side funnel — verified
+    by aggregation (count distinct == n, min == 1, max == n), never a
+    collect of the ids."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.sources.files import with_surrogate_id
+
+    n = 10_000_000
+    df = spark.range(n).select((F.col("id") % 1000).alias("v")).drop("id")
+    out = with_surrogate_id(df, mode="dense")
+    agg = out.agg(
+        F.count("id").alias("n"),
+        F.countDistinct("id").alias("nd"),
+        F.min("id").alias("mn"),
+        F.max("id").alias("mx"),
+    ).collect()[0]
+    assert agg["n"] == n and agg["nd"] == n
+    assert agg["mn"] == 1 and agg["mx"] == n
