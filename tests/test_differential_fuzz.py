@@ -603,3 +603,76 @@ def test_random_correlated_subquery_differential(
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), (sql, alias)
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 13 (r5): recursive STRING expression trees — the string
+# sibling of the int-expression grammar: random compositions of
+# concat/case/substr/replace/pad/trim/reverse exercise each engine's
+# string-rewrite rules (constant folding of nested concat, CASE
+# pushdown) rather than surface forms. Dialect guardrails: SUBSTR
+# start index stays >= 1 (Spark treats 0 like 1, DuckDB like
+# PostgreSQL truncates — a real divergence this grammar must not
+# trip on deliberately), and no ROUND (half-up vs half-away).
+_STR_LEAVES = st.sampled_from(
+    ["c_name", "c_mktsegment", "'Xy'", "''", "CAST(c_custkey AS VARCHAR(30))"]
+)
+
+
+def _str_unary(children):
+    return st.builds(
+        lambda f, a: f.format(a),
+        st.sampled_from(
+            [
+                "UPPER({})",
+                "LOWER({})",
+                "TRIM({})",
+                "REVERSE({})",
+                "SUBSTR({}, 2, 5)",
+                "REPLACE({}, 'a', '@')",
+                "LPAD({}, 12, '_')",
+            ]
+        ),
+        children,
+    )
+
+
+def _str_binary(children):
+    return st.builds(
+        lambda a, b: f"CONCAT({a}, {b})",
+        children,
+        children,
+    )
+
+
+def _str_case(children):
+    return st.builds(
+        lambda c, a, b: f"(CASE WHEN {c} THEN {a} ELSE {b} END)",
+        st.sampled_from(
+            ["c_acctbal > 0.0", "c_nationkey % 3 = 1", "c_custkey % 2 = 0"]
+        ),
+        children,
+        children,
+    )
+
+
+_STR_TREE = st.recursive(
+    _STR_LEAVES,
+    lambda kids: _str_unary(kids) | _str_binary(kids) | _str_case(kids),
+    max_leaves=6,
+)
+
+
+@given(expr=_STR_TREE)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_recursive_string_expression_differential(join_engines, expr):
+    """Randomly-shaped nested string expression trees evaluated
+    row-level over customer — exact cross-engine agreement."""
+    spark, con = join_engines
+    sql = f"SELECT c_custkey, {expr} AS e FROM customer"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
