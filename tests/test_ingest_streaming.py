@@ -724,3 +724,43 @@ def test_ingest_loop_processing_time_ticks(spark, tmp_path):
     assert got.count() >= 2
     # every tick appended a distinct bar
     assert got.select("time_period_start").distinct().count() >= 2
+
+
+def test_ingest_loop_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stopping the processingTime loop and restarting it against the
+    same checkpoint resumes the cadence (new ticks keep appending) —
+    the restart semantics the streaming checkpoint owns in place of an
+    external scheduler."""
+    import os
+    import time as _time
+
+    def fetcher(url, headers):
+        return ohlcv.fake_bars(coins=("bitcoin",), n_bars=1)
+
+    src = OhlcvRestSource(
+        "k", coins={"bitcoin": "BITSTAMP_SPOT_BTC_USD"}, fetcher=fetcher
+    )
+    bronze = str(tmp_path / "bronze_rs")
+    ck = str(tmp_path / "ck_rs")
+
+    def run_until_rows(target: int) -> int:
+        q = sp.ingest_loop(spark, src, bronze, ck, interval="1 seconds")
+        try:
+            deadline = _time.time() + 45
+            while _time.time() < deadline:
+                if os.path.isdir(bronze):
+                    try:
+                        n = spark.read.parquet(bronze).count()
+                        if n >= target:
+                            return n
+                    except Exception:
+                        pass
+                _time.sleep(1)
+        finally:
+            q.stop()
+        return spark.read.parquet(bronze).count()
+
+    n1 = run_until_rows(1)
+    assert n1 >= 1
+    n2 = run_until_rows(n1 + 1)
+    assert n2 > n1  # the restarted query kept ticking and appending
