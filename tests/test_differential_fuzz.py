@@ -676,3 +676,68 @@ def test_recursive_string_expression_differential(join_engines, expr):
     spdf = spark.sql(sql).toPandas()
     opdf = con.sql(sql).df()
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 14 (r5): DATETIME functions — the reference's whole domain is
+# timestamp handling (SURVEY §2c P3/P4), so the extraction/truncation/
+# interval surface gets its own grammar. Dialect guardrails found by
+# probing (kept OUT of the grammar, documented here): DOW numbering is
+# off by one (Spark dayofweek/EXTRACT(DOW) counts Sunday=1, DuckDB
+# Sunday=0); date_trunc returns TIMESTAMP in Spark but DATE for
+# month/week granularity in DuckDB (normalized below by CASTing to
+# DATE on both sides); two-arg datediff is Spark-only.
+DT_EXPRS = [
+    "EXTRACT(YEAR FROM o_orderdate) AS e_year",
+    "EXTRACT(MONTH FROM o_orderdate) AS e_month",
+    "EXTRACT(DAY FROM o_orderdate) AS e_day",
+    "EXTRACT(HOUR FROM o_orderdate) AS e_hour",
+    "EXTRACT(DOY FROM o_orderdate) AS e_doy",
+    "EXTRACT(QUARTER FROM o_orderdate) AS e_q",
+    # DATE-valued outputs are re-CAST to TIMESTAMP: pandas hands back
+    # Spark dates as datetime.date but DuckDB dates as datetime64, and
+    # the value canon must not depend on the binding layer
+    "CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS TIMESTAMP)"
+    " AS e_tmonth",
+    "CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS TIMESTAMP)"
+    " AS e_tweek",
+    "o_orderdate + INTERVAL 3 DAY AS e_plus",
+    "o_orderdate - INTERVAL 2 HOUR AS e_minus",
+    "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS e_date",
+    "weekofyear(o_orderdate) AS e_woy",
+    "CAST(last_day(o_orderdate) AS TIMESTAMP) AS e_lastday",
+    "greatest(o_orderdate, TIMESTAMP '1996-01-01 00:00:00') AS e_gt",
+    "CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= 6 THEN 'H1' ELSE 'H2' "
+    "END AS e_half",
+]
+
+DT_PREDS = [
+    None,
+    "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'",
+    "EXTRACT(YEAR FROM o_orderdate) = 1997",
+    "o_orderdate + INTERVAL 30 DAY < TIMESTAMP '1997-06-01 00:00:00'",
+]
+
+
+@given(
+    exprs=st.lists(
+        st.sampled_from(DT_EXPRS), min_size=1, max_size=4, unique=True
+    ),
+    pred=st.sampled_from(DT_PREDS),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_datetime_differential(engines, exprs, pred):
+    """Datetime extraction/truncation/interval semantics compared
+    exactly over orders — including interval arithmetic inside
+    predicates (pushdown-rewritten differently per engine)."""
+    spark, con = engines
+    sql = f"SELECT o_orderkey, {', '.join(exprs)} FROM orders"
+    if pred:
+        sql += f" WHERE {pred}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
