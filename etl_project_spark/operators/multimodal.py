@@ -256,6 +256,34 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AHASH_CELLS = 64
 
 
+def ahash_signatures(m: DataFrame) -> DataFrame:
+    """(media_id, ahash_bits): the 64-bit aHash signature per payload —
+    the reusable kernel behind mm5 (see its docstring for the exact
+    integer-arithmetic bit rule); also composed by the media corpus
+    build (ingest/media_corpus.py) for its perceptual-dedup stage."""
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_ppm(bytes(buf)).astype(np.int64)
+                h, w, _ = img.shape
+                G = img.reshape(h, w // 2, 2, 3).sum(axis=(2, 3))
+                flat = G.reshape(-1)
+                total = int(flat.sum())
+                bits = "".join(
+                    "1" if int(g) * _AHASH_CELLS > total else "0"
+                    for g in flat
+                )
+                ids.append(media_id)
+                sigs.append(bits)
+            yield pd.DataFrame({"media_id": ids, "ahash_bits": sigs})
+
+    return m.select("media_id", "payload").mapInPandas(
+        ahash, schema="media_id long, ahash_bits string"
+    )
+
+
 def _ahash_cell_sql(k: str) -> str:
     """Sum of the 6 bytes of 8x8 cell ``k`` (1-based) over px.b."""
     terms = []
@@ -304,28 +332,7 @@ def mm5_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery applies unchanged. Per-row decode, Arrow-batched, one
     bucket shuffle; at 100 TB the signature becomes a stored column and
     dedup is a groupBy over it."""
-    m = media_table(spark, sf_dir)
-
-    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, sigs = [], []
-            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_ppm(bytes(buf)).astype(np.int64)
-                h, w, _ = img.shape
-                G = img.reshape(h, w // 2, 2, 3).sum(axis=(2, 3))
-                flat = G.reshape(-1)
-                total = int(flat.sum())
-                bits = "".join(
-                    "1" if int(g) * _AHASH_CELLS > total else "0"
-                    for g in flat
-                )
-                ids.append(media_id)
-                sigs.append(bits)
-            yield pd.DataFrame({"media_id": ids, "ahash_bits": sigs})
-
-    sigs = m.select("media_id", "payload").mapInPandas(
-        ahash, schema="media_id long, ahash_bits string"
-    )
+    sigs = ahash_signatures(media_table(spark, sf_dir))
     return (
         sigs.groupBy("ahash_bits")
         .agg(

@@ -109,3 +109,67 @@ def test_clean_corpus_dsir_and_positions(spark, sf_dir):
     # determinism within an epoch
     out1b = clean_corpus(spark, sf_dir, epoch=1).collect()
     assert {r["doc_id"]: r["position"] for r in out1b} == p1
+
+
+def test_clean_media_corpus_cascade_and_packing(spark, sf_dir):
+    """The media build's stages agree with the standalone operators:
+    survivors carry unique payload digests AND unique aHash signatures,
+    every mm5 duplicate group keeps exactly its minimum media_id, the
+    funnel audit's stage counts are monotone and match the final row
+    count, and no shard exceeds the byte budget by more than one
+    payload (the packing invariant)."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.ingest.media_corpus import (
+        SHARD_BYTES,
+        clean_media_corpus,
+        media_funnel_audit,
+    )
+    from etl_project_spark.registry import all_queries
+
+    out = clean_media_corpus(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    assert n > 0
+    sigs = [r["ahash_bits"] for r in rows]
+    assert len(set(sigs)) == n  # perceptual-dup free
+    digests = {bytes(r["payload"]) for r in rows}
+    assert len(digests) == n  # exact-dup free
+    # mm5's duplicate groups collapse to their min id
+    kept = {r["media_id"] for r in rows}
+    for g in all_queries()["mm5_perceptual_hash_dedup"](
+        spark, sf_dir
+    ).collect():
+        ids = [int(x) for x in g["media_ids"].split(",")]
+        assert min(ids) in kept
+        assert all(i not in kept for i in ids[1:] if i != min(ids))
+    audit = media_funnel_audit(spark, sf_dir)
+    assert (
+        audit["n_total"]
+        >= audit["n_decode_ok"]
+        >= audit["n_gate"]
+        >= audit["n_exact"]
+        >= audit["n_phash"]
+    )
+    assert audit["n_phash"] == n
+    # packing: within a shard, payload bytes fit the budget + <=1 doc
+    per_shard = (
+        out.groupBy("shard_id")
+        .agg(F.sum("n_bytes").alias("b"), F.max("n_bytes").alias("mx"))
+        .collect()
+    )
+    for r in per_shard:
+        assert r["b"] <= SHARD_BYTES + r["mx"]
+
+
+def test_materialize_media_corpus_idempotent(spark, sf_dir):
+    """Re-running the media build replaces the table (no duplication),
+    the same contract as the text build and the daily export."""
+    from etl_project_spark.ingest.media_corpus import (
+        materialize_media_corpus,
+    )
+
+    a1 = materialize_media_corpus(spark, sf_dir, table="media_corpus_t")
+    a2 = materialize_media_corpus(spark, sf_dir, table="media_corpus_t")
+    assert a1 == a2
+    assert a1["n_media"] > 0 and a1["n_shards"] > 0
