@@ -146,28 +146,22 @@ def clean_corpus(
 
 def _dsir_scores(docs: DataFrame, target: str) -> DataFrame:
     """(doc_id, dsir_logratio): pp7's importance weight, scored over the
-    given (pre-selection) corpus relation — one vocabulary aggregation
-    carries both LMs, scoring is a token-stream/vocabulary equi-join
-    (see operators/pipeline.pp7_dsir_weights for semantics and the
-    differential check)."""
-    tok = docs.select("doc_id", "source", F.explode(_tokens()).alias("w"))
+    given (pre-selection) corpus relation through the SAME
+    dsir_score_tokens path the pp7 operator and the streaming twin use
+    (one shared implementation, three consumers). The token stream is
+    materialized once — it feeds both the vocabulary aggregate and the
+    scoring join (the lm2/pp7 ReuseExchange lesson)."""
+    from etl_project_spark.operators.pipeline import dsir_score_tokens
+
+    tok = docs.select(
+        "doc_id", "source", F.explode(_tokens()).alias("w")
+    ).localCheckpoint()
     vocab = tok.groupBy("w").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("source") == target).cast("long")).alias("ct"),
     )
-    tots = vocab.agg(
-        F.sum("cr").alias("nr"),
-        F.count(F.lit(1)).alias("v"),
-        F.sum("ct").alias("nt"),
-    )
-    ratio = ((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("v"))) / (
-        F.col("cr").cast("double") / F.col("nr")
-    )
-    return (
-        tok.join(vocab, "w")
-        .crossJoin(F.broadcast(tots))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(F.log(ratio)), 6).alias("dsir_logratio"))
+    return dsir_score_tokens(tok, vocab).select(
+        "doc_id", F.col("log_ratio").alias("dsir_logratio")
     )
 
 
