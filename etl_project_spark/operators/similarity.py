@@ -360,6 +360,59 @@ def build_ivf_index(
     return C
 
 
+def append_to_ivf_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    centroids: np.ndarray,
+    table: str = "ann_ivf_index",
+) -> int:
+    """Incremental IVF maintenance: assign NEW vectors to cells under
+    the FROZEN centroid matrix and append them into the partitioned
+    index table — the standard serving-side pattern (an ingest batch
+    never re-clusters; it rides the existing Voronoi partition). One
+    Arrow-batched GEMM per batch, a partitioned append touching only
+    the cells the new vectors land in, zero shuffles of existing index
+    rows. Returns rows appended.
+
+    When drift accumulates (the PSI monitor dq3 / bucket_counts_stream
+    is the detector for exactly this), rebuild with build_ivf_index —
+    centroid refresh is a full-corpus decision, not an append-path one.
+    """
+    bC = spark.sparkContext.broadcast(
+        centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    )
+
+    def assign(batches):
+        cen = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": np.argmax(Mn @ cen.T, axis=1),
+                    "e": list(Mn),
+                }
+            )
+
+    cells = new_vectors.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int, e array<double>"
+    )
+    n = cells.count()
+    (
+        cells.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return n
+
+
 def query_ivf_index(
     spark: SparkSession,
     centroids: np.ndarray,

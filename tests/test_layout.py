@@ -286,3 +286,51 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir, tmp_path):
     # box prunes on custkey only (~1/8 of groups read); z-order bounds
     # both dims, reading close to the box's area share plus boundary
     assert z_frac < l_frac, (z_frac, l_frac)
+
+
+def test_ivf_index_incremental_append(spark, sf_dir):
+    """append_to_ivf_index: new vectors land in the SAME cell the
+    frozen centroids dictate (verified against a numpy recompute), the
+    existing index rows are untouched, and a probe finds an appended
+    exact-duplicate vector as its twin's nearest neighbor."""
+    import numpy as np
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    C = build_ivf_index(spark, sf_dir, table="ann_append_idx")
+    base_n = spark.table("ann_append_idx").count()
+    emb = load_table(spark, sf_dir, "embeddings")
+    OFFSET = 1_000_000
+    delta = (
+        emb.filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + OFFSET).alias("vec_id"), "embedding")
+    )
+    n_added = append_to_ivf_index(spark, delta, C, table="ann_append_idx")
+    assert n_added == 20
+    idx = spark.table("ann_append_idx")
+    assert idx.count() == base_n + 20
+    # cell assignment matches a driver-side recompute under C
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    got_cells = {
+        r["vec_id"]: r["cell"]
+        for r in idx.filter(F.col("vec_id") >= OFFSET).collect()
+    }
+    for r in delta.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        assert got_cells[r["vec_id"]] == int(np.argmax(Cn @ v))
+    # an appended duplicate's twin is its top neighbor (sim ~ 1.0)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    got = query_ivf_index(
+        spark, C, queries, nprobe=3, k=1, table="ann_append_idx"
+    ).collect()
+    for r in got:
+        assert r["neighbor_id"] == r["query_id"] + OFFSET, r
