@@ -741,3 +741,59 @@ def test_random_datetime_differential(engines, exprs, pred):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 15 (r5): GROUPED TOP-K OVER JOINS — GROUP BY + HAVING +
+# ORDER BY <aggregate> LIMIT k in one query, over an inner join. Spark
+# plans the tail as TakeOrderedAndProject, DuckDB as its own top-n
+# operator; both must agree on the full ordered prefix. Determinism:
+# the ORDER BY always ends with the (non-NULL, unique-per-group) group
+# key, so the cut line has no ties to disagree on.
+TK_AGGS = [
+    ("COUNT(*)", "cnt"),
+    ("CAST(SUM(o_orderkey) AS BIGINT)", "sk"),
+    ("MIN(o_totalprice)", "mn"),
+    ("MAX(o_totalprice)", "mx"),
+    ("COUNT(DISTINCT o_custkey)", "nc"),
+]
+
+TK_GROUPS = ["o_orderstatus", "c_mktsegment", "o_orderpriority"]
+
+TK_HAVINGS = [None, "COUNT(*) > 20", "MIN(o_totalprice) < 150000.0"]
+
+
+@given(
+    agg=st.sampled_from(TK_AGGS),
+    group=st.sampled_from(TK_GROUPS),
+    having=st.sampled_from(TK_HAVINGS),
+    k=st.sampled_from([1, 2, 3, 5]),
+    desc=st.booleans(),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_grouped_topk_differential(join_engines, agg, group,
+                                          having, k, desc):
+    """Grouped aggregate → HAVING → ORDER BY aggregate → LIMIT over an
+    inner join, compared exactly (the dashboard/top-k query shape the
+    reference's own T1 is the 1-row case of)."""
+    spark, con = join_engines
+    expr, alias = agg
+    hv = f" HAVING {having}" if having else ""
+    d = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT {group} AS g, {expr} AS {alias} FROM orders "
+        f"JOIN customer ON o_custkey = c_custkey "
+        f"GROUP BY {group}{hv} ORDER BY {alias} {d}, g LIMIT {k}"
+    )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    # ordered compare: the LIMIT prefix itself must match row-for-row
+    sc = sorted(spdf.columns)
+    srows = [tuple(_canon_cell(r[c]) for c in sc)
+             for _, r in spdf[sc].iterrows()]
+    orows = [tuple(_canon_cell(r[c]) for c in sc)
+             for _, r in opdf[sc].iterrows()]
+    assert srows == orows, sql
