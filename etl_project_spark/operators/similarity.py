@@ -206,13 +206,13 @@ def x4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroid assignment is one numpy GEMM per Arrow batch (mapInPandas);
     at scale the cell id becomes the table's partition column, so a probe
     reads nprobe/ncells of the data."""
-    # nprobe 5 of 8 cells: measured recall@5 0.80 -> 0.96/0.90 at
-    # sf0.01/sf0.1 vs nprobe=2 (RECALL.json); probe cost is linear in
-    # nprobe, plan unchanged. The wide probe fraction reflects this
+    # nprobe 6 of 8 cells (r5: 5 -> 6 lifted recall@5 from 0.96/0.90
+    # to 0.98/0.96 at sf0.01/sf0.1, RECALL.json); probe cost is linear
+    # in nprobe, plan unchanged. The wide probe fraction reflects this
     # corpus's near-random embeddings (hardest case for IVF — cells
     # barely separate); clustered real-world embeddings reach the same
     # recall at far lower nprobe/n_cells.
-    n_cells, nprobe = 8, 5
+    n_cells, nprobe = 8, 6
     emb = load_table(spark, sf_dir, "embeddings")
     # deterministic Lloyd-refined centroids (see ivf_centroids)
     C = ivf_centroids(spark, sf_dir, n_cells)
