@@ -178,3 +178,23 @@ def test_dd8_corpus_scanned_once(spark, sf_dir):
     stats = assert_scalable(df)
     assert stats.scans == 0, stats.plan
     assert "Scan ExistingRDD" in stats.plan, stats.plan
+
+
+def test_pp7_corpus_scanned_once(spark, sf_dir):
+    """pp7: the exploded token stream is materialized before feeding
+    the vocab aggregate and the scoring join (lm2's pin, same reason) —
+    zero parquet scans in the final plan, vocabulary broadcast."""
+    df = all_queries()["pp7_dsir_weights"](spark, sf_dir)
+    stats = assert_scalable(df)
+    assert stats.scans == 0, stats.plan
+    assert stats.broadcasts >= 1, stats.plan
+
+
+def test_media_corpus_build_is_scalable(spark, sf_dir):
+    """The end-to-end media build: no quadratic stage, no row-Python,
+    Arrow kernels only, and the only unpartitioned window is the
+    bounded bucket-totals prefix sum."""
+    from etl_project_spark.ingest.media_corpus import clean_media_corpus
+
+    stats = assert_scalable(clean_media_corpus(spark, sf_dir))
+    assert "arrow-python(ok)" in stats.flags, stats.plan
