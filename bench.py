@@ -186,21 +186,61 @@ def main() -> None:
                 return out
 
             regressions = find_regressions()
-            # RE-CHECK every flagged query once, at the end of the run:
-            # transient JVM phases (GC, code-cache churn kicked off by a
-            # neighboring heavyweight) can inflate one query's entire
-            # warmup+timed turn 2x — measured: two consecutive full runs
-            # flagged two DISJOINT sets of sub-2s queries, and every one
-            # was clean in isolation. A genuine plan regression stays
-            # slow on the re-check; a phase spike clears. The recheck
-            # keeps the per-query protocol (warmup + min of consecutive
-            # timed runs) so the recorded floor stays protocol-comparable.
-            for n in list(regressions):
-                t2 = bench_query(n, 2)
+            # RE-CHECK every flagged query, twice if needed, at the end
+            # of the run: transient JVM phases (GC, code-cache churn
+            # kicked off by a neighboring heavyweight) can inflate one
+            # query's entire warmup+timed turn 2x — measured: two
+            # consecutive full runs flagged two DISJOINT sets of sub-2s
+            # queries, every one clean in isolation. Pass 1 re-times
+            # in-process (clears phase spikes). Pass 2, for queries
+            # still flagged, re-times in a FRESH subprocess — measured:
+            # a ~55-query process accumulates state (full code cache,
+            # reused Python workers) that can keep one query 40% over
+            # its fresh-process floor for the rest of the process
+            # lifetime, and the fresh floor is the number that scales.
+            # A genuine plan regression stays slow through both passes.
+            # Both passes keep the per-query protocol (warmup + min of
+            # consecutive timed runs) so floors stay comparable.
+            def fold_in(n: str, t2: float) -> None:
                 if n in timings:
                     timings[n] = min(timings[n], t2)
                 else:
                     extended[n] = min(extended[n], t2)
+
+            for n in list(regressions):
+                fold_in(n, bench_query(n, 2))
+            regressions = find_regressions()
+            if regressions and not os.environ.get("SPARK_GRAFT_NO_RECHECK"):
+                import subprocess
+                import tempfile
+
+                for n in list(regressions):
+                    fd, tfp = tempfile.mkstemp(suffix=".json")
+                    os.close(fd)
+                    env = dict(
+                        os.environ,
+                        SPARK_GRAFT_BENCH_QUERIES=n,
+                        SPARK_GRAFT_DETAIL_PATH=tfp,
+                        SPARK_GRAFT_NO_RECHECK="1",
+                    )
+                    try:
+                        subprocess.run(
+                            [sys.executable, os.path.abspath(__file__)],
+                            env=env,
+                            capture_output=True,
+                            timeout=600,
+                            check=False,
+                        )
+                        det = json.load(open(tfp))
+                        t2 = det.get("queries", {}).get(n) or det.get(
+                            "extended", {}
+                        ).get(n)
+                        if t2 is not None:
+                            fold_in(n, t2)
+                    except Exception:
+                        pass  # keep the in-process figure
+                    finally:
+                        os.unlink(tfp)
             total = round(sum(timings.values()), 3)
             out["value"] = total
             out["queries"] = timings
