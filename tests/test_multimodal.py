@@ -209,3 +209,47 @@ def test_documents_corpus_is_ascii(spark, sf_dir):
         .count()
     )
     assert n == 0
+
+
+def test_streaming_perceptual_dedup_composes(spark, sf_dir, tmp_path):
+    """Streaming media dedup is a COMPOSITION of shipped pieces, no new
+    operator needed: ahash_signatures runs unchanged over a streaming
+    frame (mapInPandas is streaming-capable), and dedup_stream keyed on
+    the signature drops cross-batch perceptual duplicates within the
+    watermark. A duplicate payload arriving in a LATER micro-batch must
+    not survive."""
+    import pyspark.sql.functions as F
+
+    from etl_project_spark.operators.multimodal import (
+        ahash_signatures,
+        media_table,
+    )
+    from etl_project_spark.streaming import pipeline as sp
+
+    m = media_table(spark, sf_dir).select("media_id", "payload").limit(50)
+    base = m.withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    # batch 2 re-sends the same payloads under new ids, 1 minute later
+    dup = base.withColumn("media_id", F.col("media_id") + 100000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    src = str(tmp_path / "media_stream")
+    base.write.parquet(src)
+    dup.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = sp.file_event_stream(spark, src, schema, max_files_per_trigger=1)
+    sigs = ahash_signatures(stream).join(
+        stream.select("media_id", "ts"), "media_id"
+    )
+    out = sp.dedup_stream(sigs, keys=["ahash_bits"], watermark="1 hour")
+    sp.run_available_now(
+        out, str(tmp_path / "ck_mdd"), output_mode="append",
+        queryName="media_dedup_test",
+    )
+    rows = spark.sql("SELECT * FROM media_dedup_test").collect()
+    # only first-arrival signatures survive; every re-sent id is dropped
+    assert rows, "stream produced nothing"
+    assert all(r["media_id"] < 100000 for r in rows), rows[:5]
+    n_batch_unique = (
+        ahash_signatures(m).select("ahash_bits").distinct().count()
+    )
+    assert len({r["ahash_bits"] for r in rows}) == n_batch_unique
