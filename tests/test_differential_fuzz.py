@@ -797,3 +797,85 @@ def test_random_grouped_topk_differential(join_engines, agg, group,
     orows = [tuple(_canon_cell(r[c]) for c in sc)
              for _, r in opdf[sc].iterrows()]
     assert srows == orows, sql
+
+
+# Grammar 16 (r5): the EVENTS table — the corpus's quirkiest physical
+# surface (parquet TIMESTAMP(NANOS) → Spark needs the nanosAsLong
+# conversion to TIMESTAMP_NTZ, DuckDB truncates natively to
+# microseconds). The fixture registers the ENGINE's own conversion
+# path (catalog.load_table) against DuckDB's CAST(ts AS TIMESTAMP), so
+# every case differentially exercises the timestamp canon end to end.
+# Aggregates stay order-independent (no float SUM — `value` is a
+# double).
+EV_AGGS = [
+    "COUNT(*) AS cnt",
+    "COUNT(DISTINCT user_id) AS nu",
+    "MIN(value) AS mn_v",
+    "MAX(value) AS mx_v",
+    "MIN(ts) AS mn_ts",
+    "MAX(ts) AS mx_ts",
+    "CAST(SUM(event_id % 1000) AS BIGINT) AS sk",
+]
+
+EV_GROUPS = [
+    None,
+    "event_type",
+    "user_id % 20",
+    "date_trunc('day', ts)",
+    "date_trunc('hour', ts)",
+]
+
+EV_PREDS = [
+    None,
+    "ts >= TIMESTAMP '2024-01-10 00:00:00'",
+    "ts < TIMESTAMP '2024-01-20 12:34:56'",
+    "event_type IN ('click', 'view', 'purchase')",
+    "value BETWEEN 10.0 AND 90.0",
+    "ts + INTERVAL 6 HOUR >= TIMESTAMP '2024-01-25 00:00:00'",
+]
+
+
+@pytest.fixture(scope="module")
+def event_engines(spark):
+    from etl_project_spark.catalog import load_table
+
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,"
+        " user_id, event_type, value FROM "
+        f"'{SF_DIR}/events.parquet'"
+    )
+    yield spark, con
+    con.close()
+    spark.catalog.dropTempView("events")
+
+
+@given(
+    aggs=st.lists(
+        st.sampled_from(EV_AGGS), min_size=1, max_size=3, unique=True
+    ),
+    group=st.sampled_from(EV_GROUPS),
+    pred=st.sampled_from(EV_PREDS),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_events_timeseries_differential(event_engines, aggs, group,
+                                               pred):
+    """Time-filtered, time-bucketed aggregation over events — the
+    nanos→microsecond timestamp conversion, interval arithmetic in
+    predicates, and date_trunc group keys compared exactly."""
+    spark, con = event_engines
+    select = (f"{group} AS g, " if group else "") + ", ".join(aggs)
+    sql = f"SELECT {select} FROM events"
+    if pred:
+        sql += f" WHERE {pred}"
+    if group:
+        sql += f" GROUP BY {group}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
