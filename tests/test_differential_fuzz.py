@@ -879,3 +879,73 @@ def test_random_events_timeseries_differential(event_engines, aggs, group,
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 17 (r5): the DOCUMENTS table — the substrate of every
+# LLM-pipeline operator (dedup, text analysis, BPE, DSIR). Row-level
+# md5 fingerprints, token counting via str_split length, and metadata
+# aggregation, all in shared SQL both engines parse identically.
+DOC_AGGS = [
+    "COUNT(*) AS cnt",
+    "MIN(n_chars) AS mn_c",
+    "MAX(n_chars) AS mx_c",
+    "COUNT(DISTINCT lang) AS nl",
+    "COUNT(DISTINCT md5(lower(text))) AS nfp",
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_c",
+    "MIN(md5(lower(text))) AS mn_fp",
+]
+
+DOC_GROUPS = [None, "lang", "source", "n_chars % 7"]
+
+DOC_PREDS = [
+    None,
+    "n_chars BETWEEN 150 AND 500",
+    "lang = 'en'",
+    "source IN ('src0', 'src1')",
+    "length(text) = n_chars",
+    "doc_id % 97 = 0",
+]
+
+
+@pytest.fixture(scope="module")
+def doc_engines(spark):
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    yield spark, con
+    con.close()
+    spark.catalog.dropTempView("documents")
+
+
+@given(
+    aggs=st.lists(
+        st.sampled_from(DOC_AGGS), min_size=1, max_size=3, unique=True
+    ),
+    group=st.sampled_from(DOC_GROUPS),
+    pred=st.sampled_from(DOC_PREDS),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_documents_differential(doc_engines, aggs, group, pred):
+    """Metadata aggregation + row-level md5 fingerprints over the
+    documents corpus, compared exactly — the substrate every extension
+    operator builds on."""
+    spark, con = doc_engines
+    select = (f"{group} AS g, " if group else "") + ", ".join(aggs)
+    sql = f"SELECT {select} FROM documents"
+    if pred:
+        sql += f" WHERE {pred}"
+    if group:
+        sql += f" GROUP BY {group}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
