@@ -325,3 +325,44 @@ def test_dense_surrogate_id_bijection_at_10m(spark):
     ).collect()[0]
     assert agg["n"] == n and agg["nd"] == n
     assert agg["mn"] == 1 and agg["mx"] == n
+
+
+def test_perplexity_checkpoint_path_at_200k_docs(spark, tmp_path):
+    """lm2's materialize-once shape at 200k docs / ~4M bigrams: the
+    eager checkpoint of the exploded bigram relation plus the broadcast
+    model join must complete well under a corpus-rescan budget, and a
+    closed-form corpus pins correctness: every doc is one of two
+    20-token templates ('a b a b ...' / 'b a b a ...'), so every bigram
+    is 'a b' or 'b a', cp = 1.0 for all of them, and every document's
+    perplexity is exactly 1.0 with 19 bigrams."""
+    n_docs = 200_000
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda k: F.when(
+                (k + F.col("id")) % 2 == 0, F.lit("a")
+            ).otherwise(F.lit("b")),
+        ),
+        " ",
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from etl_project_spark.registry import get
+
+    t0 = time.time()
+    out = get("lm2_perplexity_score").fn(spark, str(tmp_path))
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("n_bigrams").alias("mn_b"),
+        F.max("n_bigrams").alias("mx_b"),
+        F.min("perplexity").alias("mn_p"),
+        F.max("perplexity").alias("mx_p"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"lm2 took {elapsed:.0f}s at 200k docs"
+    assert agg["n"] == n_docs
+    assert agg["mn_b"] == agg["mx_b"] == 19
+    assert agg["mn_p"] == agg["mx_p"] == 1.0
