@@ -949,3 +949,79 @@ def test_random_documents_differential(doc_engines, aggs, group, pred):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 18 (r5): THREE-WAY JOINS — orders x customer x nation via
+# c_nationkey, the join-reordering surface (each engine picks its own
+# join order and build sides; results must agree). Inner + one optional
+# outer leg; aggregates order-independent as everywhere.
+TW_AGGS = [
+    "COUNT(*) AS cnt",
+    "COUNT(n_name) AS n_nat",
+    "MIN(o_totalprice) AS mn_p",
+    "MAX(c_acctbal) AS mx_b",
+    "CAST(SUM(c_nationkey) AS BIGINT) AS sk",
+    "COUNT(DISTINCT n_name) AS nd",
+]
+
+TW_JOINS = [
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey",
+    "JOIN customer ON o_custkey = c_custkey "
+    "LEFT JOIN nation ON c_nationkey = n_nationkey AND n_nationkey < 10",
+    "LEFT JOIN customer ON o_custkey = c_custkey "
+    "LEFT JOIN nation ON c_nationkey = n_nationkey",
+]
+
+TW_GROUPS = [None, "n_name", "o_orderstatus", "c_mktsegment"]
+
+TW_PREDS = [
+    None,
+    "o_totalprice > 100000.0",
+    "n_name IS NULL OR n_name >= 'J'",
+    "c_acctbal > 0.0 AND o_orderstatus = 'O'",
+]
+
+
+@pytest.fixture(scope="module")
+def threeway_engines(join_engines):
+    spark, con = join_engines
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{SF_DIR}/nation.parquet'"
+    )
+    yield spark, con
+    spark.catalog.dropTempView("nation")
+
+
+@given(
+    aggs=st.lists(
+        st.sampled_from(TW_AGGS), min_size=1, max_size=3, unique=True
+    ),
+    joins=st.sampled_from(TW_JOINS),
+    group=st.sampled_from(TW_GROUPS),
+    pred=st.sampled_from(TW_PREDS),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_threeway_join_differential(threeway_engines, aggs, joins,
+                                           group, pred):
+    """Three-relation joins with mixed inner/outer legs and an ON-clause
+    extra predicate — the join-reordering/null-propagation surface,
+    compared exactly."""
+    spark, con = threeway_engines
+    select = (f"{group} AS g, " if group else "") + ", ".join(aggs)
+    sql = f"SELECT {select} FROM orders {joins}"
+    if pred:
+        sql += f" WHERE {pred}"
+    if group:
+        sql += f" GROUP BY {group}"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
