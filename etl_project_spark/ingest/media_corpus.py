@@ -85,6 +85,26 @@ def clean_media_corpus(
         .filter(F.col("_rp") == 1)
         .drop("_digest", "_rn", "_rp")
     )
+    return _pack_by_bytes(deduped, shard_bytes).select(
+        "media_id",
+        "payload",
+        "n_bytes",
+        "mean_intensity",
+        "ahash_bits",
+        "shard_id",
+        "shard_group",
+    )
+
+
+def _pack_by_bytes(
+    deduped: DataFrame, shard_bytes: int, base_offset: int = 0
+) -> DataFrame:
+    """pp1's two-phase prefix-sum packing over ``n_bytes``: shard_id =
+    floor((base_offset + bytes-before-this-row-in-media_id-order) /
+    shard_bytes). ``base_offset`` lets the streaming build continue the
+    byte cursor across micro-batches (0 for the batch build). Adds
+    shard_id + shard_group to ``deduped``'s columns; no corpus-sized
+    single-partition window anywhere."""
     d = deduped.withColumn(
         "bucket", (F.col("media_id") / PACK_BUCKET).cast("long")
     ).filter(F.col("bucket").isNotNull())  # ReuseExchange, see pp1
@@ -101,18 +121,156 @@ def clean_media_corpus(
         F.sum("bucket_total").over(Window.orderBy("bucket"))
         - F.col("bucket_total"),
     ).select("bucket", "offset")
-    shard = ((F.col("offset") + F.col("local_cum")) / shard_bytes).cast(
-        "long"
+    shard = (
+        (F.lit(base_offset) + F.col("offset") + F.col("local_cum"))
+        / shard_bytes
+    ).cast("long")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .withColumn("shard_id", shard)
+        .withColumn(
+            "shard_group",
+            (F.col("shard_id") / MEDIA_SHARDS_PER_DIR).cast("long"),
+        )
+        .drop("bucket", "local_cum", "offset")
     )
-    return local.join(F.broadcast(offsets), "bucket").select(
-        "media_id",
-        "payload",
-        "n_bytes",
-        "mean_intensity",
-        "ahash_bits",
-        shard.alias("shard_id"),
-        (shard / MEDIA_SHARDS_PER_DIR).cast("long").alias("shard_group"),
+
+
+def media_corpus_stream(
+    spark: SparkSession,
+    media_stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    shard_bytes: int = SHARD_BYTES,
+    min_intensity: float = 0.0,
+    max_intensity: float = 255.0,
+    available_now: bool = True,
+):
+    """Streaming twin of the batch media-corpus build (SURVEY §14.4):
+    a ``foreachBatch`` job running the same cascade — decode gate →
+    intensity gate → exact payload dedup → perceptual aHash dedup →
+    byte-budget shard packing — over a media stream, landing an
+    append-only parquet table partitioned by shard_group.
+
+    Cross-batch state lives in the SINK, not a state store: each
+    micro-batch anti-joins its survivors against the landed corpus's
+    (digest) and (ahash_bits) key sets, and continues the packing byte
+    cursor from the landed SUM(n_bytes). That one design choice buys
+    three properties at once: (1) keep-first dedup across batches,
+    (2) idempotent replay — a restarted query re-running the last
+    uncommitted micro-batch anti-joins its rows away (they are already
+    landed), appending nothing twice; (3) restart-safe packing — the
+    byte cursor is always derived from what actually landed. The
+    per-batch key-scan is column-pruned to two fingerprint columns; at
+    a scale where even that scan bothers, the standard upgrade is a
+    Bloom filter / state-store cache in front of it, with the sink
+    anti-join kept as the correctness backstop.
+
+    Replay-equality to the batch build (given media_id-ordered arrival,
+    the stream analogue of the batch build's media_id ordering) is
+    pinned in tests/test_ingest_streaming.py; packing uses the SAME
+    two-phase prefix-sum helper as the batch job, offset by the byte
+    cursor. Returns the StreamingQuery (awaited when available_now)."""
+
+    def build(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m = batch_df.select("media_id", "payload")
+        feats = media_features(m)
+        sigs = ahash_signatures(m)
+        gated = (
+            m.join(feats, "media_id")
+            .filter(
+                F.col("decode_error").isNull()
+                & F.col("mean_intensity").between(min_intensity, max_intensity)
+            )
+            .join(sigs, "media_id")
+            .select(
+                "media_id",
+                "payload",
+                F.octet_length("payload").alias("n_bytes"),
+                "mean_intensity",
+                "ahash_bits",
+                F.sha2(F.col("payload"), 256).alias("digest"),
+            )
+        )
+        landed = None
+        if spark.catalog.tableExists(table):
+            # A plain append inside foreachBatch does not invalidate the
+            # session's cached file listing for the table (the micro-
+            # batch runs on a cloned session), so without this refresh
+            # every later batch reads batch 0's listing: stale dedup
+            # keys AND a stale byte cursor.
+            spark.catalog.refreshTable(table)
+            landed = spark.table(table)
+        # Keep-first cascade, interleaving in-batch windows with
+        # against-landed anti-joins in the SAME order as the batch
+        # build's global cascade: the digest anti-join must run before
+        # the in-batch phash window, else a row that loses the phash
+        # tie-break to an already-landed exact duplicate is wrongly
+        # dropped. No broadcast hint: the landed key sets grow with the
+        # corpus — AQE broadcasts them while small, SMJ after.
+        first_exact = Window.partitionBy("digest").orderBy("media_id")
+        exact = (
+            gated.withColumn("_rn", F.row_number().over(first_exact))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if landed is not None:
+            exact = exact.join(
+                landed.select("digest").distinct(), "digest", "left_anti"
+            )
+        first_phash = Window.partitionBy("ahash_bits").orderBy("media_id")
+        deduped = (
+            exact.withColumn("_rp", F.row_number().over(first_phash))
+            .filter(F.col("_rp") == 1)
+            .drop("_rp")
+        )
+        base_offset = 0
+        if landed is not None:
+            deduped = deduped.join(
+                landed.select("ahash_bits").distinct(),
+                "ahash_bits",
+                "left_anti",
+            )
+            base_offset = int(
+                landed.agg(F.coalesce(F.sum("n_bytes"), F.lit(0))).collect()[
+                    0
+                ][0]
+            )
+        # localCheckpoint: the survivor set feeds the two-phase packing
+        # prefix sum (self-referential subtree — see the dd8 lesson on
+        # lambda/window subtrees defeating ReuseExchange) and must not
+        # recompute the decode kernels per reference
+        deduped = deduped.localCheckpoint(eager=True)
+        out = _pack_by_bytes(deduped, shard_bytes, base_offset).select(
+            "media_id",
+            "payload",
+            "n_bytes",
+            "mean_intensity",
+            "ahash_bits",
+            "digest",
+            "shard_id",
+            "shard_group",
+        )
+        (
+            out.repartition("shard_group")
+            .write.mode("append")
+            .partitionBy("shard_group")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
+    writer = media_stream.writeStream.foreachBatch(build).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        if spark.catalog.tableExists(table):
+            spark.catalog.refreshTable(table)  # caller reads the final state
+        return q
+    return writer.trigger(processingTime="30 seconds").start()
 
 
 def media_funnel_audit(

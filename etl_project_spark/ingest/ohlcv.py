@@ -41,16 +41,59 @@ def ingest_tick(
     bronze_path: str,
     period: str = "5MIN",
     limit: int = 1,
+    dedupe: bool = False,
 ) -> int:
     """One EP1 tick: fetch the latest bar(s) per coin and append to
-    bronze. Returns rows written."""
+    bronze. Returns rows written.
+
+    ``dedupe=True`` makes the append idempotent at bar granularity: the
+    fetched batch is anti-joined against the bronze rows already holding
+    its (coin, time_period_start) keys before writing, so a replayed
+    tick (a restarted ``ingest_loop`` re-running the last uncommitted
+    micro-batch, or a cron double-fire) appends nothing the store
+    already has. The existing-keys scan is partition-pruned to the
+    batch's (period_date, coin) partitions — one day of 5-min bars per
+    coin, bounded — and broadcast into the anti-join. The row count is
+    taken via ``Observation`` on the write job itself, so the (possibly
+    non-deterministic) fetch lineage executes exactly once."""
     prepare(spark)
     rows = source.fetch_latest(period=period, limit=limit)
     if not rows:
         return 0
     df = source.to_df(spark, rows)
+    if dedupe:
+        df = _drop_already_ingested(spark, df, rows, bronze_path)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     append_bars(df, bronze_path)
-    return len(rows)
+    return int(obs.get["n"])
+
+
+def _drop_already_ingested(
+    spark: SparkSession,
+    df: DataFrame,
+    rows: list[dict],
+    bronze_path: str,
+) -> DataFrame:
+    """Anti-join a (tiny) fetched batch against the bronze keys it could
+    collide with. Reads only the batch's own (period_date, coin)
+    partitions; returns ``df`` unchanged when bronze doesn't exist yet."""
+    try:
+        existing = spark.read.parquet(bronze_path)
+    except Exception:  # first tick: no bronze store yet
+        return df
+    dates = sorted({str(r["time_period_start"])[:10] for r in rows})
+    coins = sorted({r["coin"] for r in rows})
+    keys = (
+        existing.filter(
+            F.col("period_date").isin(dates) & F.col("coin").isin(coins)
+        )
+        .select("coin", "time_period_start")
+        .distinct()
+    )
+    return df.join(F.broadcast(keys), ["coin", "time_period_start"], "left_anti")
 
 
 def append_bars(df: DataFrame, bronze_path: str) -> None:

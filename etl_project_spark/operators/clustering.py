@@ -335,7 +335,7 @@ def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of any pair in the corpus.
 
     Plan: km1's integer-exact Lloyd state, a linear nprobe-wide
-    assignment (2 rows/vector), then one numpy GEMM per cluster inside
+    assignment ({SD_NPROBE} rows/vector), then one numpy GEMM per cluster inside
     applyInPandas — dd6's kernel with the cluster id as the bucket
     column, the 100 TB shape (groups parallelize across executors, no
     global pair space; duplicate pairs from a shared second cell

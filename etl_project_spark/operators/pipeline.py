@@ -77,6 +77,14 @@ def pp1_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ^ vacuously true, but it puts the same isnotnull(bucket) predicate
     # in BOTH consumers' scan subtrees; the bucket join would otherwise
     # inject it into only one side and defeat ReuseExchange
+    return _two_phase_pack(d)
+
+
+def _two_phase_pack(d: DataFrame, budget: int = SHARD_TOKENS) -> DataFrame:
+    """pp1's two-phase prefix-sum packer over a (doc_id, n_tokens,
+    bucket) relation: per-bucket window cumsum, bucket totals rolled
+    into offsets over the tiny bucket-totals relation, broadcast back.
+    Shared by pp1 (whitespace counts) and bpe3 (real BPE counts)."""
     in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
     local = d.withColumn(
         "local_cum", F.sum("n_tokens").over(in_bucket) - F.col("n_tokens")
@@ -101,7 +109,7 @@ def pp1_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            ((F.col("offset") + F.col("local_cum")) / SHARD_TOKENS)
+            ((F.col("offset") + F.col("local_cum")) / budget)
             .cast("long")
             .alias("shard_id"),
         )
@@ -435,6 +443,29 @@ BPE_ROUNDS = 64  # r5: 3 (demo) -> 64. The corpus's 31-word vocabulary
 # words — at exhaustion n_tokens == n_words and the differential check
 # would stop discriminating a real tokenizer from a word counter.
 
+# Hard bound on the trainer's driver-side vocabulary pull (r6, VERDICT
+# r5 #3): the vocab collect is top-BPE_VOCAB_CAP by (count desc, word
+# asc) — a TakeOrderedAndProject, never a full-relation collect. On
+# 100 TB web text (100M+ distinct "words") this is the frequency floor
+# every production tokenizer trains under; the test fixture's 31-word
+# vocab is unaffected.
+BPE_VOCAB_CAP = 262_144
+
+
+def _bpe_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's (word, count) vocabulary relation, hard-bounded to
+    BPE_VOCAB_CAP rows via orderBy+limit so the driver pull is O(cap)
+    regardless of corpus size (plan + bound pinned in
+    tests/test_pipeline.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(BPE_VOCAB_CAP)
+    )
+
 
 def _bpe_cte_chain() -> str:
     """The BPE trainer unrolled as DuckDB CTEs: c{k} = spaced symbol
@@ -517,10 +548,16 @@ def bpe1_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge rounds then run in-memory over the collected vocab — the
     standard tokenizer-training recipe (Sennrich et al.; HF tokenizers
     train the same way): the loop is O(vocab x rounds) driver-side
-    work on kilobytes of state, not {BPE_ROUNDS} cluster jobs. At
-    100 TB the vocab is millions of rows; a frequency floor
-    (HAVING n >= min_count, standard for web corpora) bounds the
-    collect, and the round-3 per-round-Spark-aggregation form (git
+    work on kilobytes of state, not {BPE_ROUNDS} cluster jobs. The
+    driver pull is HARD-BOUNDED at {BPE_VOCAB_CAP} rows: the vocab
+    query is orderBy(count desc, word asc).limit(cap) — physically
+    TakeOrderedAndProject, so executors keep only the top-cap heap and
+    the driver never sees the full distinct-word relation (100M+ rows
+    on 100 TB web text). Words ranked below the cap never enter the
+    merge loop — the standard tokenizer-training frequency floor
+    (deterministic: ties break lexicographically); the shipped fixture
+    (31 words) sits far under the cap, so the oracles see identical
+    semantics. The round-3 per-round-Spark-aggregation form (git
     history, bpe_merge_rounds pre-r5) remains the fallback if the
     vocab must stay distributed."""
     return spark.createDataFrame(
@@ -558,13 +595,10 @@ def bpe_merge_rounds(
     key = (sf_dir, table_fingerprint(sf_dir, "documents"))
     if key in _BPE_MERGES:
         return _BPE_MERGES[key]
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(_tokens()).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    vocab = _bpe_vocab_df(spark, sf_dir).collect()
+    # The driver-side bound: _bpe_vocab_df is limit(BPE_VOCAB_CAP), so
+    # this can never pull more (pinned in tests/test_pipeline.py).
+    assert len(vocab) <= BPE_VOCAB_CAP
     corpus: dict[str, int] = {
         " " + " ".join(r["w"]) + " ": int(r["n"]) for r in vocab
     }
@@ -585,21 +619,34 @@ def bpe_merge_rounds(
             s.replace(f" {left} {right} ", f" {left}{right} "): n
             for s, n in corpus.items()
         }
+    # The bpe1/bpe2 oracles unroll a FIXED {BPE_ROUNDS}-round CTE/
+    # REPLACE chain; a corpus whose pair space exhausts earlier would
+    # silently diverge (an empty round's scalar subqueries go NULL
+    # inside REPLACE, NULLing the oracle's corpus string) rather than
+    # fail. The shipped fixture supports 89 merges, so fail loudly here
+    # against any future fixture regeneration that can't fill the chain.
+    if len(merges) != BPE_ROUNDS:
+        raise ValueError(
+            f"BPE pair space exhausted after {len(merges)} merges; the "
+            f"oracles require exactly {BPE_ROUNDS} — regenerate the "
+            "fixture or lower BPE_ROUNDS"
+        )
     _BPE_MERGES[key] = merges
     return merges
 
 
-def _bpe2_oracle() -> str:
-    """bpe2: the trained merges applied back to every document. The m
-    CTE flattens the per-round winners (t1..t{BPE_ROUNDS}) into one
-    row of scalar-subquery columns; the {BPE_ROUNDS}-deep REPLACE
-    chain is applied in training order (round k's pattern was counted
-    on the post-round-(k-1) corpus, so in-vocabulary words reproduce
-    the trainer's final segmentation exactly) — but over the VOCAB
-    (wt: one segmentation per distinct word, the same dedup the
-    engine's kernel cache does), then per-document token sums come
-    from unnest + join + group-by (a DuckDB lambda cannot contain the
-    wt subquery lookup)."""
+def _bpe_dsum_ctes() -> str:
+    """The trained merges applied back over the VOCAB (wt: one
+    segmentation per distinct word — the same dedup the engine's kernel
+    cache and the bpe3 cache table do), then per-document token sums
+    via unnest + join + group-by (a DuckDB lambda cannot contain the wt
+    subquery lookup). The m CTE flattens the per-round winners
+    (t1..t{BPE_ROUNDS}) into one row of scalar-subquery columns; the
+    {BPE_ROUNDS}-deep REPLACE chain is applied in training order
+    (round k's pattern was counted on the post-round-(k-1) corpus, so
+    in-vocabulary words reproduce the trainer's final segmentation
+    exactly). Shared by the bpe2 and bpe3 oracles; ends at ``dsum``
+    (doc_id, n_tokens)."""
     mcols = ", ".join(
         f"(SELECT l FROM t{k}) AS l{k}, (SELECT r FROM t{k}) AS r{k}"
         for k in range(1, BPE_ROUNDS + 1)
@@ -610,9 +657,7 @@ def _bpe2_oracle() -> str:
             f"REPLACE({enc}, ' ' || l{k} || ' ' || r{k} || ' ', "
             f"' ' || l{k} || r{k} || ' ')"
         )
-    return (
-        _bpe_cte_chain()
-        + f""", m AS MATERIALIZED (
+    return f""", m AS MATERIALIZED (
         SELECT {mcols}
     ), wt AS MATERIALIZED (
         SELECT w, CAST(LEN(str_split(trim({enc}), ' ')) AS BIGINT) AS tc
@@ -623,7 +668,16 @@ def _bpe2_oracle() -> str:
     ), dsum AS MATERIALIZED (
         SELECT doc_id, CAST(SUM(tc) AS BIGINT) AS n_tokens
         FROM dtok JOIN wt USING (w) GROUP BY doc_id
-    )
+    )"""
+
+
+def _bpe2_oracle() -> str:
+    """bpe2: the trained merges applied back to every document (see
+    _bpe_dsum_ctes for the vocab-level segmentation CTEs)."""
+    return (
+        _bpe_cte_chain()
+        + _bpe_dsum_ctes()
+        + """
     SELECT d.doc_id,
            LEN(str_split(lower(d.text), ' ')) AS n_words,
            -- CASTs: list_sum(int) -> HUGEINT -> pandas float64
@@ -701,6 +755,115 @@ def bpe2_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, schema="doc_id long, n_words int, n_syms long, n_tokens long"
     )
+
+
+# Cache-table builds already done this process, keyed on (sf_dir,
+# parquet fingerprint, table) — same memo discipline as the Lloyd state
+# and _BPE_MERGES (r4 advice: fingerprints, not paths).
+_BPE_CACHE_READY: set[tuple] = set()
+
+
+def materialize_bpe_cache(
+    spark: SparkSession, sf_dir: str, table: str = "bpe_token_cache"
+) -> str:
+    """SURVEY §14.5: the BPE segmentation cache as a managed table —
+    (w, tc): every distinct corpus word with its token count under the
+    trained merges. bpe2's Arrow kernel memoizes segmentation per
+    batch; this lifts the same memo to a corpus-level artifact any
+    downstream job JOINs (bpe3's packer, a corpus token budget, a
+    mixture cost model) without re-running the replace chain per
+    consumer. Vocabulary-sized — millions of rows at 100 TB, a
+    broadcast-or-small-shuffle join either way, and built with ONE
+    distinct-word aggregation + the broadcast-merge-table kernel (the
+    segmentation never touches the corpus-sized relation). Returns the
+    table name; rebuilt only when the parquet fingerprint changes."""
+    from etl_project_spark.catalog import table_fingerprint
+
+    key = (sf_dir, table_fingerprint(sf_dir, "documents"), table)
+    if key in _BPE_CACHE_READY and spark.catalog.tableExists(table):
+        return table
+    from etl_project_spark.sources.tables import _drop_table_and_location
+
+    merges = bpe_merge_rounds(spark, sf_dir)
+    bmerges = spark.sparkContext.broadcast(
+        [(left, right) for _rnd, left, right, _cnt in merges]
+    )
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("w"))
+        .distinct()
+    )
+
+    def kernel(batches):
+        mg = bmerges.value
+        for pdf in batches:
+            tcs = []
+            for w in pdf["w"]:
+                s = " " + " ".join(w) + " "
+                for left, right in mg:
+                    s = s.replace(f" {left} {right} ", f" {left}{right} ")
+                tcs.append(len(s.strip().split(" ")))
+            yield pd.DataFrame(
+                {"w": pdf["w"], "tc": np.array(tcs, dtype=np.int64)}
+            )
+
+    _drop_table_and_location(spark, table)
+    (
+        words.mapInPandas(kernel, schema="w string, tc long")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    _BPE_CACHE_READY.add(key)
+    return table
+
+
+def _bpe3_oracle() -> str:
+    return (
+        _bpe_cte_chain()
+        + _bpe_dsum_ctes()
+        + f""", c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS cum_before
+        FROM dsum
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_before // {SHARD_TOKENS} AS BIGINT) AS shard_id
+    FROM c
+    """
+    )
+
+
+@register("bpe3_cached_shard_packing", oracle=_bpe3_oracle())
+def bpe3_cached_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pp1's shard packer driven by REAL tokenizer counts (SURVEY
+    §14.5 closed): per-doc n_tokens comes from joining the exploded
+    corpus against the materialized bpe cache table (word → tc under
+    the trained merges) instead of the whitespace approximation, then
+    the identical two-phase prefix-sum pack. This is the actual
+    pretraining layout job: shards equalize TRAINING cost (BPE tokens),
+    not word counts — a doc full of rare long words costs ~3× its word
+    count and pp1 under-budgets it.
+
+    Shape: one cache build (vocabulary-sized, amortized across every
+    consumer of the table), one explode + join on w (AQE broadcasts the
+    cache while it's small; at web scale it's a plain shuffle join on a
+    well-distributed key), one groupBy(doc_id) sum, then _two_phase_pack
+    — no corpus-sized window, no driver-side segmentation."""
+    cache = materialize_bpe_cache(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .join(spark.table(cache), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("tc").alias("n_tokens"))
+    )
+    d = counts.withColumn(
+        "bucket", (F.col("doc_id") / PACK_BUCKET).cast("long")
+    ).filter(F.col("bucket").isNotNull())
+    return _two_phase_pack(d)
 
 
 @register(

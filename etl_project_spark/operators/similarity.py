@@ -435,15 +435,22 @@ def append_to_ivf_index(
     cells = new_vectors.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, cell int, e array<double>"
     )
-    n = cells.count()
+    # Count via Observation on the write job itself: one execution of
+    # the assignment lineage, and the returned count is the rows
+    # actually appended even for a non-deterministic input (streaming
+    # micro-batch, sample).
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
-        cells.repartition("cell")
+        cells.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .format("parquet")
         .saveAsTable(table)
     )
-    return n
+    return int(obs.get["n"])
 
 
 def query_ivf_index(

@@ -71,51 +71,50 @@ def register(
 # The correctness driver evaluates queries in dict order and caps how
 # many it checks per round (~50), so export order — not Python import
 # order, which pytest collection or any direct operator import can
-# scramble — decides who gets driver rows. Attestation history:
-# r01 core/tpch/joins, r02 dedup/similarity/text/windows/timeseries/
-# setops/skew/scalarfns/mm1, r03 pipeline/ranking/cdc/analytics/
-# multimodal/clustering + the new core entries, r04 the remaining 50
-# (every registry row now has >= 1 attestation). Round 5 front-loads
-# (a) the rows whose RESULTS or plans changed this round — their r04
-# attestations no longer describe the shipped code, so re-earning them
-# outranks pure rotation (the one deliberate exception to "no row
-# already attested in r04"); then (b) tx4/tx6/tx9 (displaced in r4)
-# and (c) every r01-attested row — the oldest evidence in the tree,
-# and the tpch/joins family has had plan-affecting conf changes since
-# r01 — plus the oldest r02 rows as slack. Slack past the list falls
-# to core r03 entries via _MODULE_ORDER.
+# scramble — decides who gets driver rows. Attestation history (union
+# of CORRECTNESS_r01–r05): every registry row has >= 1 green row;
+# last-attested rounds after r05 are r02 (17 rows), r03 (40), r04 (43),
+# r05 (50). Round 6 front-loads (a) x3/x4 — their plans changed in r5
+# (margin-aware multiprobe, 6/8 probes) but they last sat in a driver
+# window in r04, so re-earning them outranks pure rotation; then
+# (b) the 17 rows last attested r02 and (c) 30 of the 40 rows last
+# attested r03 — the oldest evidence in the tree — after the new-in-r6
+# bpe3 takes the first slot. Exactly 50 names; the 10 r03 rows
+# deferred to r07's rotation are the trivial projection/filter/scalar
+# ones (p2 p3 p4 f1 f2 f3 a1 a9 fn3 x7), kept out so the substantive
+# operators re-earn rows first. Slack (if the cap rises) falls to
+# those via _MODULE_ORDER.
 _FRONT_QUERIES = [
-    # (a) changed this round: bpe1/bpe2 retrained at 64 merges (new
-    # rows/values + Arrow-kernel apply), sd1 nprobe 3 (new rows), ts6
-    # closed right boundary (new semantics), dq3 width clamp, dd8/lm2/
-    # pp7 single-scan materialization (plan change)
-    "bpe1_merge_table", "bpe2_tokenize_apply", "sd1_semantic_dedup",
-    "ts6_interpolated_resample", "dq3_psi_drift",
-    "dd8_jaccard_prefix_join", "lm2_perplexity_score", "pp7_dsir_weights",
-    # (b) displaced in r4, last attested r02
-    "tx4_quality_filter", "tx6_langid", "tx9_pii_redact",
-    # (c) every row last attested r01 — core aggregates/sorts, the full
-    # TPC-H suite, the join family
-    "a4_distinct_agg", "a5_approx_distinct", "a6_stat_moments",
-    "smp1_stratified_sample", "sq1_scalar_subquery",
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_parts", "q12_late_shipments", "q13_custdist",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive_revenue",
-    "q20_promo_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
-    "j1_broadcast_dim_join", "j2_fact_fact_join", "j3_semi_join",
-    "j4_anti_join", "j5_outer_join", "j6_asof_join", "j7_nation_flows",
-    "j8_part_revenue", "j9_range_join",
-    # slack: the oldest r02-attested dedup rows
-    "dd1_exact_dedup", "dd2_fingerprint_dedup", "dd3_jaccard_pairs",
-    "dd4_minhash_lsh_pairs",
+    # (0) NEW in r6 — needs its first attestation
+    "bpe3_cached_shard_packing",
+    # (a) plan changed in r5, last driver-seen r04
+    "x3_lsh_bucketed_topk", "x4_ivf_topk",
+    # (b) last attested r02
+    "dd5b_simhash_multiprobe", "dd7_dup_clusters", "x1_topk_cosine_exact",
+    "x6_rademacher_lsh_topk", "tx1_doc_stats", "tx2_corpus_profile",
+    "tx3_token_topk", "tx5_fingerprint", "tx7_bpe_token_count",
+    "tx8_gopher_quality", "tx10_winnowing_fingerprint",
+    "ts1_tumbling_5min", "ts4_ohlcv_resample",
+    "s1_union_all", "s2_intersect", "s3_except", "mm1_media_metadata",
+    # (c) last attested r03 (minus the 9 trivial rows deferred to r07)
+    "p5_json_extract", "a7_approx_percentile",
+    "a8_hll_daily_merge", "a10_bivariate_stats",
+    "an1_event_funnel", "an2_cohort_retention", "an3_session_paths",
+    "an4_twap", "an5_nation_pagerank", "cdc1_latest_snapshot",
+    "cdc2_scd2_history", "cdc3_exactly_once_ingest",
+    "dd5_simhash_buckets", "dd5c_simhash_md5_reference",
+    "dq2_iqr_outliers", "j10_fuzzy_blocked_join",
+    "km1_kmeans_lloyd", "ly1_zorder_key", "mm2_media_features",
+    "mm3_frame_sample", "mm4_media_resize", "mm5_perceptual_hash_dedup",
+    "pp2_contamination_check", "pp5_repeated_ngrams", "rk1_bm25_score",
+    "rk2_tfidf_postings", "rk3_doc_chunking",
+    "smp2_hash_stratified_sample", "smp3_train_val_test",
+    "tx11_rabin_winnowing",
 ]
 
-# Module order for everything NOT in _FRONT_QUERIES: proven families in
-# the order they were attested (r01 first — their rows are the cheapest
-# to re-earn if the driver window runs past the front list).
+# Module order for everything NOT in _FRONT_QUERIES. With 59 front
+# names and a ~50 cap this is never reached by the driver; it only
+# decides ordering inside __spark_entry__ exports.
 _MODULE_ORDER = [
     "etl_project_spark.operators.core",
     "etl_project_spark.operators.tpch",

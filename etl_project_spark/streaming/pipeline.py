@@ -310,11 +310,15 @@ def ingest_loop(
     is the clock; its rows are ignored — it exists so the scheduling,
     checkpointing, and restart semantics are Structured Streaming's
     (a restarted query resumes the cadence from the checkpoint; no
-    external cron, no Airflow). ``run_available_now`` +
-    ``file_event_stream`` remain the deterministic catchup=False twin
-    the tests replay; this is the steady-state driver a deployment
-    leaves running. Returns the live StreamingQuery — caller owns
-    ``stop()``."""
+    external cron, no Airflow). The foreachBatch side effect is made
+    idempotent at bar granularity (``ingest_tick(dedupe=True)``
+    anti-joins the fetch against bronze's existing (coin,
+    time_period_start) keys), so the at-least-once replay of the last
+    uncommitted micro-batch after a crash appends no duplicate bars.
+    ``run_available_now`` + ``file_event_stream`` remain the
+    deterministic catchup=False twin the tests replay; this is the
+    steady-state driver a deployment leaves running. Returns the live
+    StreamingQuery — caller owns ``stop()``."""
     from etl_project_spark.ingest.ohlcv import ingest_tick
 
     prepare(spark)
@@ -323,7 +327,9 @@ def ingest_loop(
     )
 
     def tick(_batch_df: DataFrame, _batch_id: int) -> None:
-        ingest_tick(spark, source, bronze_path, period=period, limit=limit)
+        ingest_tick(
+            spark, source, bronze_path, period=period, limit=limit, dedupe=True
+        )
 
     return (
         ticks.writeStream.foreachBatch(tick)

@@ -162,6 +162,82 @@ def test_clean_media_corpus_cascade_and_packing(spark, sf_dir):
         assert r["b"] <= SHARD_BYTES + r["mx"]
 
 
+def test_media_corpus_stream_replays_to_batch(spark, sf_dir, tmp_path):
+    """SURVEY §14.4: an AvailableNow replay of the media table in 4
+    media_id-ordered micro-batches through media_corpus_stream lands
+    exactly the batch build's corpus — same survivors, same shard
+    assignment (the byte cursor continues across batches) — and a
+    second replay over the same source appends nothing (the sink
+    anti-join makes the job idempotent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_project_spark.ingest.media_corpus import (
+        clean_media_corpus,
+        media_corpus_stream,
+    )
+    from etl_project_spark.operators.multimodal import media_table
+    from etl_project_spark.sources.tables import _drop_table_and_location
+    from etl_project_spark.streaming import pipeline as sp
+
+    table = "stream_media_corpus_t"
+    _drop_table_and_location(spark, table)
+    pdf = (
+        media_table(spark, sf_dir)
+        .select("media_id", "payload")
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    src = tmp_path / "media_src"
+    src.mkdir()
+    n = len(pdf)
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    # lexicographic names == arrival order for same-mtime ties; ranges
+    # ascend in media_id so stream order matches the batch build's
+    for i in range(4):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(src / f"chunk_{i:02d}.parquet"),
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = sp.file_event_stream(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+    media_corpus_stream(
+        spark, stream, table, str(tmp_path / "ck_media"), available_now=True
+    )
+    want = {
+        r["media_id"]: (
+            r["n_bytes"],
+            r["ahash_bits"],
+            r["shard_id"],
+            r["shard_group"],
+        )
+        for r in clean_media_corpus(spark, sf_dir).collect()
+    }
+    got = {
+        r["media_id"]: (
+            r["n_bytes"],
+            r["ahash_bits"],
+            r["shard_id"],
+            r["shard_group"],
+        )
+        for r in spark.table(table).collect()
+    }
+    assert got == want
+    # replay with a fresh checkpoint: every row anti-joins away
+    stream2 = sp.file_event_stream(
+        spark, str(src), schema, max_files_per_trigger=1
+    )
+    media_corpus_stream(
+        spark, stream2, table, str(tmp_path / "ck_media2"), available_now=True
+    )
+    assert spark.table(table).count() == len(want)
+    _drop_table_and_location(spark, table)
+
+
 def test_materialize_media_corpus_idempotent(spark, sf_dir):
     """Re-running the media build replaces the table (no duplication),
     the same contract as the text build and the daily export."""

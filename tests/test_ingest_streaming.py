@@ -51,6 +51,24 @@ def test_ingest_tick_roundtrip(spark, tmp_path):
     assert dtypes["period_date"] == "date"
 
 
+def test_ingest_tick_dedupe_is_idempotent(spark, tmp_path):
+    """ADVICE r5: a replayed tick (restart re-running the last
+    uncommitted micro-batch) must not double-append bars. With
+    dedupe=True the second identical tick anti-joins against bronze's
+    (coin, time_period_start) keys and writes zero rows."""
+    bronze = str(tmp_path / "bronze")
+    n1 = ohlcv.ingest_tick(spark, _source(), bronze, dedupe=True)
+    assert n1 == 3  # first tick: bronze absent, nothing to collide with
+    n2 = ohlcv.ingest_tick(spark, _source(), bronze, dedupe=True)
+    assert n2 == 0  # replay: every bar already ingested
+    assert spark.read.parquet(bronze).count() == 3
+    # without dedupe the same replay duplicates (the documented
+    # at-least-once raw-append contract)
+    n3 = ohlcv.ingest_tick(spark, _source(), bronze, dedupe=False)
+    assert n3 == 3
+    assert spark.read.parquet(bronze).count() == 6
+
+
 def test_export_day_idempotent(spark, tmp_path):
     bronze, gold = str(tmp_path / "b"), str(tmp_path / "g")
     src = OhlcvRestSource("k")
@@ -734,8 +752,16 @@ def test_ingest_loop_restart_resumes_from_checkpoint(spark, tmp_path):
     import os
     import time as _time
 
+    # Each fetch serves the NEXT 5-min bar, like a live feed advancing.
+    # (With a frozen bar the r6 idempotent dedupe would — correctly —
+    # append nothing after the first tick and the test could not tell a
+    # resumed query from a dead one.)
+    tick_no = {"n": 0}
+
     def fetcher(url, headers):
-        return ohlcv.fake_bars(coins=("bitcoin",), n_bars=1)
+        bars = ohlcv.fake_bars(coins=("bitcoin",), n_bars=tick_no["n"] + 1)
+        tick_no["n"] += 1
+        return bars[-1:]
 
     src = OhlcvRestSource(
         "k", coins={"bitcoin": "BITSTAMP_SPOT_BTC_USD"}, fetcher=fetcher

@@ -129,6 +129,41 @@ def test_bpe2_matches_python_replay(spark, sf_dir):
         assert got[d["doc_id"]] == n, d["doc_id"]
 
 
+def test_bpe_vocab_collect_is_bounded(spark, sf_dir, monkeypatch):
+    """VERDICT r5 #3: the trainer's driver-side vocabulary pull is
+    hard-bounded. The vocab relation plans as TakeOrderedAndProject
+    (executors keep a top-cap heap; no full-relation collect), and a
+    shrunk cap really caps the collected rows."""
+    from etl_project_spark.operators import pipeline as P
+
+    plan = (
+        P._bpe_vocab_df(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    monkeypatch.setattr(P, "BPE_VOCAB_CAP", 5)
+    rows = P._bpe_vocab_df(spark, sf_dir).collect()
+    assert len(rows) == 5  # fixture vocab is 31 words, cap wins
+
+
+def test_bpe_trainer_fails_loudly_on_pair_exhaustion(spark, sf_dir, monkeypatch):
+    """ADVICE r5: the bpe1/bpe2 oracles unroll a FIXED 64-round CTE
+    chain, so a fixture whose pair space exhausts early must raise in
+    the trainer rather than silently diverge engine vs oracle (an empty
+    round NULLs the oracle's REPLACE chain). The 31-word corpus
+    supports 89 merges; asking for more must throw."""
+    import pytest
+
+    from etl_project_spark.operators import pipeline as P
+
+    monkeypatch.setattr(P, "BPE_ROUNDS", 200)
+    monkeypatch.setattr(P, "_BPE_MERGES", {})  # bypass the memo
+    with pytest.raises(ValueError, match="pair space exhausted"):
+        P.bpe_merge_rounds(spark, sf_dir)
+
+
 def test_epoch_shuffle_is_permutation(spark, sf_dir):
     """pp6: positions are exactly 0..n-1 (a bijection), and the order
     matches the md5 sort key — i.e., the two-phase bucketed row_number
