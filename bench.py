@@ -84,6 +84,7 @@ EXTENDED_QUERIES = [
     "ts6_interpolated_resample",
     "an6_markov_transitions",
     "smp4_weighted_sample",
+    "bpe3_cached_shard_packing",  # r6: packer on real BPE counts
 ]
 
 
