@@ -1025,3 +1025,75 @@ def test_random_threeway_join_differential(threeway_engines, aggs, joins,
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 19 (r6): WINDOWS OVER GROUPED SUBQUERIES — the last
+# uncomposed grammar pair (SURVEY §14.6): window functions evaluated
+# over the OUTPUT of a grouped aggregate subquery. The engines plan the
+# two stages through different pipelines (Spark: Aggregate under
+# Window with an extra Exchange; DuckDB: hash group-by into streaming
+# window), and the aggregate's result types (HUGEINT sums, empty-group
+# HAVING elimination) feed straight into frames/offsets/shares.
+# Determinism: the inner GROUP BY (g1, g2) makes (g1, g2) unique per
+# row, and every window orders by g2 (within a g1 partition) or
+# (g1, g2) globally — a total order on every row.
+GW_INNER_GROUPS = [
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderstatus", "o_orderkey % 7"),
+    ("o_orderpriority", "o_custkey % 10"),
+]
+
+GW_WINDOWS = [
+    "RANK() OVER (PARTITION BY g1 ORDER BY n DESC, g2) AS w_rk",
+    "ROW_NUMBER() OVER (PARTITION BY g1 ORDER BY s, g2) AS w_rn",
+    "CAST(SUM(n) OVER (PARTITION BY g1 ORDER BY g2 ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w_cum",
+    "LAG(s, 1) OVER (PARTITION BY g1 ORDER BY g2) AS w_lag",
+    "LEAD(n, 1) OVER (ORDER BY g1, g2) AS w_lead",
+    "CAST(SUM(s) OVER (PARTITION BY g1) AS BIGINT) AS w_tot",
+    "ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS w_share",
+    "NTILE(4) OVER (ORDER BY g1, g2) AS w_nt",
+]
+
+GW_INNER_PREDS = [None, "o_totalprice > 50000.0", "o_orderstatus <> 'P'"]
+
+GW_HAVINGS = [None, "COUNT(*) > 5", "MIN(o_totalprice) < 100000.0"]
+
+GW_OUTER_PREDS = [None, "n > 3"]
+
+
+@given(
+    exprs=st.lists(
+        st.sampled_from(GW_WINDOWS), min_size=1, max_size=3, unique=True
+    ),
+    group=st.sampled_from(GW_INNER_GROUPS),
+    ipred=st.sampled_from(GW_INNER_PREDS),
+    having=st.sampled_from(GW_HAVINGS),
+    opred=st.sampled_from(GW_OUTER_PREDS),
+)
+@settings(
+    max_examples=110,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_over_group_differential(
+    engines, exprs, group, ipred, having, opred
+):
+    """Windows over a grouped subquery: ranking/frames/offsets/shares
+    computed on aggregate outputs, with inner WHERE + HAVING and an
+    outer predicate below the window — compared exactly."""
+    spark, con = engines
+    g1, g2 = group
+    iw = f" WHERE {ipred}" if ipred else ""
+    hv = f" HAVING {having}" if having else ""
+    ow = f" WHERE {opred}" if opred else ""
+    sql = (
+        f"SELECT g1, g2, n, s, {', '.join(exprs)} FROM ("
+        f"SELECT {g1} AS g1, {g2} AS g2, COUNT(*) AS n, "
+        f"CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        f"FROM orders{iw} GROUP BY {g1}, {g2}{hv}) t{ow}"
+    )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
