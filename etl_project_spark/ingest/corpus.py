@@ -40,6 +40,7 @@ def clean_corpus(
     near_dup_threshold: float | None = None,
     dsir_target: str | None = None,
     epoch: int | None = None,
+    token_counter: str = "whitespace",
 ) -> DataFrame:
     """The survivors of the cleaning cascade, packed into shards:
     (doc_id, source, shard_id, shard_group, n_tokens, text) where text
@@ -59,7 +60,16 @@ def clean_corpus(
     resampling. With ``epoch`` set, rows carry ``position``: a dense
     0..n-1 deterministic training order over the survivors (pp6's
     two-phase bucketed row_number, the md5 key salted with the epoch
-    number so each epoch reshuffles reproducibly)."""
+    number so each epoch reshuffles reproducibly).
+
+    ``token_counter="bpe"`` budgets shards by REAL tokenizer counts
+    (SURVEY §14.5 end-to-end): per-doc n_tokens comes from joining the
+    exploded corpus against the materialized bpe cache table
+    (operators.pipeline.materialize_bpe_cache — word → token count
+    under the trained merges) instead of the whitespace approximation,
+    so shards equalize TRAINING cost; bpe3 is the differentially-
+    checked packer this path reuses the semantics of. Default stays
+    "whitespace" — the pp1-exact contract existing tests pin."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
     first = Window.partitionBy("fp").orderBy("doc_id")
@@ -103,13 +113,36 @@ def clean_corpus(
     redacted = F.regexp_replace(
         F.regexp_replace(low, PII_EMAIL, "<EMAIL>"), PII_LONGNUM, "<NUM>"
     )
-    d = survivors.select(
-        "doc_id",
-        "source",
-        redacted.alias("text"),
-        F.size(_tokens()).alias("n_tokens"),
-        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
-    ).filter(F.col("bucket").isNotNull())  # ReuseExchange, see pp1
+    if token_counter == "bpe":
+        from etl_project_spark.operators.pipeline import (
+            materialize_bpe_cache,
+        )
+
+        cache = materialize_bpe_cache(spark, sf_dir)
+        bpe_counts = (
+            docs.select("doc_id", F.explode(_tokens()).alias("w"))
+            .join(spark.table(cache), "w")
+            .groupBy("doc_id")
+            .agg(F.sum("tc").alias("n_tokens"))
+        )
+        d = (
+            survivors.select(
+                "doc_id",
+                "source",
+                redacted.alias("text"),
+                (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+            )
+            .join(bpe_counts, "doc_id")
+            .filter(F.col("bucket").isNotNull())
+        )
+    else:
+        d = survivors.select(
+            "doc_id",
+            "source",
+            redacted.alias("text"),
+            F.size(_tokens()).alias("n_tokens"),
+            (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+        ).filter(F.col("bucket").isNotNull())  # ReuseExchange, see pp1
     in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
     local = d.withColumn(
         "local_cum", F.sum("n_tokens").over(in_bucket) - F.col("n_tokens")

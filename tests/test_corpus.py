@@ -41,6 +41,41 @@ def test_clean_corpus_matches_stage_operators(spark, sf_dir):
     assert any("shard_group=" in f for f in files), files[:3]
 
 
+def test_clean_corpus_bpe_token_budgeting(spark, sf_dir):
+    """token_counter="bpe": every survivor's n_tokens equals the
+    differentially-checked bpe3/bpe2 count for that doc, and shard ids
+    replay exactly as floor(cumulative-BPE-tokens-before / budget) over
+    survivors in doc_id order — real tokenizer cost budgeting end to
+    end (SURVEY §14.5)."""
+    from etl_project_spark.ingest.corpus import clean_corpus
+
+    budget = 2048
+    rows = (
+        clean_corpus(spark, sf_dir, shard_tokens=budget, token_counter="bpe")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows
+    bpe = {
+        r["doc_id"]: r["n_tokens"]
+        for r in all_queries()["bpe3_cached_shard_packing"](
+            spark, sf_dir
+        ).collect()
+    }
+    cum = 0
+    for r in rows:
+        assert r["n_tokens"] == bpe[r["doc_id"]], r["doc_id"]
+        assert r["shard_id"] == cum // budget, r
+        cum += r["n_tokens"]
+    # BPE counts genuinely differ from whitespace counts (the point)
+    ws = {
+        r["doc_id"]: r["n_tokens"]
+        for r in clean_corpus(spark, sf_dir, shard_tokens=budget).collect()
+    }
+    assert any(ws[d] != n for d, n in
+               ((r["doc_id"], r["n_tokens"]) for r in rows))
+
+
 def test_clean_corpus_near_dup_collapse(spark, sf_dir):
     """With near_dup_threshold set, the job additionally drops exactly
     the non-minimum members of each verified LSH cluster that would

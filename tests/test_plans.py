@@ -190,6 +190,18 @@ def test_pp7_corpus_scanned_once(spark, sf_dir):
     assert stats.broadcasts >= 1, stats.plan
 
 
+def test_bpe3_plan_shape(spark, sf_dir):
+    """bpe3: no quadratic stage, bounded shuffle count (explode-join on
+    the cache, one groupBy(doc_id), the two-phase pack), and at
+    execution the packer's bucket-totals branch reuses the window's
+    Exchange (pp1's pin — one pass over the counted relation)."""
+    df = all_queries()["bpe3_cached_shard_packing"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
 def test_media_corpus_build_is_scalable(spark, sf_dir):
     """The end-to-end media build: no quadratic stage, no row-Python,
     Arrow kernels only, and the only unpartitioned window is the
