@@ -119,11 +119,15 @@ def clean_corpus(
         )
 
         cache = materialize_bpe_cache(spark, sf_dir)
+        # (doc, word) pre-aggregation before the cache join: map-side
+        # combine shrinks the shuffle to distinct pairs — bpe3's shape
         bpe_counts = (
             docs.select("doc_id", F.explode(_tokens()).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
             .join(spark.table(cache), "w")
             .groupBy("doc_id")
-            .agg(F.sum("tc").alias("n_tokens"))
+            .agg(F.sum(F.col("c") * F.col("tc")).alias("n_tokens"))
         )
         d = (
             survivors.select(

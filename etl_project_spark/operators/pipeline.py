@@ -848,17 +848,24 @@ def bpe3_cached_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and pp1 under-budgets it.
 
     Shape: one cache build (vocabulary-sized, amortized across every
-    consumer of the table), one explode + join on w (AQE broadcasts the
-    cache while it's small; at web scale it's a plain shuffle join on a
-    well-distributed key), one groupBy(doc_id) sum, then _two_phase_pack
+    consumer of the table), then the exploded corpus is FIRST reduced
+    to (doc_id, word) → occurrence count — the groupBy's map-side
+    partial aggregation collapses repeated words per doc before
+    anything shuffles, so the exchange carries distinct (doc, word)
+    pairs, not raw token occurrences (2-10× smaller on web text, ~20×
+    on this fixture) — joined against the cache on w (AQE broadcasts
+    it while small; a plain shuffle join on a well-distributed key at
+    web scale), one groupBy(doc_id) weighted sum, then _two_phase_pack
     — no corpus-sized window, no driver-side segmentation."""
     cache = materialize_bpe_cache(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select("doc_id", F.explode(_tokens()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
         .join(spark.table(cache), "w")
         .groupBy("doc_id")
-        .agg(F.sum("tc").alias("n_tokens"))
+        .agg(F.sum(F.col("c") * F.col("tc")).alias("n_tokens"))
     )
     d = counts.withColumn(
         "bucket", (F.col("doc_id") / PACK_BUCKET).cast("long")

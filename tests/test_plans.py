@@ -191,12 +191,13 @@ def test_pp7_corpus_scanned_once(spark, sf_dir):
 
 
 def test_bpe3_plan_shape(spark, sf_dir):
-    """bpe3: no quadratic stage, bounded shuffle count (explode-join on
-    the cache, one groupBy(doc_id), the two-phase pack), and at
-    execution the packer's bucket-totals branch reuses the window's
-    Exchange (pp1's pin — one pass over the counted relation)."""
+    """bpe3: no quadratic stage, bounded shuffle count ((doc, word)
+    pre-aggregation with map-side combine, cache join, groupBy(doc_id),
+    the two-phase pack), and at execution the packer's bucket-totals
+    branch reuses the window's Exchange (pp1's pin — one pass over the
+    counted relation)."""
     df = all_queries()["bpe3_cached_shard_packing"](spark, sf_dir)
-    stats = assert_scalable(df, max_shuffles=5)
+    stats = assert_scalable(df, max_shuffles=7)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
