@@ -453,6 +453,44 @@ def append_to_ivf_index(
     return int(obs.get["n"])
 
 
+def cell_occupancy(spark: SparkSession, table: str) -> dict[int, int]:
+    """Per-cell row counts of a persisted IVF index — the occupancy
+    snapshot the drift monitor compares against. One partition-local
+    count per cell directory; the collected relation is bounded by
+    n_cells, never the corpus."""
+    return {
+        int(r["cell"]): int(r["n"])
+        for r in spark.table(table)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def ivf_cell_psi(
+    ref: dict[int, int], cur: dict[int, int], eps: float = 1e-4
+) -> float:
+    """Population Stability Index between two cell-occupancy
+    distributions — the rebuild trigger append_to_ivf_index's contract
+    names (dq3's metric, specialized to the index's own Voronoi
+    histogram). ``ref`` is the build-time occupancy snapshot, ``cur``
+    the occupancy of an incoming batch (or the index delta after an
+    append); both are n_cells-bounded driver-side dicts, so this is
+    pure arithmetic — no job. Empty cells are smoothed with ``eps``.
+    The standard reading: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    rebuild — centroids no longer describe the incoming data and probe
+    recall decays."""
+    cells = set(ref) | set(cur)
+    rt = sum(ref.values()) or 1
+    ct = sum(cur.values()) or 1
+    psi = 0.0
+    for c in cells:
+        p = max(ref.get(c, 0) / rt, eps)
+        q = max(cur.get(c, 0) / ct, eps)
+        psi += (q - p) * np.log(q / p)
+    return float(psi)
+
+
 def query_ivf_index(
     spark: SparkSession,
     centroids: np.ndarray,

@@ -334,3 +334,44 @@ def test_ivf_index_incremental_append(spark, sf_dir):
     ).collect()
     for r in got:
         assert r["neighbor_id"] == r["query_id"] + OFFSET, r
+
+
+def test_ivf_drift_monitor_triggers_rebuild(spark, sf_dir):
+    """The IVF serving lifecycle closed end to end: build → snapshot
+    cell occupancy → append an in-distribution batch (PSI < 0.1, keep
+    serving) → append a concentrated drifted batch (PSI > 0.25 — the
+    rebuild threshold append_to_ivf_index's contract names) → rebuild
+    restores an overwritten index. PSI is computed on n_cells-bounded
+    occupancy dicts — no corpus-sized work in the monitor."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        cell_occupancy,
+        ivf_cell_psi,
+    )
+
+    C = build_ivf_index(spark, sf_dir, table="ann_drift_idx")
+    ref = cell_occupancy(spark, "ann_drift_idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ind = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+    ).select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    append_to_ivf_index(spark, ind, C, table="ann_drift_idx")
+    after1 = cell_occupancy(spark, "ann_drift_idx")
+    batch1 = {c: after1.get(c, 0) - ref.get(c, 0) for c in after1}
+    psi_in = ivf_cell_psi(ref, batch1)
+    assert psi_in < 0.1, psi_in  # in-distribution: stable, keep serving
+    one = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    drifted = spark.createDataFrame(
+        [(3_000_000 + i, list(one)) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_ivf_index(spark, drifted, C, table="ann_drift_idx")
+    after2 = cell_occupancy(spark, "ann_drift_idx")
+    batch2 = {c: after2.get(c, 0) - after1.get(c, 0) for c in after2}
+    psi_drift = ivf_cell_psi(ref, batch2)
+    assert psi_drift > 0.25, psi_drift  # concentrated batch: rebuild
+    # the rebuild path: idempotent overwrite, fresh snapshot
+    build_ivf_index(spark, sf_dir, table="ann_drift_idx")
+    assert cell_occupancy(spark, "ann_drift_idx") == ref
