@@ -116,6 +116,125 @@ def rk1_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_REL_TF = 2  # pseudo-qrel: a doc is relevant to a term iff tf >= 2
+EVAL_K = 10  # recall cutoff
+
+
+@register(
+    "rk5_retrieval_eval",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, toks, LEN(toks) AS dl
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks
+              FROM documents)
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d
+    ), tf AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM d, UNNEST(toks) AS u(term)
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY term, doc_id, dl
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.term, tf.doc_id, tf.tf,
+               ROUND(
+                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * ((tf * {BM25_K1 + 1.0})
+                      / (tf + {BM25_K1}
+                         * ({1.0 - BM25_B} + {BM25_B}
+                            * (dl / (sum_dl / n_docs))))),
+                   4) AS s
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+    ), ranked AS (
+        SELECT term, doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY s DESC, doc_id) AS rnk,
+               CASE WHEN tf >= {EVAL_REL_TF} THEN 1 ELSE 0 END AS rel
+        FROM scored
+    ), c AS (
+        SELECT term, rnk, rel,
+               SUM(rel) OVER (PARTITION BY term ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumrel
+        FROM ranked
+    )
+    SELECT term,
+           CAST(SUM(rel) AS BIGINT) AS n_rel,
+           ROUND(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 6) AS rr,
+           ROUND(CAST(SUM(CASE WHEN rel = 1 AND rnk <= {EVAL_K}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(rel), 6) AS recall_at_k,
+           ROUND(SUM(CASE WHEN rel = 1
+                          THEN CAST(cumrel AS DOUBLE) / rnk END)
+                 / SUM(rel), 6) AS avg_precision
+    FROM c GROUP BY term HAVING SUM(rel) > 0
+    """,
+)
+def rk5_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation of the rk1 BM25 ranking — per query term:
+    reciprocal rank of the first relevant doc, recall@{EVAL_K}, and
+    average precision, against a deterministic pseudo-qrel (relevant
+    iff tf >= {EVAL_REL_TF}; real qrels are a labels table joined the
+    same way). The metrics job every retrieval-curation pipeline runs
+    to regression-test its ranker — rank math identical cross-engine
+    because ranking orders by the ROUND(score, 4) rk1 publishes (ties
+    broken by doc_id).
+
+    Shape: rk1's relation (term-filtered explode — the shuffle carries
+    only matching rows), one per-term window over the matching docs
+    (bounded by docs-matching-a-term, never the corpus), one per-term
+    aggregate. At 100 TB with big query sets the window becomes the
+    per-query top-k heap merge (t2's shape) — per-term state stays
+    k-bounded."""
+    r = rk1_bm25_score(spark, sf_dir).select(
+        "term", "doc_id", "tf", F.round("score", 4).alias("s")
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("s"), F.asc("doc_id"))
+    ranked = (
+        r.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "rel", (F.col("tf") >= EVAL_REL_TF).cast("int")
+        )
+        .withColumn(
+            "cumrel",
+            F.sum("rel").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.sum("rel").alias("n_rel"),
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("_fr"),
+            F.sum(
+                F.when(
+                    (F.col("rel") == 1) & (F.col("rnk") <= EVAL_K), 1
+                ).otherwise(0)
+            ).alias("_r_at_k"),
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.col("cumrel").cast("double") / F.col("rnk"),
+                )
+            ).alias("_ap_num"),
+        )
+        .filter(F.col("n_rel") > 0)
+        .select(
+            "term",
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.round(F.lit(1.0) / F.col("_fr"), 6).alias("rr"),
+            F.round(
+                F.col("_r_at_k").cast("double") / F.col("n_rel"), 6
+            ).alias("recall_at_k"),
+            F.round(F.col("_ap_num") / F.col("n_rel"), 6).alias(
+                "avg_precision"
+            ),
+        )
+    )
+
+
 @register(
     "rk2_tfidf_postings",
     oracle="""

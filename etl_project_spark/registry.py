@@ -77,16 +77,16 @@ def register(
 # r05 (50). Round 6 front-loads (a) x3/x4 — their plans changed in r5
 # (margin-aware multiprobe, 6/8 probes) but they last sat in a driver
 # window in r04, so re-earning them outranks pure rotation; then
-# (b) the 17 rows last attested r02 and (c) 30 of the 40 rows last
+# (b) the 17 rows last attested r02 and (c) 29 of the 40 rows last
 # attested r03 — the oldest evidence in the tree — after the new-in-r6
-# bpe3 takes the first slot. Exactly 50 names; the 10 r03 rows
+# bpe3/rk5 take the first slots. Exactly 50 names; the 11 r03 rows
 # deferred to r07's rotation are the trivial projection/filter/scalar
-# ones (p2 p3 p4 f1 f2 f3 a1 a9 fn3 x7), kept out so the substantive
-# operators re-earn rows first. Slack (if the cap rises) falls to
-# those via _MODULE_ORDER.
+# ones (p2 p3 p4 f1 f2 f3 a1 a9 fn3 x7 smp2), kept out so the
+# substantive operators re-earn rows first. Slack (if the cap rises)
+# falls to those via _MODULE_ORDER.
 _FRONT_QUERIES = [
-    # (0) NEW in r6 — needs its first attestation
-    "bpe3_cached_shard_packing",
+    # (0) NEW in r6 — need their first attestation
+    "bpe3_cached_shard_packing", "rk5_retrieval_eval",
     # (a) plan changed in r5, last driver-seen r04
     "x3_lsh_bucketed_topk", "x4_ivf_topk",
     # (b) last attested r02
@@ -108,8 +108,7 @@ _FRONT_QUERIES = [
     "mm3_frame_sample", "mm4_media_resize", "mm5_perceptual_hash_dedup",
     "pp2_contamination_check", "pp5_repeated_ngrams", "rk1_bm25_score",
     "rk2_tfidf_postings", "rk3_doc_chunking",
-    "smp2_hash_stratified_sample", "smp3_train_val_test",
-    "tx11_rabin_winnowing",
+    "smp3_train_val_test", "tx11_rabin_winnowing",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. With 59 front
