@@ -987,6 +987,69 @@ def pp7_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_score_tokens(tok, vocab)
 
 
+@register(
+    "smp5_dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, UNNEST(str_split(lower(text), ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, COUNT(*) AS cr,
+               CAST(SUM(CASE WHEN source = '{PP7_TARGET}' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct
+        FROM tok GROUP BY w
+    ), tots AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+               COUNT(*) AS v,
+               CAST(SUM(ct) AS BIGINT) AS nt
+        FROM vocab
+    ), wts AS (
+        SELECT tok.doc_id, COUNT(*) AS n_tokens,
+               ROUND(SUM(LN(((ct + 1.0) / (nt + v))
+                            / (CAST(cr AS DOUBLE) / nr))), 6) AS log_ratio
+        FROM tok JOIN vocab USING (w) CROSS JOIN tots
+        GROUP BY tok.doc_id
+    ), mx AS (
+        SELECT MAX(log_ratio) AS mxlr FROM wts
+    )
+    SELECT w.doc_id, d.source, w.n_tokens, w.log_ratio
+    FROM wts w JOIN documents d USING (doc_id) CROSS JOIN mx
+    WHERE LN(CAST(CONCAT('0x',
+                 substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0) < w.log_ratio - mxlr
+    """,
+)
+def smp5_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection half that makes pp7's
+    weights a dataset (Xie et al. 2023 §3: sample with probability
+    proportional to the importance weight): keep a document iff a
+    deterministic per-doc uniform draw falls under its normalized
+    acceptance probability exp(log_ratio - max_log_ratio). The uniform
+    is smp2's md5-of-key construction (first 8 hex digits / 2^32), so
+    the selected set is REPRODUCIBLE across engines, reruns, retries,
+    and partitionings — no RNG — and the comparison runs in log space
+    against pp7's published ROUND(…, 6) weight, so both engines compare
+    identical numbers. Output: the selected (doc_id, source, n_tokens,
+    log_ratio) — target-domain-looking docs survive at the highest
+    rate.
+
+    Shape: pp7's plan (one materialized token stream, one vocab agg,
+    broadcast scoring join) + a 1-row max broadcast + a scan-local
+    hash filter — selection adds NO new shuffle over the weights."""
+    w = pp7_dsir_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mx = w.agg(F.max("log_ratio").alias("mxlr"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    return (
+        w.join(docs, "doc_id")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.log(u) < F.col("log_ratio") - F.col("mxlr"))
+        .select("doc_id", "source", "n_tokens", "log_ratio")
+    )
+
+
 def dsir_score_tokens(tok: DataFrame, vocab: DataFrame) -> DataFrame:
     """Score a (doc_id, w) token stream against a DSIR vocabulary
     relation (w, cr, ct): the add-1-smoothed target LM over the raw LM,

@@ -164,6 +164,39 @@ def test_bpe_trainer_fails_loudly_on_pair_exhaustion(spark, sf_dir, monkeypatch)
         P.bpe_merge_rounds(spark, sf_dir)
 
 
+def test_dsir_resample_prefers_target_domain(spark, sf_dir):
+    """smp5: the importance-resampled selection is (a) deterministic
+    across calls, (b) a subset of the corpus with every row's
+    acceptance test replayable driver-side, and (c) enriched toward
+    the target domain — the selected src0 share strictly exceeds the
+    corpus share (the whole point of DSIR)."""
+    import hashlib
+    import math
+
+    from etl_project_spark.operators.pipeline import PP7_TARGET
+
+    sel = all_queries()["smp5_dsir_resample"](spark, sf_dir).collect()
+    assert sel
+    again = all_queries()["smp5_dsir_resample"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in sel} == {r["doc_id"] for r in again}
+    wts = {
+        r["doc_id"]: r["log_ratio"]
+        for r in all_queries()["pp7_dsir_weights"](spark, sf_dir).collect()
+    }
+    mx = max(wts.values())
+    picked = {r["doc_id"] for r in sel}
+    for d, lr in wts.items():
+        u = (
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        assert (math.log(u) < lr - mx) == (d in picked), d
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    corpus_share = sum(r["source"] == PP7_TARGET for r in docs) / len(docs)
+    sel_share = sum(r["source"] == PP7_TARGET for r in sel) / len(sel)
+    assert sel_share > corpus_share, (sel_share, corpus_share)
+
+
 def test_epoch_shuffle_is_permutation(spark, sf_dir):
     """pp6: positions are exactly 0..n-1 (a bijection), and the order
     matches the md5 sort key — i.e., the two-phase bucketed row_number
