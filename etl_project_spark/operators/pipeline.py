@@ -116,6 +116,105 @@ def _two_phase_pack(d: DataFrame, budget: int = SHARD_TOKENS) -> DataFrame:
     )
 
 
+SEQ_LEN = 512  # fixed training-sequence length for pp8
+
+
+@register(
+    "pp8_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               LEN(str_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS cum_before
+        FROM d
+    ), e AS (
+        SELECT doc_id, n_tokens, cum_before,
+               UNNEST(generate_series(cum_before // {SEQ_LEN},
+                   (cum_before + n_tokens - 1) // {SEQ_LEN})) AS seq_id
+        FROM c WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(LEAST((seq_id + 1) * {SEQ_LEN}, cum_before + n_tokens)
+                - GREATEST(seq_id * {SEQ_LEN}, cum_before) AS BIGINT)
+               AS n_contrib
+    FROM e
+    """,
+)
+def pp8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-SEQUENCE packing — the GPT-style
+    concat-and-chunk step downstream of pp1's shard packing: the corpus
+    token stream (docs concatenated in doc_id order) is cut every
+    {SEQ_LEN} tokens, and each document is mapped to EVERY sequence it
+    overlaps with its token contribution (a doc larger than {SEQ_LEN}
+    spans several sequences; a boundary doc straddles two). Output
+    (doc_id, seq_id, n_contrib) is the exact manifest a sequence-
+    building job materializes: every sequence's contributions sum to
+    exactly {SEQ_LEN} (except the final partial one).
+
+    Shape: the same two-phase prefix sum as pp1 (no corpus-sized
+    window) gives each doc its absolute token offset; the doc→sequence
+    fan-out is a per-row F.sequence explode of
+    floor(offset/{SEQ_LEN})..floor((offset+n-1)/{SEQ_LEN}) — output
+    rows = docs + boundary crossings = corpus_tokens/{SEQ_LEN} extra,
+    linear, scan-local above the pack. At 100 TB nothing changes: the
+    explode emits ~1 + n_tokens/{SEQ_LEN} rows per doc regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    # pp1's two-phase prefix sum, kept inline because this op needs the
+    # raw cum_before offset (not the floor-divided shard id
+    # _two_phase_pack returns)
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    local = d.withColumn(
+        "local_cum", F.sum("n_tokens").over(in_bucket) - F.col("n_tokens")
+    )
+    totals = local.groupBy("bucket").agg(
+        F.max(F.col("local_cum") + F.col("n_tokens")).alias("bucket_total")
+    )
+    offsets = totals.withColumn(
+        "offset",
+        F.sum("bucket_total").over(Window.orderBy("bucket"))
+        - F.col("bucket_total"),
+    ).select("bucket", "offset")
+    with_cum = (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("offset") + F.col("local_cum")).alias("cum_before"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    seq = F.explode(
+        F.sequence(
+            F.floor(F.col("cum_before") / SEQ_LEN),
+            F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / SEQ_LEN),
+        )
+    ).alias("seq_id")
+    return with_cum.select("doc_id", "n_tokens", "cum_before", seq).select(
+        "doc_id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (
+            F.least(
+                (F.col("seq_id") + 1) * SEQ_LEN,
+                F.col("cum_before") + F.col("n_tokens"),
+            )
+            - F.greatest(F.col("seq_id") * SEQ_LEN, F.col("cum_before"))
+        )
+        .cast("long")
+        .alias("n_contrib"),
+    )
+
+
 @register(
     "pp2_contamination_check",
     oracle=f"""

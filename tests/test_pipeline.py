@@ -164,6 +164,42 @@ def test_bpe_trainer_fails_loudly_on_pair_exhaustion(spark, sf_dir, monkeypatch)
         P.bpe_merge_rounds(spark, sf_dir)
 
 
+def test_sequence_packing_invariants(spark, sf_dir):
+    """pp8: every sequence's contributions sum to exactly SEQ_LEN
+    except the final partial one; the total equals the corpus token
+    count; each doc's contributions sum to its own token count and
+    span consecutive seq_ids."""
+    from collections import defaultdict
+
+    from etl_project_spark.operators.pipeline import SEQ_LEN
+
+    rows = all_queries()["pp8_sequence_packing"](spark, sf_dir).collect()
+    by_seq: dict[int, int] = defaultdict(int)
+    by_doc: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_seq[r["seq_id"]] += r["n_contrib"]
+        by_doc[r["doc_id"]].append(r["seq_id"])
+    last = max(by_seq)
+    for s, tot in by_seq.items():
+        assert tot == SEQ_LEN or s == last, (s, tot)
+    assert sorted(by_seq) == list(range(last + 1))  # dense sequence ids
+    n_tok = {
+        r["doc_id"]: len(r["text"].lower().split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert sum(by_seq.values()) == sum(n_tok.values())
+    for d, seqs in by_doc.items():
+        assert sorted(seqs) == list(range(min(seqs), max(seqs) + 1)), d
+    doc_tot = {
+        d: sum(
+            r["n_contrib"] for r in rows if r["doc_id"] == d
+        )
+        for d in list(by_doc)[:50]
+    }
+    for d, t in doc_tot.items():
+        assert t == n_tok[d], d
+
+
 def test_dsir_resample_prefers_target_domain(spark, sf_dir):
     """smp5: the importance-resampled selection is (a) deterministic
     across calls, (b) a subset of the corpus with every row's
