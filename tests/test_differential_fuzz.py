@@ -1097,3 +1097,69 @@ def test_random_window_over_group_differential(
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# Grammar 20 (r6): PLAN-DIVERSITY — not a new SQL surface but a new
+# PHYSICAL surface: the same composed queries re-run under runtime
+# conf contexts that force different physical plans (no AQE re-plan,
+# no broadcast joins → SMJ everywhere, a single shuffle partition →
+# one-task exchanges) and compared against DuckDB each time. Results
+# must be plan-invariant; a divergence here is a physical-operator
+# bug (join-type fallback, partial-agg merge, window over a coalesced
+# exchange) that the default-conf grammars can never see.
+PD_CONFS = [
+    {"spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    {"spark.sql.shuffle.partitions": "1"},
+    {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "3",
+    },
+]
+
+PD_SQLS = [
+    # one representative per composed grammar family
+    "SELECT o_orderstatus, COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT)"
+    " AS sk FROM orders WHERE o_totalprice > 50000.0 GROUP BY o_orderstatus",
+    "SELECT c_mktsegment AS g, COUNT(*) AS cnt, MIN(o_totalprice) AS mn"
+    " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY g",
+    "SELECT c_mktsegment AS g, COUNT(o_orderkey) AS n FROM customer"
+    " LEFT JOIN orders ON o_custkey = c_custkey GROUP BY g",
+    "SELECT COALESCE(o_orderkey, 0 - c_custkey) AS k,"
+    " RANK() OVER (PARTITION BY c_mktsegment"
+    " ORDER BY COALESCE(o_orderkey, 0 - c_custkey)) AS rk"
+    " FROM orders FULL JOIN customer ON o_custkey = c_custkey",
+    "SELECT g1, g2, n, CAST(SUM(n) OVER (PARTITION BY g1 ORDER BY g2"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum"
+    " FROM (SELECT o_orderstatus AS g1, o_orderkey % 7 AS g2,"
+    " COUNT(*) AS n FROM orders GROUP BY g1, g2) t",
+    "SELECT o_orderpriority AS g, COUNT(*) AS cnt FROM orders"
+    " JOIN customer ON o_custkey = c_custkey"
+    " GROUP BY g HAVING COUNT(*) > 5 ORDER BY cnt DESC, g LIMIT 3",
+]
+
+
+def test_plan_diversity_differential(join_engines):
+    """Every representative query equals DuckDB under every physical
+    conf context; confs restored even on failure."""
+    spark, con = join_engines
+    originals = {
+        k: spark.conf.get(k)
+        for ctx in PD_CONFS
+        for k in ctx
+    }
+    try:
+        for ctx in PD_CONFS:
+            for k, v in originals.items():
+                spark.conf.set(k, v)
+            for k, v in ctx.items():
+                spark.conf.set(k, v)
+            for sql in PD_SQLS:
+                spdf = spark.sql(sql).toPandas()
+                opdf = con.sql(sql).df()
+                assert sorted(spdf.columns) == sorted(opdf.columns), (ctx, sql)
+                assert _canon(spdf) == _canon(opdf), (ctx, sql)
+    finally:
+        for k, v in originals.items():
+            spark.conf.set(k, v)
