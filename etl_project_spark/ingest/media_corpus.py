@@ -127,6 +127,10 @@ def _pack_by_bytes(
     ).cast("long")
     return (
         local.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "byte_offset",
+            F.lit(base_offset) + F.col("offset") + F.col("local_cum"),
+        )
         .withColumn("shard_id", shard)
         .withColumn(
             "shard_group",
@@ -155,7 +159,10 @@ def media_corpus_stream(
     Cross-batch state lives in the SINK, not a state store: each
     micro-batch anti-joins its survivors against the landed corpus's
     (digest) and (ahash_bits) key sets, and continues the packing byte
-    cursor from the landed SUM(n_bytes). That one design choice buys
+    cursor from the sink (each landed row carries its absolute
+    byte_offset, so the cursor = max(byte_offset + n_bytes) of the
+    LAST shard_group partition — a partition-pruned read, not a
+    whole-table aggregate). That one design choice buys
     three properties at once: (1) keep-first dedup across batches,
     (2) idempotent replay — a restarted query re-running the last
     uncommitted micro-batch anti-joins its rows away (they are already
@@ -233,11 +240,22 @@ def media_corpus_stream(
                 "ahash_bits",
                 "left_anti",
             )
-            base_offset = int(
-                landed.agg(F.coalesce(F.sum("n_bytes"), F.lit(0))).collect()[
-                    0
-                ][0]
-            )
+            if "byte_offset" in landed.columns:
+                # the byte cursor = end of the last landed payload; its
+                # row lives in the MAX shard_group partition, so this is
+                # two partition-pruned reads, not a whole-table agg
+                mg = landed.agg(F.max("shard_group")).collect()[0][0]
+                base_offset = int(
+                    landed.filter(F.col("shard_group") == mg)
+                    .agg(F.max(F.col("byte_offset") + F.col("n_bytes")))
+                    .collect()[0][0]
+                )
+            else:  # pre-r6 table without the offset column
+                base_offset = int(
+                    landed.agg(
+                        F.coalesce(F.sum("n_bytes"), F.lit(0))
+                    ).collect()[0][0]
+                )
         # localCheckpoint: the survivor set feeds the two-phase packing
         # prefix sum (self-referential subtree — see the dd8 lesson on
         # lambda/window subtrees defeating ReuseExchange) and must not
@@ -250,6 +268,7 @@ def media_corpus_stream(
             "mean_intensity",
             "ahash_bits",
             "digest",
+            "byte_offset",
             "shard_id",
             "shard_group",
         )
