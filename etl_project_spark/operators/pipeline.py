@@ -1134,7 +1134,9 @@ def smp5_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: pp7's plan (one materialized token stream, one vocab agg,
     broadcast scoring join) + a 1-row max broadcast + a scan-local
-    hash filter — selection adds NO new shuffle over the weights."""
+    hash filter; the only shuffle selection adds is the doc_id join
+    that re-attaches ``source`` to the surviving rows (drop the column
+    and it disappears)."""
     w = pp7_dsir_weights(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     mx = w.agg(F.max("log_ratio").alias("mxlr"))

@@ -129,6 +129,14 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = n_approx = n_tol = 0
+    # optional committed artifact (SPARK_GRAFT_CHECK_JSON=path): the
+    # full-sweep evidence for queries outside the driver's ~50 window
+    results: dict[str, dict] = {}
+
+    def rec(name: str, status: str, rows, detail: str | None = None):
+        results[name] = {"status": status, "rows": rows}
+        if detail:
+            results[name]["detail"] = detail[:300]
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -139,6 +147,7 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
+            rec(name, "fail", None, "spark error")
             n_fail += 1
             continue
         if name not in oracles:
@@ -149,6 +158,7 @@ def main() -> int:
                 except Exception:
                     print(f"FAIL  {name}: duckdb error (approx oracle)")
                     traceback.print_exc()
+                    rec(name, "fail", None, "duckdb error (approx oracle)")
                     n_fail += 1
                     continue
                 problems = []
@@ -168,15 +178,18 @@ def main() -> int:
                         f"FAIL  {name} ({time.time()-t0:.1f}s): "
                         + "; ".join(problems[:4])
                     )
+                    rec(name, "fail", len(spdf), "; ".join(problems[:2]))
                     n_fail += 1
                 else:
                     print(
                         f"PASS≈ {name}: {len(spdf)} rows within "
                         f"rtol={spec.rtol}  ({time.time()-t0:.1f}s)"
                     )
+                    rec(name, "approx_pass", len(spdf))
                     n_approx += 1
                 continue
             print(f"rows-only {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+            rec(name, "rows_only", len(spdf))
             n_rowsonly += 1
             continue
         try:
@@ -184,6 +197,7 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
+            rec(name, "fail", None, "duckdb error")
             n_fail += 1
             continue
         problems = []
@@ -212,20 +226,45 @@ def main() -> int:
                             break
         if problems:
             print(f"FAIL  {name} ({time.time()-t0:.1f}s): " + "; ".join(problems[:4]))
+            rec(name, "fail", len(spdf), "; ".join(problems[:2]))
             n_fail += 1
         elif tolerant_only:
             print(
                 f"PASS~ {name}: {len(spdf)} rows (1e-6 tolerant only — "
                 f"driver's exact hash would mismatch)  ({time.time()-t0:.1f}s)"
             )
+            rec(name, "tolerant_only", len(spdf))
             n_tol += 1
         else:
             print(f"PASS  {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+            rec(name, "pass", len(spdf))
             n_pass += 1
     print(
         f"\n{n_pass} pass, {n_approx} approx-pass, {n_tol} tolerant-only, "
         f"{n_rowsonly} rows-only, {n_fail} fail"
     )
+    import os
+
+    out_path = os.environ.get("SPARK_GRAFT_CHECK_JSON")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "summary": {
+                        "pass": n_pass,
+                        "approx_pass": n_approx,
+                        "tolerant_only": n_tol,
+                        "rows_only": n_rowsonly,
+                        "fail": n_fail,
+                    },
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     spark.stop()
     return 1 if n_fail else 0
 
