@@ -917,6 +917,61 @@ def materialize_bpe_cache(
     return table
 
 
+def append_to_bpe_cache(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    table: str = "bpe_token_cache",
+) -> int:
+    """Incremental cache maintenance under a FROZEN merge table — the
+    text-side mirror of append_to_ivf_index: segment ONLY the words an
+    incoming document batch introduces (anti-join against the cache's
+    existing vocabulary) and append them. An ingest batch never
+    retrains; merges are a full-corpus decision, so new words segment
+    under the merges the cache was built with — exactly what a served
+    tokenizer does with out-of-training-corpus words. Returns rows
+    appended (Observation on the write job — one lineage execution).
+
+    The caller owns the retrain trigger: when appended-vocabulary
+    share or downstream n_tokens drift accumulates, rebuild via
+    materialize_bpe_cache (the ivf_cell_psi pattern)."""
+    merges = bpe_merge_rounds(spark, sf_dir)  # the frozen merge table
+    bmerges = spark.sparkContext.broadcast(
+        [(left, right) for _rnd, left, right, _cnt in merges]
+    )
+    new_words = (
+        new_docs.select(F.explode(_tokens()).alias("w"))
+        .distinct()
+        .join(spark.table(table).select("w"), "w", "left_anti")
+    )
+
+    def kernel(batches):
+        mg = bmerges.value
+        for pdf in batches:
+            tcs = []
+            for w in pdf["w"]:
+                s = " " + " ".join(w) + " "
+                for left, right in mg:
+                    s = s.replace(f" {left} {right} ", f" {left}{right} ")
+                tcs.append(len(s.strip().split(" ")))
+            yield pd.DataFrame(
+                {"w": pdf["w"], "tc": np.array(tcs, dtype=np.int64)}
+            )
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        new_words.mapInPandas(kernel, schema="w string, tc long")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("append")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    spark.catalog.refreshTable(table)  # the foreachBatch listing gotcha
+    return int(obs.get["n"])
+
+
 def _bpe3_oracle() -> str:
     return (
         _bpe_cte_chain()

@@ -164,6 +164,45 @@ def test_bpe_trainer_fails_loudly_on_pair_exhaustion(spark, sf_dir, monkeypatch)
         P.bpe_merge_rounds(spark, sf_dir)
 
 
+def test_bpe_cache_incremental_append(spark, sf_dir):
+    """append_to_bpe_cache: only genuinely-new words are segmented and
+    appended (known words anti-join away, so a replayed batch appends
+    0), each new word's token count equals a driver-side replay of the
+    frozen merges, and existing cache rows are untouched."""
+    from etl_project_spark.operators import pipeline as P
+
+    table = "bpe_cache_inc_t"
+    from etl_project_spark.sources.tables import _drop_table_and_location
+
+    _drop_table_and_location(spark, table)
+    P._BPE_CACHE_READY.clear()
+    P.materialize_bpe_cache(spark, sf_dir, table=table)
+    before = {r["w"]: r["tc"] for r in spark.table(table).collect()}
+    new_docs = spark.createDataFrame(
+        [(1, "zzqx window electrons zzqx"), (2, "quorumish electrons")],
+        "doc_id long, text string",
+    )
+    n = P.append_to_bpe_cache(spark, sf_dir, new_docs, table=table)
+    after = {r["w"]: r["tc"] for r in spark.table(table).collect()}
+    new_words = {w for w in after if w not in before}
+    assert n == len(new_words) and new_words == {
+        w
+        for d in ["zzqx window electrons zzqx", "quorumish electrons"]
+        for w in d.split(" ")
+        if w not in before
+    }
+    assert all(after[w] == tc for w, tc in before.items())  # untouched
+    merges = P.bpe_merge_rounds(spark, sf_dir)
+    for w in new_words:
+        s = " " + " ".join(w) + " "
+        for _r, left, right, _c in merges:
+            s = s.replace(f" {left} {right} ", f" {left}{right} ")
+        assert after[w] == len(s.strip().split(" ")), w
+    # replay: the same batch appends nothing
+    assert P.append_to_bpe_cache(spark, sf_dir, new_docs, table=table) == 0
+    _drop_table_and_location(spark, table)
+
+
 def test_sequence_packing_invariants(spark, sf_dir):
     """pp8: every sequence's contributions sum to exactly SEQ_LEN
     except the final partial one; the total equals the corpus token
