@@ -366,3 +366,68 @@ def test_perplexity_checkpoint_path_at_200k_docs(spark, tmp_path):
     assert agg["n"] == n_docs
     assert agg["mn_b"] == agg["mx_b"] == 19
     assert agg["mn_p"] == agg["mx_p"] == 1.0
+
+
+def test_media_corpus_stream_smoke_at_20k(spark, tmp_path):
+    """The streaming media build at 40x the fixture's payload count:
+    20k synthetic PPMs through decode gate -> exact + perceptual dedup
+    -> byte packing in 2 micro-batches. Pins the sink-derived-state
+    design's cost curve (per-batch key anti-join + pruned byte cursor)
+    and the cascade invariants at a size where a quadratic stage or a
+    corpus-sized window would blow the time bound."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.ingest.media_corpus import (
+        SHARD_BYTES,
+        media_corpus_stream,
+    )
+    from etl_project_spark.operators.multimodal import _PPM_HEADER
+    from etl_project_spark.sources.tables import _drop_table_and_location
+    from etl_project_spark.streaming import pipeline as sp
+
+    N_MEDIA = 20_000
+    table = "media_stream_smoke_t"
+    _drop_table_and_location(spark, table)
+    # 130 repeats: the shortest id string ('p0q', 3 chars) still fills
+    # the 384-byte pixel plane
+    pix = (
+        "substring(repeat(concat('p', CAST(id AS STRING), 'q'), 130), 1, 384)"
+    )
+    src = str(tmp_path / "smoke_src")
+    m = spark.range(N_MEDIA).select(
+        F.col("id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit(_PPM_HEADER), F.expr(pix)), "utf-8"
+        ).alias("payload"),
+    )
+    # two files -> two micro-batches (cross-batch dedup + cursor both
+    # genuinely exercised against the sink)
+    m.repartitionByRange(2, "media_id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = sp.file_event_stream(spark, src, schema, max_files_per_trigger=1)
+    t0 = _time.time()
+    media_corpus_stream(
+        spark, stream, table, str(tmp_path / "ck_smoke"), available_now=True
+    )
+    wall = _time.time() - t0
+    out = spark.table(table)
+    n = out.count()
+    stats = out.agg(
+        F.countDistinct("digest").alias("d"),
+        F.countDistinct("ahash_bits").alias("a"),
+        F.max(F.col("byte_offset") + F.col("n_bytes")).alias("cursor"),
+        F.sum("n_bytes").alias("total"),
+    ).collect()[0]
+    assert n > 0 and stats["d"] == n and stats["a"] == n  # dup-free
+    assert stats["cursor"] == stats["total"]  # cursor == byte mass
+    per_shard = (
+        out.groupBy("shard_id")
+        .agg(F.sum("n_bytes").alias("b"), F.max("n_bytes").alias("mx"))
+        .collect()
+    )
+    for r in per_shard:
+        assert r["b"] <= SHARD_BYTES + r["mx"], r
+    assert wall < 120, f"20k-payload stream build took {wall:.0f}s"
+    _drop_table_and_location(spark, table)
