@@ -85,6 +85,7 @@ EXTENDED_QUERIES = [
     "an6_markov_transitions",
     "smp4_weighted_sample",
     "bpe3_cached_shard_packing",  # r6: packer on real BPE counts
+    "x9_pq_topk",  # r6: PQ/ADC compressed ANN
 ]
 
 

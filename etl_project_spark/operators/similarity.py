@@ -453,6 +453,213 @@ def append_to_ivf_index(
     return int(obs.get["n"])
 
 
+# knob sweep (r6, near-uniform worst-case corpus): m=8/k=32 reads
+# recall 0.68/0.90 at sf0.001/sf0.01; m=16/k=64 reads 1.0/1.0 at the
+# same 50-candidate shortlist for 16 B/vector codes (16× vs float32)
+PQ_M = 16  # subspaces (EMB_DIM/PQ_M dims each)
+PQ_K = 64  # centroids per subspace; codes fit a tinyint
+# 200: tightly-tied within-cluster candidates (the planted fixture's
+# ~160-member clusters) overflow a 50-candidate shortlist under ADC
+# quantization noise — 50 read 0.72 planted recall, 200 reads 1.0;
+# the rerank only ever touches |queries|·shortlist rows either way
+PQ_SHORTLIST = 200
+
+# codebooks memoized per (sf_dir, fingerprint, m, k) — pure
+# deterministic data, the Lloyd-state discipline
+_PQ_CODEBOOKS: dict[tuple, np.ndarray] = {}
+
+
+def train_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 10,
+    sample: int = 4096,
+    seed: int = 13,
+) -> np.ndarray:
+    """Product-quantization codebooks: an independent k-means per
+    dim/m-dimensional subspace over a BOUNDED deterministic sample of
+    the (normalized) corpus — the standard PQ training recipe
+    (Jégou et al. 2011): codebooks train on a sample, never the full
+    corpus, so the driver pull is O(sample·dim) regardless of corpus
+    size. Deterministic: sample = first `sample` vec_ids
+    (TakeOrdered), seeded init, fixed iteration count, empty cells
+    keep their previous centroid. Returns (m, k, dim/m)."""
+    from etl_project_spark.catalog import table_fingerprint
+
+    key = (sf_dir, table_fingerprint(sf_dir, "embeddings"), m, k)
+    if key in _PQ_CODEBOOKS:
+        return _PQ_CODEBOOKS[key]
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.vstack([r["e"] for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    assert dim % m == 0, (dim, m)
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.choice(len(Xj), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                pts = Xj[a == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    _PQ_CODEBOOKS[key] = books
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """Encode (vec_id, embedding) to PQ codes: per subspace, the index
+    of the nearest codebook centroid — m bytes per vector instead of
+    dim·4 (a 16× memory cut at dim=64, m=16), the compression that lets
+    a 100 TB embedding corpus live in executor memory for ADC scans.
+    One Arrow-batched argmin per subspace per batch; zero shuffles."""
+    spark = df.sparkSession
+    bC = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        books = bC.value
+        m, _, sub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        encode, schema="vec_id long, codes array<int>"
+    )
+
+
+@register("x9_pq_topk", oracle=None)  # approximate — rows-only
+def x9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-k (Jégou et al. ADC): candidates live as
+    {PQ_M}-byte codes, each query scores them via an (m × k) lookup
+    table of partial dot products (one table build per query, one
+    gather-sum per batch — no decompression), keeps a {PQ_SHORTLIST}-
+    candidate shortlist, then exact-reranks the shortlist to top-k.
+    This is the memory-bounded scale path COMPLEMENTING x4's IVF
+    partition pruning: IVF cuts the bytes READ, PQ cuts the bytes
+    STORED — composed (IVF-PQ) they are the standard billion-vector
+    serving architecture. Recall vs x1's exact top-k is recorded in
+    RECALL.json next to x3/x4 (exact rerank of a wide shortlist
+    recovers most of the quantization loss).
+
+    Shape: per-partition ADC emits top-{PQ_SHORTLIST} per query
+    (bounded rows per batch), a window merges partials to the global
+    shortlist (t2's heap-merge shape), and the exact rerank joins only
+    |queries|·{PQ_SHORTLIST} rows against the corpus — never all
+    pairs. Rows-only: the output is defined by the trained codebooks,
+    not SQL-expressible math."""
+    books = train_pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    Q = np.vstack([r["e"] for r in q_rows])
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.array([r["vec_id"] for r in q_rows])
+    m, k, sub = books.shape
+    # per-query ADC lookup tables: T[q, j, c] = q_sub(j) · book[j][c]
+    T = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+    bT = spark.sparkContext.broadcast((qids, T))
+    codes = pq_encode(emb.filter(F.col("vec_id") >= N_QUERIES), books)
+
+    def adc(batches):
+        ids, tabs = bT.value
+        nq, m_, _ = tabs.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            ar = np.arange(m_)
+            for qi in range(nq):
+                scores = tabs[qi][ar[None, :], C].sum(axis=1)
+                top = np.argsort(-scores)[:PQ_SHORTLIST]
+                out_q.append(np.full(len(top), ids[qi]))
+                out_n.append(vids[top])
+                out_s.append(scores[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    partial = codes.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        partial.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank of the shortlist only
+    cand = shortlist.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        "neighbor_id",
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["e"]]) for r in q_rows],
+        "query_id long, qv array<double>",
+    )
+    from etl_project_spark.functions.vectors import cosine_sim_batched
+
+    cos = cosine_sim_batched()
+    sims = cand.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cos(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("nn_rank"),
+        )
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
 def cell_occupancy(spark: SparkSession, table: str) -> dict[int, int]:
     """Per-cell row counts of a persisted IVF index — the occupancy
     snapshot the drift monitor compares against. One partition-local

@@ -58,7 +58,9 @@ def test_exact_topk_self_consistent(spark, sf_dir):
         assert sorted(ranks) == list(range(1, similarity.TOP_K + 1))
 
 
-@pytest.mark.parametrize("name", ["x3_lsh_bucketed_topk", "x4_ivf_topk"])
+@pytest.mark.parametrize(
+    "name", ["x3_lsh_bucketed_topk", "x4_ivf_topk", "x9_pq_topk"]
+)
 def test_approx_topk_recall(spark, sf_dir, name):
     """Approximate neighbors should overlap the exact top-k substantially
     (they search a subset of candidates, so rank<=k membership may differ;

@@ -85,7 +85,7 @@ def main() -> None:
             "neighbor_id",
         )
         entry: dict[str, dict] = {}
-        for name in ("x3_lsh_bucketed_topk", "x4_ivf_topk"):
+        for name in ("x3_lsh_bucketed_topk", "x4_ivf_topk", "x9_pq_topk"):
             approx = pair_set(
                 get(name).fn(spark, sf_dir), "query_id", "neighbor_id"
             )
@@ -202,7 +202,7 @@ def main() -> None:
         "neighbor_id",
     )
     pentry: dict[str, dict] = {}
-    for name in ("x3_lsh_bucketed_topk", "x4_ivf_topk"):
+    for name in ("x3_lsh_bucketed_topk", "x4_ivf_topk", "x9_pq_topk"):
         approx = pair_set(
             get(name).fn(spark, planted), "query_id", "neighbor_id"
         )
