@@ -660,6 +660,174 @@ def x9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    table: str = "ann_ivfpq_index",
+) -> tuple[np.ndarray, np.ndarray]:
+    """The composed IVF-PQ index the x9 docstring names — the standard
+    billion-vector serving layout: rows are (vec_id, codes) partitioned
+    by Voronoi cell, so a probe reads nprobe/n_cells of the bytes
+    (IVF) and each byte read is a 16-byte code, not a float vector
+    (PQ). ONE corpus pass assigns cells AND encodes (cell GEMM +
+    per-subspace argmin fused in a single Arrow kernel). Returns
+    (centroids, codebooks); the full vectors stay in the source table
+    — the refine step fetches only |queries|·shortlist of them."""
+    from etl_project_spark.sources.tables import _drop_table_and_location
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = ivf_centroids(spark, sf_dir, n_cells)
+    books = train_pq_codebooks(spark, sf_dir)
+    bC = spark.sparkContext.broadcast(
+        (C / np.linalg.norm(C, axis=1, keepdims=True), books)
+    )
+
+    def assign_encode(batches):
+        cen, bks = bC.value
+        m, _, sub = bks.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+            )
+            codes = np.empty((len(Mn), m), dtype=np.int32)
+            for j in range(m):
+                Xj = Mn[:, j * sub : (j + 1) * sub]
+                codes[:, j] = (
+                    ((Xj[:, None, :] - bks[j][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": np.argmax(Mn @ cen.T, axis=1),
+                    "codes": list(codes),
+                }
+            )
+
+    rows = emb.select("vec_id", "embedding").mapInPandas(
+        assign_encode, schema="vec_id long, cell int, codes array<int>"
+    )
+    _drop_table_and_location(spark, table)
+    (
+        rows.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return C, books
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = 5,
+    k: int = TOP_K,
+    shortlist: int = PQ_SHORTLIST,
+    table: str = "ann_ivfpq_index",
+) -> DataFrame:
+    """Serve top-k from the IVF-PQ index: probe cells become a static
+    ``cell IN (...)`` partition filter (only those directories are
+    read — pinned in tests/test_layout.py), ADC scores the probed
+    cells' CODES through per-query lookup tables, a window merges the
+    per-partition shortlists, and the refine step joins the shortlist
+    ids back to the source embeddings for an exact rerank — the
+    compressed index serves the scan; full vectors are fetched for
+    |queries|·shortlist rows only."""
+    Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    Q = np.array([qv for _, qv in queries], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.array([qid for qid, _ in queries])
+    probe = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]
+    cells = sorted({int(c) for row in probe for c in row})
+    m, _, sub = codebooks.shape
+    T = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Qn), m, sub), codebooks)
+    # per-query probed-cell sets: a candidate only scores for queries
+    # probing its cell
+    qcells = {int(qids[i]): {int(c) for c in probe[i]} for i in range(len(qids))}
+    bT = spark.sparkContext.broadcast((qids, T, qcells))
+    idx = spark.table(table).filter(F.col("cell").isin(cells))
+
+    def adc(batches):
+        ids, tabs, qc = bT.value
+        m_ = tabs.shape[1]
+        ar = np.arange(m_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cm = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            vcells = pdf["cell"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(ids):
+                mask = np.isin(vcells, list(qc[int(qid)]))
+                if not mask.any():
+                    continue
+                scores = tabs[qi][ar[None, :], Cm[mask]].sum(axis=1)
+                top = np.argsort(-scores)[:shortlist]
+                sel = np.nonzero(mask)[0][top]
+                out_q.append(np.full(len(sel), qid))
+                out_n.append(vids[sel])
+                out_s.append(scores[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc": np.concatenate(out_s),
+                    }
+                )
+
+    partial = idx.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    short = (
+        partial.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = short.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ),
+        "neighbor_id",
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id long, qv array<double>",
+    )
+    from etl_project_spark.functions.vectors import cosine_sim_batched
+
+    cos = cosine_sim_batched()
+    sims = cand.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cos(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank")
+        )
+        .filter(F.col("nn_rank") <= k)
+    )
+
+
 def cell_occupancy(spark: SparkSession, table: str) -> dict[int, int]:
     """Per-cell row counts of a persisted IVF index — the occupancy
     snapshot the drift monitor compares against. One partition-local

@@ -375,3 +375,44 @@ def test_ivf_drift_monitor_triggers_rebuild(spark, sf_dir):
     # the rebuild path: idempotent overwrite, fresh snapshot
     build_ivf_index(spark, sf_dir, table="ann_drift_idx")
     assert cell_occupancy(spark, "ann_drift_idx") == ref
+
+
+def test_ivfpq_index_prunes_and_recalls(spark, sf_dir):
+    """IVF-PQ composed: the probe scan carries a cell partition filter
+    over the CODES-only index table, ADC + refine recovers the exact
+    top-k at the same bar as the flat IVF path, and the index rows
+    store 16-int codes, not embeddings."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_M,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from etl_project_spark.registry import all_queries
+
+    C, books = build_ivfpq_index(spark, sf_dir, table="ann_pq_idx")
+    idx = spark.table("ann_pq_idx")
+    assert "embedding" not in idx.columns
+    assert all(len(r["codes"]) == PQ_M for r in idx.limit(5).collect())
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .collect()
+    ]
+    got = query_ivfpq_index(
+        spark, sf_dir, C, books, queries, nprobe=3, table="ann_pq_idx"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    got_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in got.filter(F.col("neighbor_id") >= N_QUERIES).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["x1_topk_cosine_exact"](spark, sf_dir).collect()
+    }
+    recall = len(got_pairs & exact) / len(exact)
+    assert recall >= 0.55, recall
