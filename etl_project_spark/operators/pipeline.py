@@ -862,8 +862,25 @@ def bpe2_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_CACHE_READY: set[tuple] = set()
 
 
+def _bpe_cache_name(sf_dir: str, base: str) -> str:
+    """Corpus-scoped cache table name: the base suffixed with a hash of
+    the corpus fingerprint. Two sessions (or two sf_dirs) building
+    caches in one shared spark-warehouse then land on DIFFERENT tables
+    — a concurrent rebuild for another corpus can't drop this one out
+    from under a reader (observed once when a plan-audit process and a
+    correctness sweep shared the warehouse)."""
+    import hashlib
+
+    from etl_project_spark.catalog import table_fingerprint
+
+    fp = hashlib.md5(
+        repr(table_fingerprint(sf_dir, "documents")).encode()
+    ).hexdigest()[:12]
+    return f"{base}_{fp}"
+
+
 def materialize_bpe_cache(
-    spark: SparkSession, sf_dir: str, table: str = "bpe_token_cache"
+    spark: SparkSession, sf_dir: str, table: str | None = None
 ) -> str:
     """SURVEY §14.5: the BPE segmentation cache as a managed table —
     (w, tc): every distinct corpus word with its token count under the
@@ -875,9 +892,12 @@ def materialize_bpe_cache(
     broadcast-or-small-shuffle join either way, and built with ONE
     distinct-word aggregation + the broadcast-merge-table kernel (the
     segmentation never touches the corpus-sized relation). Returns the
-    table name; rebuilt only when the parquet fingerprint changes."""
+    table name (corpus-scoped via _bpe_cache_name unless overridden);
+    rebuilt only when the parquet fingerprint changes."""
     from etl_project_spark.catalog import table_fingerprint
 
+    if table is None:
+        table = _bpe_cache_name(sf_dir, "bpe_token_cache")
     key = (sf_dir, table_fingerprint(sf_dir, "documents"), table)
     if key in _BPE_CACHE_READY and spark.catalog.tableExists(table):
         return table
@@ -921,7 +941,7 @@ def append_to_bpe_cache(
     spark: SparkSession,
     sf_dir: str,
     new_docs: DataFrame,
-    table: str = "bpe_token_cache",
+    table: str | None = None,
 ) -> int:
     """Incremental cache maintenance under a FROZEN merge table — the
     text-side mirror of append_to_ivf_index: segment ONLY the words an
@@ -935,6 +955,8 @@ def append_to_bpe_cache(
     The caller owns the retrain trigger: when appended-vocabulary
     share or downstream n_tokens drift accumulates, rebuild via
     materialize_bpe_cache (the ivf_cell_psi pattern)."""
+    if table is None:
+        table = _bpe_cache_name(sf_dir, "bpe_token_cache")
     merges = bpe_merge_rounds(spark, sf_dir)  # the frozen merge table
     bmerges = spark.sparkContext.broadcast(
         [(left, right) for _rnd, left, right, _cnt in merges]
