@@ -889,3 +889,118 @@ def smp4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= SMP4_R)
     )
+
+
+@register(
+    "dq4_corpus_report",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, lang, n_chars,
+               LEN(str_split(lower(text), ' ')) AS n_tokens,
+               md5(array_to_string(
+                   list_sort(list_distinct(str_split(lower(text), ' '))),
+                   ' ')) AS fp
+        FROM documents
+    )
+    SELECT 'volume' AS section, 'n_docs' AS metric, source AS dim,
+           CAST(COUNT(*) AS DOUBLE) AS value FROM d GROUP BY source
+    UNION ALL
+    SELECT 'volume', 'n_tokens', source, CAST(SUM(n_tokens) AS DOUBLE)
+    FROM d GROUP BY source
+    UNION ALL
+    SELECT 'volume', 'n_chars_p50', source,
+           ROUND(quantile_cont(n_chars, 0.5), 6) FROM d GROUP BY source
+    UNION ALL
+    SELECT 'volume', 'n_chars_p95', source,
+           ROUND(quantile_cont(n_chars, 0.95), 6) FROM d GROUP BY source
+    UNION ALL
+    SELECT 'lang', 'n_docs', lang, CAST(COUNT(*) AS DOUBLE)
+    FROM d GROUP BY lang
+    UNION ALL
+    SELECT 'dup', 'exact_dup_docs', 'corpus',
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) FROM d
+    UNION ALL
+    SELECT 'quality', 'n_gate_pass', source,
+           CAST(SUM(CASE WHEN n_chars BETWEEN 150 AND 500
+                         AND lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM d GROUP BY source
+    """,
+)
+def dq4_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET in one relation — (section, metric, dim,
+    value): per-source volumes (docs, tokens, exact length percentiles),
+    language mix, corpus-wide exact-duplicate mass (dd2's fingerprint),
+    and the quality-gate pass counts (clean_corpus's default gates).
+    This is the report a dataset card publishes and a curation run
+    diffs release-over-release; every cell is exact (counts, sums, and
+    true interpolated percentiles — Spark percentile() and DuckDB
+    quantile_cont agree bit-for-bit at 6dp on integral inputs), so the
+    whole datasheet hash-matches the oracle.
+
+    Shape: ONE corpus scan (the projected relation is materialized,
+    then three bounded aggregations consume it: by source, by lang,
+    global), unioned into the long frame — at 100 TB the output is
+    O(sources + langs) rows; nothing about the report grows with the
+    corpus."""
+    from etl_project_spark.operators.dedup import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_tokens()).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+        ).alias("fp"),
+    ).localCheckpoint(eager=True)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+        F.sum(
+            (
+                F.col("n_chars").between(150, 500) & (F.col("lang") == "en")
+            ).cast("long")
+        ).alias("n_gate"),
+    )
+
+    def row(section: str, metric: str, dim, value) -> DataFrame:
+        return per_src.select(
+            F.lit(section).alias("section"),
+            F.lit(metric).alias("metric"),
+            dim.alias("dim"),
+            value.cast("double").alias("value"),
+        )
+
+    vol = (
+        row("volume", "n_docs", F.col("source"), F.col("n_docs"))
+        .unionByName(
+            row("volume", "n_tokens", F.col("source"), F.col("n_tokens"))
+        )
+        .unionByName(
+            row("volume", "n_chars_p50", F.col("source"), F.col("p50"))
+        )
+        .unionByName(
+            row("volume", "n_chars_p95", F.col("source"), F.col("p95"))
+        )
+        .unionByName(
+            row("quality", "n_gate_pass", F.col("source"), F.col("n_gate"))
+        )
+    )
+    lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lang").alias("section"),
+        F.lit("n_docs").alias("metric"),
+        F.col("lang").alias("dim"),
+        F.col("n").cast("double").alias("value"),
+    )
+    dup = d.agg(
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n")
+    ).select(
+        F.lit("dup").alias("section"),
+        F.lit("exact_dup_docs").alias("metric"),
+        F.lit("corpus").alias("dim"),
+        F.col("n").cast("double").alias("value"),
+    )
+    return vol.unionByName(lang).unionByName(dup)
