@@ -116,6 +116,72 @@ def _two_phase_pack(d: DataFrame, budget: int = SHARD_TOKENS) -> DataFrame:
     )
 
 
+SMP6_T = 0.7  # mixture temperature (the mT5/XLM-R value)
+
+
+@register(
+    "smp6_temperature_mixture",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               LEN(str_split(lower(text), ' ')) AS n
+        FROM documents
+    ), s AS (
+        SELECT source, CAST(SUM(n) AS DOUBLE) AS tok FROM d GROUP BY source
+    ), t AS (
+        SELECT source, tok / (SELECT SUM(tok) FROM s) AS share FROM s
+    ), q AS (
+        SELECT source, share, POWER(share, {SMP6_T}) AS w FROM t
+    ), r AS (
+        SELECT source, (w / (SELECT SUM(w) FROM q)) / share AS lift FROM q
+    ), a AS (
+        SELECT source, lift / (SELECT MAX(lift) FROM r) AS p FROM r
+    )
+    SELECT d.doc_id, d.source FROM d JOIN a USING (source)
+    WHERE CAST(CONCAT('0x',
+              substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT) / 4294967296.0 < p
+    """,
+)
+def smp6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture sampling — the rebalancing
+    step multilingual/multi-domain pretraining actually runs (mT5 /
+    XLM-R, T={SMP6_T}): target share q_i ∝ share_i^T flattens the
+    mixture toward uniform, each source gets acceptance probability
+    proportional to q_i/share_i (max-normalized so the most-boosted
+    source keeps everything), and each doc is accepted against the
+    same md5-derived per-doc uniform smp2/smp5 use — deterministic,
+    RNG-free, reproducible across engines and reruns. Completes the
+    pp4 → selection pipeline the way smp5 completes pp7's.
+
+    Shape: one groupBy(source) token aggregation (bounded output), the
+    acceptance table broadcast back, then a scan-local hash filter —
+    the corpus shuffles zero rows for the selection itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", F.size(_tokens()).alias("n"))
+    s = d.groupBy("source").agg(F.sum("n").cast("double").alias("tok"))
+    everything = Window.partitionBy()
+    t = s.withColumn(
+        "share", F.col("tok") / F.sum("tok").over(everything)
+    )
+    q = t.withColumn("w", F.pow(F.col("share"), F.lit(SMP6_T)))
+    r = q.withColumn(
+        "lift",
+        (F.col("w") / F.sum("w").over(everything)) / F.col("share"),
+    )
+    a = r.withColumn(
+        "p", F.col("lift") / F.max("lift").over(everything)
+    ).select("source", "p")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    return (
+        d.join(F.broadcast(a), "source")
+        .filter(u < F.col("p"))
+        .select("doc_id", "source")
+    )
+
+
 SEQ_LEN = 512  # fixed training-sequence length for pp8
 
 

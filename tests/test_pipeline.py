@@ -164,6 +164,54 @@ def test_bpe_trainer_fails_loudly_on_pair_exhaustion(spark, sf_dir, monkeypatch)
         P.bpe_merge_rounds(spark, sf_dir)
 
 
+def test_temperature_mixture_flattens_shares(spark, sf_dir):
+    """smp6: deterministic across calls, every acceptance decision
+    replayable driver-side from the per-source rates, the most-boosted
+    (smallest-share) source keeps ALL its docs, and the selected
+    mixture's doc-share spread is no wider than the corpus's."""
+    import hashlib
+
+    from etl_project_spark.operators.pipeline import SMP6_T
+
+    sel = all_queries()["smp6_temperature_mixture"](spark, sf_dir).collect()
+    again = all_queries()["smp6_temperature_mixture"](spark, sf_dir).collect()
+    assert {r["doc_id"] for r in sel} == {r["doc_id"] for r in again}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tok = {}
+    src_of = {}
+    for r in docs:
+        n = len(r["text"].lower().split(" "))
+        tok[r["source"]] = tok.get(r["source"], 0) + n
+        src_of[r["doc_id"]] = r["source"]
+    total = sum(tok.values())
+    share = {s: t / total for s, t in tok.items()}
+    w = {s: v**SMP6_T for s, v in share.items()}
+    sw = sum(w.values())
+    lift = {s: (w[s] / sw) / share[s] for s in share}
+    mx = max(lift.values())
+    p = {s: lift[s] / mx for s in lift}
+    picked = {r["doc_id"] for r in sel}
+    for d, s in src_of.items():
+        u = (
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        assert (u < p[s]) == (d in picked), d
+    smallest = min(share, key=share.get)
+    n_src = {s: sum(1 for d, x in src_of.items() if x == s) for s in share}
+    n_sel = {s: sum(1 for r in sel if r["source"] == s) for s in share}
+    assert n_sel[smallest] == n_src[smallest]  # most-boosted keeps all
+    # the acceptance RATES themselves flatten the token mixture: the
+    # expected post-selection token-share spread (share·p, renormalized)
+    # must be tighter than the corpus token-share spread
+    def spread(d_):
+        vals = [v for v in d_.values() if v > 0]
+        return max(vals) / min(vals)
+
+    expected = {s: share[s] * p[s] for s in share}
+    assert spread(expected) < spread(share)
+
+
 def test_bpe_cache_incremental_append(spark, sf_dir):
     """append_to_bpe_cache: only genuinely-new words are segmented and
     appended (known words anti-join away, so a replayed batch appends
