@@ -741,3 +741,110 @@ def tx12_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * HH_K >= F.col("n"))
         .select("w", "cnt")
     )
+
+
+def _tx13_oracle() -> str:
+    from etl_project_spark.operators.dedup import DD8_TAU
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+              >= {DD8_TAU}
+    ), pos AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i+1:i+3], ' ') AS gram
+        FROM toks, UNNEST(generate_series(0, LEN(t)-3)) AS u(i)
+        WHERE LEN(t) >= 3
+    ), first AS (
+        SELECT doc_id, gram, CAST(MIN(pos) AS BIGINT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM pos GROUP BY doc_id, gram
+    )
+    SELECT p.doc_a, p.doc_b, fa.gram,
+           fa.pos AS pos_a, fb.pos AS pos_b,
+           fa.n_occ AS occ_a, fb.n_occ AS occ_b
+    FROM pairs p
+    JOIN first fa ON fa.doc_id = p.doc_a
+    JOIN first fb ON fb.doc_id = p.doc_b AND fb.gram = fa.gram
+    """
+
+
+@register("tx13_shared_span_index", oracle=_tx13_oracle())
+def tx13_shared_span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate EVIDENCE: for every exact near-dup pair
+    (dd8's Jaccard >= tau set), each shared word 3-gram with its first
+    position and occurrence count in BOTH documents — the index a
+    boilerplate-trimming pass consumes (dd8 says WHICH docs overlap;
+    this says WHERE). Downstream, consecutive positions chain into the
+    shared spans to cut.
+
+    Shape: dd8's prefix-filtered pair set (bounded) broadcasts a
+    doc-id filter over the corpus, so the positioned-shingle relation
+    is built ONLY for documents that appear in some pair — at 100 TB
+    with a ~1% dup rate that is a ~100x scan-output cut before the
+    (doc, gram) aggregation; the final joins fan the bounded pair set
+    against the per-doc first-occurrence relation. Output rows = sum
+    over pairs of |shared distinct 3-grams| — duplicate-mass-sized,
+    not corpus-sized."""
+    from etl_project_spark.operators.dedup import dd8_jaccard_prefix_join
+
+    pairs = dd8_jaccard_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.join(F.broadcast(pair_docs), "doc_id").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    )
+    ex = d.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        "t",
+        F.posexplode("t").alias("pos", "w"),
+    ).filter(F.col("pos") <= F.col("n") - 3)
+    grams = ex.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            F.col("w"),
+            F.element_at("t", F.col("pos") + 2),
+            F.element_at("t", F.col("pos") + 3),
+        ).alias("gram"),
+    )
+    first = grams.groupBy("doc_id", "gram").agg(
+        F.min("pos").cast("long").alias("pos"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    fa = first.select(
+        F.col("doc_id").alias("doc_a"),
+        "gram",
+        F.col("pos").alias("pos_a"),
+        F.col("n_occ").alias("occ_a"),
+    )
+    fb = first.select(
+        F.col("doc_id").alias("doc_b"),
+        "gram",
+        F.col("pos").alias("pos_b"),
+        F.col("n_occ").alias("occ_b"),
+    )
+    return (
+        F.broadcast(pairs)
+        .join(fa, "doc_a")
+        .join(fb, ["doc_b", "gram"])
+        .select(
+            "doc_a", "doc_b", "gram", "pos_a", "pos_b", "occ_a", "occ_b"
+        )
+    )
