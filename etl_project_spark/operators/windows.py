@@ -164,3 +164,45 @@ def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "ts", F.avg("value").over(w).alias("ma5")
     )
+
+
+@register(
+    "w7_running_drawdown",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           MAX(value) OVER w AS run_max,
+           ROUND((MAX(value) OVER w - value)
+                 / NULLIF(MAX(value) OVER w, 0), 6) AS drawdown
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per user — the monitoring curve every
+    metric dashboard draws (how far the current value sits below the
+    best seen so far): running MAX over the (ts, event_id)-ordered
+    stream, drawdown = (peak − value)/peak rounded to 6dp (one IEEE
+    division over exact window maxima; NULLIF guards a zero peak
+    identically in both engines). Nested-window composition the w1–w6
+    family doesn't cover: an aggregate window feeding row-level
+    arithmetic against its own input."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_max = F.max("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        run_max.alias("run_max"),
+        F.round(
+            (run_max - F.col("value"))
+            / F.nullif(run_max, F.lit(0)),
+            6,
+        ).alias("drawdown"),
+    )
