@@ -338,50 +338,99 @@ def t3_ordered_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("user_id") == 7).select("ts", "value").orderBy("ts")
 
 
+# a6's skewness/kurtosis are computed from RAW POWER SUMS with one
+# shared sample-corrected formula in BOTH engines, instead of each
+# engine's builtin (Spark: population moments; DuckDB: bias-corrected —
+# a 1+O(1/n) factor that crossed the 2dp rounding boundary at the
+# sf0.001 group sizes, r6). l_quantity is small and integer-valued, so
+# s1..s4 are exact in doubles and the identical op sequence yields
+# identical IEEE results. (At 100 TB row counts the power sums need
+# DECIMAL accumulators; quantity^4 · n approaches 2^53.)
+_A6_SKEW_SQL = (
+    "(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * POWER(s1 / n, 3))"
+    " / POWER((s2 / n) - POWER(s1 / n, 2), 1.5))"
+    " * SQRT(n * (n - 1.0)) / (n - 2)"
+)
+_A6_KURT_SQL = (
+    "((n - 1.0) / ((n - 2) * (n - 3))) * ((n + 1.0) * "
+    "(((s4 / n) - 4 * (s1 / n) * (s3 / n) + 6 * POWER(s1 / n, 2) * (s2 / n)"
+    " - 3 * POWER(s1 / n, 4))"
+    " / POWER((s2 / n) - POWER(s1 / n, 2), 2) - 3) + 6)"
+)
+
+
 @register(
     "a6_stat_moments",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS price_qty_covar,
-           ROUND(STDDEV_SAMP(l_discount), 6) AS disc_stddev,
-           ROUND(VAR_SAMP(l_tax), 6) AS tax_var,
-           ROUND(SKEWNESS(l_quantity), 2) + 0.0 AS qty_skew,
-           ROUND(KURTOSIS(l_quantity), 2) AS qty_kurt,
-           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS qty_median,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS price_p90
-    FROM lineitem
-    GROUP BY l_returnflag ORDER BY l_returnflag
+    oracle=f"""
+    WITH p AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(l_quantity) AS s1,
+               SUM(POWER(l_quantity, 2)) AS s2,
+               SUM(POWER(l_quantity, 3)) AS s3,
+               SUM(POWER(l_quantity, 4)) AS s4,
+               ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+               ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4)
+                   AS price_qty_covar,
+               ROUND(STDDEV_SAMP(l_discount), 6) AS disc_stddev,
+               ROUND(VAR_SAMP(l_tax), 6) AS tax_var,
+               ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS qty_median,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS price_p90
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, price_qty_corr, price_qty_covar, disc_stddev,
+           tax_var,
+           ROUND({_A6_SKEW_SQL}, 2) + 0.0 AS qty_skew,
+           ROUND({_A6_KURT_SQL}, 2) AS qty_kurt,
+           qty_median, price_p90
+    FROM p ORDER BY l_returnflag
     """,
 )
 def a6_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: correlation, covariance, stddev/
     variance, higher moments, exact interpolated percentiles — one
-    hash-aggregate pass, all moments computed map-side-partial (Spark's
-    central-moment aggregates merge exactly, so no extra shuffle vs a
-    plain sum). Skew/kurtosis round to 2 decimals: Spark computes
-    population moments, DuckDB sample-corrected (factor 1+O(1/n) —
-    identical in the limit, different in the 6th decimal at sf0.01).
-    Exact percentile is a sort-based aggregate — at 100 TB swap in
-    percentile_approx (t-digest, mergeable) and accept bounded error."""
+    hash-aggregate pass, all moments computed map-side-partial.
+    Skewness/kurtosis are the SAMPLE-corrected statistics, built in
+    both engines from the same exact power sums with one shared
+    formula (see _A6_SKEW_SQL) — builtin skewness()/kurtosis() differ
+    in bias correction between engines and the 1+O(1/n) factor crosses
+    the 2dp rounding boundary on small groups. Exact percentile is a
+    sort-based aggregate — at 100 TB swap in percentile_approx
+    (t-digest, mergeable) and accept bounded error."""
     li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("s1"),
+        F.sum(F.pow("l_quantity", F.lit(2))).alias("s2"),
+        F.sum(F.pow("l_quantity", F.lit(3))).alias("s3"),
+        F.sum(F.pow("l_quantity", F.lit(4))).alias("s4"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+            "price_qty_corr"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+        F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias(
+            "qty_median"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+            "price_p90"
+        ),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
-                "price_qty_corr"
-            ),
-            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
-                "price_qty_covar"
-            ),
-            F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
-            F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
-            (F.round(F.skewness("l_quantity"), 2) + 0.0).alias("qty_skew"),
-            F.round(F.kurtosis("l_quantity"), 2).alias("qty_kurt"),
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_median"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
-                "price_p90"
-            ),
+        p.select(
+            "l_returnflag",
+            "price_qty_corr",
+            "price_qty_covar",
+            "disc_stddev",
+            "tax_var",
+            (F.round(F.expr(_A6_SKEW_SQL), 2) + 0.0).alias("qty_skew"),
+            F.round(F.expr(_A6_KURT_SQL), 2).alias("qty_kurt"),
+            "qty_median",
+            "price_p90",
         )
         .orderBy("l_returnflag")
     )
