@@ -862,11 +862,10 @@ def connected_components(
     return stars.union(roots)
 
 
-@register(
-    "dd7_dup_clusters",
-    oracle="""
-    -- exact transitive closure over the same 3-token-shingle Jaccard
-    -- edge relation the Spark side derives via MinHash LSH
+# Exact transitive closure over the same 3-token-shingle Jaccard edge
+# relation the Spark side derives via MinHash LSH; yields
+# (doc_id, cluster_id). Shared by the dd7 and dd9 oracles.
+_CC_CLUSTERS_SQL = """
     WITH RECURSIVE toks AS (
         SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
     ), sh AS (
@@ -890,7 +889,12 @@ def connected_components(
         SELECT r.u, e.v FROM reach r JOIN all_edges e ON r.v = e.u
     )
     SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
-    """,
+"""
+
+
+@register(
+    "dd7_dup_clusters",
+    oracle=_CC_CLUSTERS_SQL,
 )
 def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution at scale, over the WHOLE corpus (no
@@ -921,5 +925,88 @@ def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
+@register(
+    "dd9_canonical_keep",
+    oracle=f"""
+    WITH clusters AS ({_CC_CLUSTERS_SQL}),
+    member AS (
+        SELECT cluster_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY d.n_chars DESC, d.doc_id
+               ) AS rk
+        FROM clusters JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+           MAX(CASE WHEN rk = 1 THEN n_chars END) AS keep_n_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM member
+    GROUP BY cluster_id
+    HAVING COUNT(*) > 1
+    """,
+)
+def dd9_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection for near-dup clusters: for
+    every dd7 cluster with >1 member, keep the highest-QUALITY copy
+    (longest n_chars, doc_id tie-break) rather than dd7's min-doc_id
+    convention — the real "which copy survives" policy of a dedup
+    pipeline (quality-first keep, e.g. the least-truncated mirror of a
+    crawled page). Output is one row per non-singleton cluster: the
+    kept doc, member count, and the byte mass the collapse removes.
+
+    Shape: dd7's LSH → connected-components labels (never all-pairs)
+    joined to the doc metadata, then ONE per-cluster aggregate —
+    max_by(struct(n_chars, -doc_id)) picks the representative inside
+    the same hash aggregate that counts members, so there is no rank
+    window and no second shuffle: map-side partials collapse each
+    cluster's members before the exchange. At 100 TB cluster sizes are
+    bounded (duplicate families), so the aggregate state is tiny;
+    singletons are filtered AFTER the aggregate (HAVING n > 1), which
+    at scale should become a semi-join against the edge endpoints to
+    skip the singleton mass entirely. Reference parity: extension
+    scope (SURVEY §2h X1/X2 dedup)."""
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    edges = (
+        lsh_verified_pairs(spark, raw.select("doc_id", "text"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    comp = connected_components(edges)
+    labeled = (
+        raw.select("doc_id", "n_chars")
+        .join(comp, raw.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    # keep = lexicographically-max (n_chars, -doc_id): longest wins,
+    # smallest doc_id on ties — one struct max, no rank window
+    keep = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            keep.alias("k"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("k.neg_id")).alias("keep_doc_id"),
+            F.col("k.n_chars").alias("keep_n_chars"),
+            "total_chars",
         )
     )

@@ -455,6 +455,12 @@ def lm2_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity: cond-prob is an exact integer ratio; LN/AVG/EXP round(6)
     absorbs libm-ulp and sum-order drift (~1e-13 relative, far below
     the 1e-6 grid)."""
+    return _doc_perplexity(spark, sf_dir)
+
+
+def _doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm2's core: (doc_id, n_bigrams, avg_logp, perplexity) — shared
+    by lm2 (published directly) and lm3 (bucketed per language)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), " ").alias("t")
     )
@@ -485,6 +491,98 @@ def lm2_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(F.log("cp")), 6).alias("avg_logp"),
             F.round(F.exp(-F.avg(F.log("cp"))), 6).alias("perplexity"),
+        )
+    )
+
+
+# lm2's bigram-perplexity CTE chain, shared verbatim by lm3's oracle so
+# both engines score documents identically before bucketing.
+_PPL_SQL = """
+        SELECT doc_id, perplexity FROM (
+            WITH d AS (
+                SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+            ), p AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM d, UNNEST(range(1, len(t))) AS u(i)
+            ), bg AS (
+                SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2
+            ), un AS (
+                SELECT w1, SUM(c) AS wc FROM bg GROUP BY w1
+            ), m AS (
+                SELECT w1, w2, CAST(c AS DOUBLE) / wc AS cp
+                FROM bg JOIN un USING (w1)
+            )
+            SELECT p.doc_id, ROUND(EXP(-AVG(LN(cp))), 6) AS perplexity
+            FROM p JOIN m USING (w1, w2)
+            GROUP BY p.doc_id
+        )
+"""
+
+
+@register(
+    "lm3_perplexity_buckets",
+    oracle=f"""
+    WITH ppl AS (
+        SELECT doc_id, lang, perplexity
+        FROM ({_PPL_SQL}) JOIN documents USING (doc_id)
+    ), cut AS (
+        SELECT lang,
+               ROUND(quantile_cont(perplexity, 1.0 / 3), 6) AS p33,
+               ROUND(quantile_cont(perplexity, 2.0 / 3), 6) AS p66
+        FROM ppl GROUP BY lang
+    )
+    SELECT doc_id, lang, perplexity,
+           CASE WHEN perplexity <= p33 THEN 'head'
+                WHEN perplexity <= p66 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl JOIN cut USING (lang)
+    """,
+)
+def lm3_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every
+    document labeled head / middle / tail within its LANGUAGE by
+    corpus-LM perplexity terciles — the standard pretraining quality
+    split (head = fluent/boilerplate-like, tail = noise; CCNet trains
+    on head+middle). Scores come from lm2's bigram LM (shared
+    `_doc_perplexity`, identical 6dp rounding both engines).
+
+    Plan shape: NOT a per-language NTILE window — at 100 TB one
+    language is most of the corpus, so a rank window over
+    partitionBy(lang) is a single-reducer scale-killer. Instead the
+    per-language tercile CUTOFFS are computed as one exact interpolated
+    percentile aggregate (O(#langs) rows out; Spark `percentile` ==
+    DuckDB `quantile_cont`, the dq4 precedent, rounded 6dp so the
+    boundary compare is grid-exact cross-engine) and broadcast back
+    onto the doc-level relation — bucketing becomes a codegen CASE, no
+    second shuffle of corpus rows. The doc-level perplexity relation
+    feeds both the cutoff aggregate and the final join, so it is
+    localCheckpointed (the lm2/dd8 reuse lesson; at 100 TB a persisted
+    temp table). Exact percentiles keep the oracle hashable; a real
+    100 TB run would swap approx_percentile in at the same plan shape.
+    Reference parity: extension scope (SURVEY §2h, quality scoring)."""
+    ppl = (
+        _doc_perplexity(spark, sf_dir)
+        .select("doc_id", "perplexity")
+        .join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+        .localCheckpoint()
+    )
+    cut = ppl.groupBy("lang").agg(
+        F.round(F.expr("percentile(perplexity, 1.0D / 3)"), 6).alias("p33"),
+        F.round(F.expr("percentile(perplexity, 2.0D / 3)"), 6).alias("p66"),
+    )
+    return (
+        ppl.join(F.broadcast(cut), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "perplexity",
+            F.when(F.col("perplexity") <= F.col("p33"), "head")
+            .when(F.col("perplexity") <= F.col("p66"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
         )
     )
 

@@ -968,3 +968,74 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+      AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping (the last of the 22; nation pair
+    NATION_20/NATION_11 stands in for FRANCE/GERMANY): revenue flowing
+    between two specific nations, by supplier nation, customer nation,
+    and ship year. Both nation filters are applied on the DIM side
+    before the facts join — supplier and customer each shrink to the
+    two named nations' members and broadcast, so lineitem rows from
+    the other 23 supplier nations are dropped at the first (broadcast)
+    join and never reach the orderkey shuffle. The asymmetric-pair
+    predicate (20→11 or 11→20, not 20→20/11→11) runs after both
+    nation names are attached, in codegen. One fact-fact shuffle
+    (lineitem⋈orders on orderkey), everything else broadcast — at
+    100 TB the shuffled volume is ~2/25² of lineitem. Reference
+    parity: generalizes the dashboard's grouped revenue sums
+    (app.py:52-76) to a multi-dimension join group-by."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_20", "NATION_11")
+    )
+    s_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c_nat = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(s_nat), F.col("l_suppkey") == s_nat.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c_nat), o.o_custkey == c_nat.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -85,7 +85,10 @@ def register(
 # substantive operators re-earn rows first. Slack (if the cap rises)
 # falls to those via _MODULE_ORDER.
 _FRONT_QUERIES = [
-    # (0) NEW in r6 — need their first attestation
+    # (0) NEW in r6 — need their first attestation. Each name added
+    # here displaces one tail name past the ~50 cap (the displaced
+    # r03 rows join the 11 already deferred to r07's rotation).
+    "q7_volume_shipping",
     "bpe3_cached_shard_packing", "rk5_retrieval_eval",
     # (a) plan changed in r5, last driver-seen r04
     "x3_lsh_bucketed_topk", "x4_ivf_topk",
@@ -108,7 +111,9 @@ _FRONT_QUERIES = [
     "mm3_frame_sample", "mm4_media_resize", "mm5_perceptual_hash_dedup",
     "pp2_contamination_check", "pp5_repeated_ngrams", "rk1_bm25_score",
     "rk2_tfidf_postings", "rk3_doc_chunking",
-    "smp3_train_val_test", "tx11_rabin_winnowing",
+    "tx11_rabin_winnowing",
+    # smp3_train_val_test retired to r07 (hash-split sibling of the
+    # already-deferred smp2) to keep the cap at 50 with q7 added.
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. With 59 front

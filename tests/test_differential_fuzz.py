@@ -1163,3 +1163,66 @@ def test_plan_diversity_differential(join_engines):
     finally:
         for k, v in originals.items():
             spark.conf.set(k, v)
+
+
+# Grammar 21 (r6): RANDOMIZED PLAN DIVERSITY — grammar 20 compares six
+# fixed queries under four fixed conf contexts; this draws the conf
+# context and the query JOINTLY from hypothesis, so physical-surface
+# combinations nobody enumerated (e.g. codegen off + SMJ forced + a
+# FULL JOIN with a NULL group key, or shuffled-hash-join preference +
+# 1-partition exchanges) get compared against DuckDB too. Every axis
+# value is a supported runtime conf; results must be plan-invariant.
+PD_CONF_AXES = {
+    "spark.sql.adaptive.enabled": ["true", "false"],
+    "spark.sql.autoBroadcastJoinThreshold": ["10485760", "-1"],
+    "spark.sql.shuffle.partitions": ["1", "3", "32"],
+    "spark.sql.codegen.wholeStage": ["true", "false"],
+    "spark.sql.join.preferSortMergeJoin": ["true", "false"],
+}
+
+
+@given(
+    aggs=st.lists(
+        st.sampled_from(JOIN_AGGS), min_size=1, max_size=2, unique=True
+    ),
+    pred=st.sampled_from(JOIN_PREDS),
+    jt=st.sampled_from(JOIN_TYPES),
+    group=st.sampled_from(JOIN_GROUPS),
+    conf=st.fixed_dictionaries(
+        {},
+        optional={
+            k: st.sampled_from(v) for k, v in sorted(PD_CONF_AXES.items())
+        },
+    ),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_plan_diversity_differential(
+    join_engines, aggs, pred, jt, group, conf
+):
+    """A random join-grammar query under a random physical conf context
+    equals DuckDB; session confs restored even on failure."""
+    spark, con = join_engines
+    select = (f"{group}, " if group else "") + ", ".join(aggs)
+    sql = (
+        f"SELECT {select} FROM orders "
+        f"{jt} customer ON o_custkey = c_custkey"
+    )
+    if pred:
+        sql += f" WHERE {pred}"
+    if group:
+        sql += f" GROUP BY {group}"
+    originals = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        spdf = spark.sql(sql).toPandas()
+    finally:
+        for k, v in originals.items():
+            spark.conf.set(k, v)
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), (conf, sql)
+    assert _canon(spdf) == _canon(opdf), (conf, sql)
