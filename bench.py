@@ -86,6 +86,13 @@ EXTENDED_QUERIES = [
     "smp4_weighted_sample",
     "bpe3_cached_shard_packing",  # r6: packer on real BPE counts
     "x9_pq_topk",  # r6: PQ/ADC compressed ANN
+    # late r6 additions
+    "q7_volume_shipping",
+    "lm3_perplexity_buckets",
+    "dd9_canonical_keep",
+    "dd10_dup_graph_stats",
+    "dq5_neardup_rate_by_source",
+    "rk6_ndcg",
 ]
 
 

@@ -1010,3 +1010,188 @@ def dd9_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+@register(
+    "dd10_dup_graph_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
+    ), edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+              >= 0.5
+    ), deg AS (
+        SELECT node, COUNT(*) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node
+    ), tri AS (
+        SELECT COUNT(*) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(d * (d - 1) / 2.0) FROM deg), 6)
+               AS global_clustering
+    """,
+)
+def dd10_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural diagnostics of the near-dup graph — the health check
+    a dedup pipeline runs BEFORE collapsing clusters: node/edge counts,
+    max degree (a template or boilerplate hub shows up as a high-degree
+    node), triangle count, and the global clustering coefficient
+    (3·triangles / wedges — near 1 means tight mirror families, near 0
+    means chained false merges from transitive closure). Same LSH edge
+    relation as dd4/dd7 (doc_a < doc_b, verified Jaccard ≥ 0.5; dd4's
+    exact-pair hash match pins that LSH recovers every edge on this
+    corpus, so the counts are exact, not approximate).
+
+    Shape: distributed node-iterator triangle counting — edges joined
+    to edges on (e1.v = e2.u) then closed against a third edge scan:
+    two hash shuffles keyed on endpoints, work proportional to
+    Σ wedges, never nodes². Degrees are one endpoint-union aggregate.
+    All stats reduce to single rows and cross-join — O(1) output at
+    any corpus size; at 100 TB the wedge join is the only heavy stage
+    and is bounded by duplicate-family mass (the corpus-sized
+    singleton set never enters the edge relation)."""
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = (
+        lsh_verified_pairs(spark, raw)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint()  # three consumers: degrees + two triangle sides
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("_wedges"),
+    )
+    estats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tristats = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nstats.crossJoin(estats)
+        .crossJoin(tristats)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("_wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )
+
+
+@register(
+    "dq5_neardup_rate_by_source",
+    oracle=f"""
+    WITH clusters AS ({_CC_CLUSTERS_SQL}),
+    ex AS (
+        SELECT doc_id,
+               CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text)
+                    THEN 1 ELSE 0 END AS ex_rm
+        FROM documents
+    ), nd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END AS nd_rm
+        FROM clusters
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ex_rm) AS BIGINT) AS n_exact_removable,
+           CAST(SUM(nd_rm) AS BIGINT) AS n_neardup_removable,
+           ROUND(CAST(SUM(ex_rm) AS DOUBLE) / COUNT(*), 6) AS exact_rate,
+           ROUND(CAST(SUM(nd_rm) AS DOUBLE) / COUNT(*), 6) AS neardup_rate
+    FROM documents JOIN ex USING (doc_id) JOIN nd USING (doc_id)
+    GROUP BY source
+    """,
+)
+def dq5_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rates per SOURCE — the datasheet slice dq4 lacks:
+    for each source, how many docs an exact-dedup pass would remove
+    (keep-lowest-id per identical text) and how many a NEAR-dup pass
+    would remove on top (keep the dd7 cluster representative; dd7's
+    label IS the cluster's min doc_id, so removable ⟺ doc_id ≠
+    cluster_id — no second per-cluster aggregate needed). The
+    which-source-is-polluted diagnostic that decides crawl re-weighting
+    before training.
+
+    Shape: exact-dup removability from one groupBy(text) keep-min
+    relation joined back (at 100 TB both sides key on xxhash64(text),
+    never raw text — dd1's note); near-dup removability from dd7's
+    LSH→CC labels (bounded edge relation, O(log n) star rounds); one
+    per-source aggregate ends the plan, O(#sources) rows out. The
+    corpus is scanned once for text hashing and once inside the LSH
+    path; both are full-scan-then-shrink, no quadratic stage."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
+    ex = docs.join(keep, "text").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") != F.col("keep_id")).cast("int").alias("ex_rm"),
+    )
+    edges = (
+        lsh_verified_pairs(spark, docs.select("doc_id", "text"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    comp = connected_components(edges)
+    nd = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            (
+                F.col("doc_id")
+                != F.coalesce(F.col("component"), F.col("doc_id"))
+            )
+            .cast("int")
+            .alias("nd_rm"),
+        )
+    )
+    return (
+        ex.join(nd, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ex_rm").alias("n_exact_removable"),
+            F.sum("nd_rm").alias("n_neardup_removable"),
+            F.round(
+                F.sum("ex_rm").cast("double") / F.count(F.lit(1)), 6
+            ).alias("exact_rate"),
+            F.round(
+                F.sum("nd_rm").cast("double") / F.count(F.lit(1)), 6
+            ).alias("neardup_rate"),
+        )
+    )

@@ -743,3 +743,112 @@ def rk4_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= RRF_K)
         .select("query_id", "doc_id", "fused_rank")
     )
+
+
+NDCG_GRADE_CAP = 4  # graded relevance = min(tf, 4): caps 2^grade gain
+
+
+@register(
+    "rk6_ndcg",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, toks, LEN(toks) AS dl
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks
+              FROM documents)
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d
+    ), tf AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM d, UNNEST(toks) AS u(term)
+        WHERE term IN ({{_TERMS_SQL}})
+        GROUP BY term, doc_id, dl
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.term, tf.doc_id,
+               LEAST(tf.tf, {NDCG_GRADE_CAP}) AS grade,
+               ROUND(
+                   LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * ((tf * {{BM25_K1_P1}})
+                      / (tf + {{BM25_K1_L}}
+                         * ({{BM25_B_C}} + {{BM25_B_L}}
+                            * (dl / (sum_dl / n_docs))))),
+                   4) AS s
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+    ), ranked AS (
+        SELECT term, grade,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY s DESC, doc_id) AS rnk,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY grade DESC, doc_id) AS irnk
+        FROM scored
+    )
+    SELECT term,
+           ROUND(SUM(CASE WHEN rnk <= {{EVAL_K}}
+                          THEN (POWER(2, grade) - 1) / LOG2(rnk + 1)
+                          ELSE 0 END), 6) AS dcg_at_k,
+           ROUND(SUM(CASE WHEN irnk <= {{EVAL_K}}
+                          THEN (POWER(2, grade) - 1) / LOG2(irnk + 1)
+                          ELSE 0 END), 6) AS idcg_at_k,
+           ROUND(SUM(CASE WHEN rnk <= {{EVAL_K}}
+                          THEN (POWER(2, grade) - 1) / LOG2(rnk + 1)
+                          ELSE 0 END)
+                 / SUM(CASE WHEN irnk <= {{EVAL_K}}
+                            THEN (POWER(2, grade) - 1) / LOG2(irnk + 1)
+                            ELSE 0 END), 6) AS ndcg_at_k
+    FROM ranked GROUP BY term
+    """.format(
+        _TERMS_SQL=_TERMS_SQL,
+        BM25_K1_P1=BM25_K1 + 1.0,
+        BM25_K1_L=BM25_K1,
+        BM25_B_C=1.0 - BM25_B,
+        BM25_B_L=BM25_B,
+        EVAL_K=EVAL_K,
+    ),
+)
+def rk6_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{EVAL_K} of the rk1 BM25 ranking — the graded-relevance
+    complement to rk5's binary MRR/recall/AP: gain = min(tf,
+    {NDCG_GRADE_CAP}) (a labels table in production), DCG over the
+    score ranking, IDCG over the grade-ideal ranking, both truncated
+    at {EVAL_K}. Completes the standard retrieval-eval metric set.
+
+    Shape: rk1's term-filtered relation, TWO per-term rank windows
+    (actual and ideal order — same bounded partition, docs matching a
+    term, computed in one shuffle since both windows share the
+    partition key), one per-term aggregate. DCG sums ≤{EVAL_K} terms
+    of (2^g − 1)/log2(r+1); round(6) absorbs the ≤1-ulp add-order
+    drift (rk5's avg_precision precedent). At 100 TB both windows
+    become per-query top-k heap merges (t2's shape)."""
+    r = rk1_bm25_score(spark, sf_dir).select(
+        "term",
+        "doc_id",
+        F.least(F.col("tf"), F.lit(NDCG_GRADE_CAP)).alias("grade"),
+        F.round("score", 4).alias("s"),
+    )
+    w_actual = Window.partitionBy("term").orderBy(
+        F.desc("s"), F.asc("doc_id")
+    )
+    w_ideal = Window.partitionBy("term").orderBy(
+        F.desc("grade"), F.asc("doc_id")
+    )
+    gain = F.pow(F.lit(2.0), F.col("grade")) - 1
+    ranked = r.select(
+        "term",
+        "grade",
+        F.row_number().over(w_actual).alias("rnk"),
+        F.row_number().over(w_ideal).alias("irnk"),
+    )
+    dcg = F.sum(
+        F.when(F.col("rnk") <= EVAL_K, gain / F.log2(F.col("rnk") + 1))
+        .otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(F.col("irnk") <= EVAL_K, gain / F.log2(F.col("irnk") + 1))
+        .otherwise(0.0)
+    )
+    return ranked.groupBy("term").agg(
+        F.round(dcg, 6).alias("dcg_at_k"),
+        F.round(idcg, 6).alias("idcg_at_k"),
+        F.round(dcg / idcg, 6).alias("ndcg_at_k"),
+    )

@@ -211,3 +211,42 @@ def test_media_corpus_build_is_scalable(spark, sf_dir):
 
     stats = assert_scalable(clean_media_corpus(spark, sf_dir))
     assert "arrow-python(ok)" in stats.flags, stats.plan
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """Scale pin: when a fact⋈fact join has a selective filter on one
+    side and broadcast is off (the 100 TB shape — neither side fits),
+    Spark injects a runtime bloom filter: the filtered side's join
+    keys are bloom-aggregated and might_contain() is pushed into the
+    big side's scan-side Filter, so most of the big fact is dropped
+    before the shuffle. The engine relies on this at scale, so pin
+    that the injection actually fires on our session (thresholds are
+    size-gated; production tuning lowers the application-side gate the
+    same way) AND that results are identical with and without it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    q = lambda: (  # noqa: E731
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    originals = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        with_bloom = {r["l_returnflag"]: r["n"] for r in df.collect()}
+    finally:
+        for k, v in originals.items():
+            spark.conf.set(k, v)
+    baseline = {r["l_returnflag"]: r["n"] for r in q().collect()}
+    assert with_bloom == baseline and baseline
