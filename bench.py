@@ -93,6 +93,10 @@ EXTENDED_QUERIES = [
     "dd10_dup_graph_stats",
     "dq5_neardup_rate_by_source",
     "rk6_ndcg",
+    "pp9_dup_span_mask",
+    "tx14_quality_logit",
+    "lm4_kneser_ney",
+    "x10_mmr_topk",
 ]
 
 

@@ -1318,3 +1318,135 @@ def dsir_score_tokens(tok: DataFrame, vocab: DataFrame) -> DataFrame:
             F.round(F.sum(F.log(ratio)), 6).alias("log_ratio"),
         )
     )
+
+
+@register(
+    "pp9_dup_span_mask",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
+    ), tt AS (
+        SELECT doc_id, toks, LEN(toks) AS n FROM t
+        WHERE LEN(toks) >= {NGRAM_N}
+    ), g AS (
+        SELECT doc_id, i AS start,
+               array_to_string(toks[i:i+{NGRAM_N - 1}], ' ') AS gram
+        FROM tt, UNNEST(generate_series(1, n - {NGRAM_N - 1})) AS s(i)
+    ), dg AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+        SELECT DISTINCT doc_id, p
+        FROM g JOIN dg USING (gram),
+             UNNEST(generate_series(start, start + {NGRAM_N - 1})) AS u(p)
+    ), isl AS (
+        SELECT doc_id,
+               CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         = 1
+                    THEN 0 ELSE 1 END AS brk
+        FROM cov
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS ndt, SUM(brk) AS nds
+        FROM isl GROUP BY doc_id
+    )
+    SELECT tt.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ndt, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(COALESCE(nds, 0) AS BIGINT) AS n_dup_spans,
+           ROUND(CAST(COALESCE(ndt, 0) AS DOUBLE) / n, 6) AS dup_ratio
+    FROM tt LEFT JOIN agg USING (doc_id)
+    """,
+)
+def pp9_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document REMOVAL MASK of the Lee et al. exact-substring
+    dedup recipe — the transform pp5's report feeds: for every doc,
+    how many token positions are covered by at least one word
+    {NGRAM_N}-gram that also occurs in another document, how many
+    maximal contiguous duplicated spans those positions form, and the
+    duplicated-token fraction. A corpus build drops or trims docs by
+    ``dup_ratio``; ``n_dup_spans`` distinguishes one long boilerplate
+    block (trimmable) from scattered collisions (noise).
+
+    Reference parity: extension X2 scope (SURVEY §2h) — composes pp5's
+    duplicated-gram relation back onto positions, the public
+    suffix-array span-removal semantics at fixed width.
+
+    Shape: the positioned gram relation is materialized ONCE
+    (localCheckpoint — three consumers: the dup-gram aggregate, the
+    join-back, and per-doc totals derived from max(start), so the
+    corpus text is scanned exactly once and never re-exploded; dd8's
+    pattern). Coverage union = explode of {NGRAM_N} positions per
+    DUPLICATED occurrence only (bounded by duplicate mass, not corpus
+    mass) then a distinct. The island count is a per-doc window over
+    covered positions — partition size ≤ doc length, never
+    corpus-sized. At 100 TB: join and group on xxhash64(gram) (16 B
+    shuffle rows, pp5's note), and the dup-gram side of the join-back
+    stays partitioned by the same key as the grouped relation — no
+    extra exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= NGRAM_N)
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - (NGRAM_N - 1))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.concat_ws(
+                " ", F.expr(f"slice(toks, start, {NGRAM_N})")
+            ).alias("gram"),
+        )
+        .localCheckpoint()
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (NGRAM_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = covered.select(
+        "doc_id",
+        F.when(F.col("p") - F.lag("p").over(w) == 1, 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    agg = isl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ndt"), F.sum("brk").alias("nds")
+    )
+    totals = grams.groupBy("doc_id").agg(
+        (F.max("start") + (NGRAM_N - 1)).cast("long").alias("n_tokens")
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("ndt"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+        F.coalesce(F.col("nds"), F.lit(0)).cast("long").alias(
+            "n_dup_spans"
+        ),
+        F.round(
+            F.coalesce(F.col("ndt"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_ratio"),
+    )

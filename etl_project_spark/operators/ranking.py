@@ -852,3 +852,96 @@ def rk6_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(idcg, 6).alias("idcg_at_k"),
         F.round(dcg / idcg, 6).alias("ndcg_at_k"),
     )
+
+
+KN_DISCOUNT = 0.75  # absolute discount D (Chen & Goodman's fixed-D KN)
+
+
+@register(
+    "lm4_kneser_ney",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), p AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(t))) AS u(i)
+    ), bg AS (
+        SELECT w1, w2, COUNT(*) AS c FROM p GROUP BY w1, w2
+    ), s AS (
+        SELECT w1, w2, c,
+               CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+               COUNT(*) OVER (PARTITION BY w1) AS n1f,
+               COUNT(*) OVER (PARTITION BY w2) AS n1b,
+               COUNT(*) OVER () AS ty
+        FROM bg
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS bigram_count,
+           ROUND(CAST(n1b AS DOUBLE) / ty, 6) AS p_cont,
+           ROUND((c - {KN_DISCOUNT}) / c1
+                 + ({KN_DISCOUNT} * n1f / c1)
+                   * (CAST(n1b AS DOUBLE) / ty), 6) AS p_kn
+    FROM s
+    """,
+)
+def lm4_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (fixed absolute
+    discount D={KN_DISCOUNT}) — the smoothing KenLM actually ships and
+    the lm1 MLE model's production-grade sibling: P_KN(w2|w1) =
+    max(c-D,0)/c(w1.) + D.N1+(w1.)/c(w1.) . P_cont(w2), with the
+    continuation probability P_cont(w2) = N1+(.w2) / |bigram types|
+    (how many contexts a word FOLLOWS, not how often — the "Francisco
+    problem" fix). Emitted per observed bigram type; unseen-bigram
+    backoff applies the same lambda to P_cont alone, same relation.
+
+    Reference parity: extension X4 scope (SURVEY §2h); public Chen &
+    Goodman 1999 formulation.
+
+    Shape: ONE corpus scan and ONE corpus-mass shuffle (the bigram
+    count aggregate, map-side-combined); everything after operates on
+    the vocabulary-sized bigram-type relation — two hash-partitioned
+    windows (by w1: left total + follow-set size; by w2: precede-set
+    size) and one broadcast scalar for the type count (computed from
+    the materialized relation, not a corpus re-scan; single-partition
+    global windows never touch corpus-sized data). At 100 TB the type
+    relation is billions of rows but each window partition is one
+    word's continuation set — bounded by vocabulary interactions, and
+    both windows shuffle the same narrow (w1, w2, c) rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(F.lower("text"), " ").alias("t")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # two window consumers + the type-count scalar
+    )
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    ty = bg.agg(F.count(F.lit(1)).alias("ty"))
+    enriched = bg.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(w1w).alias("c1"),
+        F.count(F.lit(1)).over(w1w).alias("n1f"),
+        F.count(F.lit(1)).over(w2w).alias("n1b"),
+    ).crossJoin(F.broadcast(ty))
+    p_cont = F.col("n1b").cast("double") / F.col("ty")
+    return enriched.select(
+        "w1",
+        "w2",
+        F.col("c").alias("bigram_count"),
+        F.round(p_cont, 6).alias("p_cont"),
+        F.round(
+            (F.col("c") - KN_DISCOUNT) / F.col("c1")
+            + (KN_DISCOUNT * F.col("n1f") / F.col("c1")) * p_cont,
+            6,
+        ).alias("p_kn"),
+    )

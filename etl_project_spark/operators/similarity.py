@@ -1095,3 +1095,194 @@ def x8_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nn_rank") <= TOP_K)
     )
+
+
+MMR_LAMBDA = 0.7  # relevance weight (display only; arithmetic is integer)
+MMR_DIV = 0.3  # diversity weight
+MMR_L7 = 7  # integer micro-unit weights: mmr_e7 = 7*sim_e6 - 3*maxsim_e6
+MMR_D7 = 3  # (exact in both engines — no float rounding boundary)
+MMR_SHORTLIST = 25  # relevance shortlist per query fed to the greedy
+MMR_K = 10  # diversified results per query
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a fixed CTE chain (the bpe1 precedent:
+    iterative algorithms oracle-ized by unrolling a known step count).
+    Step 1 picks argmax relevance; step n computes, for every
+    unselected shortlist member, max similarity to the selected set and
+    picks argmax of lambda*rel - (1-lambda)*maxsim."""
+    steps = []
+    for n in range(2, MMR_K + 1):
+        steps.append(f"""
+    cand{n} AS MATERIALIZED (
+        SELECT s.query_id, s.vec_id, s.sqm, MAX(p.simm) AS msm
+        FROM sl s
+        JOIN selall{n - 1} u ON u.query_id = s.query_id
+        JOIN pair p ON p.query_id = s.query_id
+             AND p.a = s.vec_id AND p.b = u.vec_id
+        WHERE NOT EXISTS (SELECT 1 FROM selall{n - 1} x
+                          WHERE x.query_id = s.query_id
+                            AND x.vec_id = s.vec_id)
+        GROUP BY s.query_id, s.vec_id, s.sqm
+    ), sel{n} AS MATERIALIZED (
+        SELECT query_id, vec_id,
+               {MMR_L7} * sqm - {MMR_D7} * msm AS mmr, {n} AS rnk
+        FROM cand{n}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY {MMR_L7} * sqm - {MMR_D7} * msm DESC, vec_id
+        ) = 1
+    ), selall{n} AS MATERIALIZED (
+        SELECT query_id, vec_id FROM selall{n - 1}
+        UNION ALL SELECT query_id, vec_id FROM sel{n}
+    )""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM sel{n}" for n in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), sl AS MATERIALIZED (
+        SELECT query_id, vec_id, cv,
+               CAST(ROUND(ROUND(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))), 6)
+                    * 1000000) AS BIGINT) AS sqm
+        FROM q CROSS JOIN c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY ROUND(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv))
+                              * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                     vec_id
+        ) <= {MMR_SHORTLIST}
+    ), pair AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+               CAST(ROUND(ROUND(list_dot_product(a.cv, b.cv)
+                     / (sqrt(list_dot_product(a.cv, a.cv))
+                        * sqrt(list_dot_product(b.cv, b.cv))), 6)
+                    * 1000000) AS BIGINT) AS simm
+        FROM sl a JOIN sl b
+             ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ), sel1 AS MATERIALIZED (
+        SELECT query_id, vec_id, {MMR_L7} * sqm AS mmr, 1 AS rnk
+        FROM sl
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sqm DESC, vec_id
+        ) = 1
+    ), selall1 AS MATERIALIZED (
+        SELECT query_id, vec_id FROM sel1
+    ),{",".join(steps)}
+    SELECT query_id, CAST(rnk AS INT) AS mmr_rank, vec_id,
+           CAST(mmr AS BIGINT) AS mmr_score_e7
+    FROM ({union})
+    """
+
+
+@register("x10_mmr_topk", oracle=_mmr_oracle())
+def x10_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-{MMR_K}: greedy rerank of a {MMR_SHORTLIST}-deep
+    relevance shortlist, each step picking argmax of
+    lambda*rel(q,d) - (1-lambda)*max_sim(d, selected) — the standard
+    dedup-at-serving step for RAG retrieval and the selection rule
+    behind diverse few-shot example picking. All similarities are
+    rounded to 6dp integer MICRO-UNITS before the greedy and the MMR
+    score is the exact int64 7*sim_e6 - 3*maxsim_e6 (lambda=0.7 in
+    1e-7 units): every comparison and the emitted score are integer,
+    so no cross-engine float-rounding boundary exists anywhere in the
+    greedy (a 6dp-float formulation measurably hit the half-case grid
+    — 0.7*x-0.3*y over 6dp operands lands on exact 1e-7 decimals).
+    Ties break on vec_id.
+
+    Reference parity: extension X3 scope (SURVEY §2h).
+
+    Shape: shortlist = x1's broadcast-queries crossJoin + per-query
+    top-k window (at 100 TB the shortlist comes from the ANN index —
+    x3/x4/x9 — instead of the exact scan; the greedy stage is
+    unchanged). The greedy itself is applyInPandas over query_id
+    groups: each group is <= {MMR_SHORTLIST} rows — O(k * shortlist)
+    work on one {MMR_SHORTLIST}x{MMR_SHORTLIST} GEMM, bounded and
+    embarrassingly parallel across queries; never corpus-sized. The
+    oracle unrolls the {MMR_K}-step greedy as a CTE chain (bpe1's
+    fixed-round precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES)
+    sq = F.round(cosine_sim(F.col("qv"), F.col("e")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sq"), F.asc("vec_id"))
+    sl = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "vec_id", "e", sq.alias("sq"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .drop("rn")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        # accumulate dots/norms in INDEX order (k-major outer products),
+        # bit-identical to the engines' sequential list_dot_product
+        # fold — a GEMM's blocked/pairwise accumulation drifts at ulp
+        # scale and could flip a 6dp rounding boundary
+        m = E.shape[0]
+        dots = np.zeros((m, m))
+        norm2 = np.zeros(m)
+        for k in range(E.shape[1]):
+            col = E[:, k]
+            dots += np.outer(col, col)
+            norm2 += col * col
+        norms = np.sqrt(norm2)
+        S = dots / np.outer(norms, norms)
+        # 6dp round (half away from zero, matching both engines' ROUND)
+        # straight into integer micro-units — all downstream greedy
+        # arithmetic and comparisons are EXACT int64, so no float
+        # rounding boundary can flip a pick or perturb the hash
+        S_m = (np.floor(np.abs(S) * 1e6 + 0.5) * np.sign(S)).astype(
+            np.int64
+        )
+        sq_m = np.rint(pdf["sq"].to_numpy() * 1e6).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        out = []
+        remaining = np.ones(n, dtype=bool)
+        sentinel = np.iinfo(np.int64).min
+        for rnk in range(1, min(MMR_K, n) + 1):
+            if rnk == 1:
+                score = MMR_L7 * sq_m
+            else:
+                ms = S_m[:, selected].max(axis=1)
+                score = MMR_L7 * sq_m - MMR_D7 * ms
+            masked = np.where(remaining, score, sentinel)
+            best = masked.max()
+            # tie-break: smallest vec_id among equal scores (ids are
+            # ascending, argmax returns the first maximum)
+            pick = int(np.argmax(masked == best))
+            out.append(
+                (int(pdf["query_id"].iloc[0]), rnk, int(ids[pick]),
+                 int(score[pick]))
+            )
+            selected.append(pick)
+            remaining[pick] = False
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "mmr_rank", "vec_id", "mmr_score_e7"],
+        )
+
+    return sl.groupBy("query_id").applyInPandas(
+        greedy,
+        schema=(
+            "query_id long, mmr_rank int, vec_id long, mmr_score_e7 long"
+        ),
+    )

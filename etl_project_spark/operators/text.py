@@ -848,3 +848,96 @@ def tx13_shared_span_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "gram", "pos_a", "pos_b", "occ_a", "occ_b"
         )
     )
+
+
+# Fixed quality-classifier weights (a stand-in for a trained
+# fasttext/logistic quality model's coefficients — production swaps
+# these literals for the trained vector; the PLAN is weight-agnostic).
+QL_BIAS = -3.8
+QL_W_LOGTOK = 0.5  # ln(token count): longer docs score higher
+QL_W_MEANLEN = 0.2  # mean token length
+QL_W_ALPHA = 2.5  # alphabetic-character ratio
+QL_W_STOP = 3.0  # stopword ratio (fluent prose signal)
+QL_W_DUP = -2.5  # duplicate-token ratio (boilerplate penalty)
+
+
+@register(
+    "tx14_quality_logit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS lt,
+               str_split(lower(text), ' ') AS tk
+        FROM documents
+    ), z AS (
+        SELECT doc_id,
+               {QL_BIAS}
+               + {QL_W_LOGTOK} * LN(LEN(tk))
+               + {QL_W_MEANLEN} * (CAST(LENGTH(replace(lt, ' ', ''))
+                                        AS DOUBLE) / LEN(tk))
+               + {QL_W_ALPHA} * (CAST(LENGTH(regexp_replace(
+                                     lt, '[^a-z]', '', 'g')) AS DOUBLE)
+                                 / LENGTH(lt))
+               + {QL_W_STOP} * (CAST(LEN(list_filter(tk,
+                                    x -> list_contains(
+                                        {_GQ_STOPWORDS!r}, x))) AS DOUBLE)
+                                / LEN(tk))
+               + {QL_W_DUP} * (1.0 - CAST(LEN(list_distinct(tk))
+                                          AS DOUBLE) / LEN(tk))
+               AS z
+        FROM t
+    )
+    SELECT doc_id, ROUND(z, 6) AS logit,
+           ROUND(1.0 / (1.0 + EXP(-z)), 6) AS prob,
+           z >= 0 AS keep
+    FROM z
+    """,
+)
+def tx14_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the fasttext/CCNet-style learned
+    quality classifier step that follows tx8's heuristic gates in a
+    production corpus pipeline: a logistic score over the same five
+    document features (log token count, mean token length, alphabetic
+    ratio, stopword ratio, duplicate-token ratio), with the keep
+    decision at P >= 0.5 (equivalently logit >= 0, so the boolean is
+    decided on exact sign, never on a rounded float).
+
+    Reference parity: extension X4 scope (SURVEY §2h); the weights are
+    documented stand-ins — swapping in trained coefficients changes
+    literals only, not the plan.
+
+    Shape: pure per-row expression arithmetic — one scan, zero
+    shuffles, zero Python, whole-stage codegen end to end; identical
+    at any corpus size (the 100 TB plan is this plan). The logistic
+    uses exp() from each engine's libm; ROUND(6) absorbs the <=1-ulp
+    divergence (rk5 precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    tk = F.split(low, " ")
+    n = F.size(tk)
+    mean_len = F.length(F.regexp_replace(low, " ", "")).cast("double") / n
+    alpha = (
+        F.length(F.regexp_replace(low, "[^a-z]", "")).cast("double")
+        / F.length(low)
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _GQ_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n
+    )
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n
+    z = (
+        F.lit(QL_BIAS)
+        + F.lit(QL_W_LOGTOK) * F.log(n.cast("double"))
+        + F.lit(QL_W_MEANLEN) * mean_len
+        + F.lit(QL_W_ALPHA) * alpha
+        + F.lit(QL_W_STOP) * stop_ratio
+        + F.lit(QL_W_DUP) * dup_ratio
+    )
+    return docs.select(
+        "doc_id",
+        F.round(z, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
+        (z >= 0).alias("keep"),
+    )

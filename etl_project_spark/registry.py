@@ -88,6 +88,8 @@ _FRONT_QUERIES = [
     # (0) NEW in r6 — need their first attestation. Each name added
     # here displaces one tail name past the ~50 cap (the displaced
     # r03 rows join the 11 already deferred to r07's rotation).
+    "pp9_dup_span_mask", "tx14_quality_logit", "lm4_kneser_ney",
+    "x10_mmr_topk",
     "dd10_dup_graph_stats", "dq5_neardup_rate_by_source", "rk6_ndcg",
     "lm3_perplexity_buckets", "dd9_canonical_keep",
     "q7_volume_shipping",
@@ -116,10 +118,12 @@ _FRONT_QUERIES = [
     "tx11_rabin_winnowing",
     # smp3_train_val_test retired to r07 (hash-split sibling of the
     # already-deferred smp2) to keep the cap at 50 with q7 added.
-    # With the five late-r6 ops (dd9/dd10/dq5/lm3/rk6) front-loaded,
-    # the last five r03 rows above (pp5, rk1, rk2, rk3, tx11) fall
-    # past the ~50 cap and join the r07 rotation; rk1/rk2/rk3 stay
-    # indirectly exercised — rk6 composes rk1's scored relation.
+    # With the eight late-r6 ops (pp9/tx14/lm4 + dd9/dd10/dq5/lm3/rk6)
+    # front-loaded, the last eight r03 rows above (mm5, pp2, pp5, rk1,
+    # rk2, rk3, tx11, mm4) fall past the ~50 cap and join the r07
+    # rotation; rk1-rk3 stay indirectly exercised (rk6 composes rk1's
+    # scored relation), pp5's gram relation via pp9, and mm4/mm5 via
+    # the media-corpus pytest jobs.
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. With 59 front

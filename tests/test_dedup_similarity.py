@@ -180,3 +180,67 @@ def test_prefix_join_equals_lsh_verified_pairs(spark, sf_dir):
         for r in get("dd4_minhash_lsh_pairs").fn(spark, sf_dir).collect()
     }
     assert dd8 == dd4
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
+    """MMR's selected set must (a) contain the single most relevant
+    candidate first, (b) never repeat a vec_id within a query, and
+    (c) have max pairwise similarity no higher than the plain top-k
+    set's on average — the property the operator exists to buy."""
+    mmr = similarity.x10_mmr_topk(spark, sf_dir)
+    rows = mmr.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == similarity.N_QUERIES
+    emb = {
+        r["vec_id"]: r["e"]
+        for r in similarity.load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .collect()
+    }
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(
+            a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))
+        )
+
+    def max_pair_sim(ids):
+        return max(
+            cos(emb[x], emb[y])
+            for i, x in enumerate(ids)
+            for y in ids[i + 1 :]
+        )
+
+    exact = similarity.x1_topk_cosine_exact(spark, sf_dir).collect()
+    topk_by_q: dict[int, list] = {}
+    for r in exact:
+        topk_by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+
+    diffs = []
+    for qid, sel in by_q.items():
+        sel.sort(key=lambda r: r["mmr_rank"])
+        ids = [r["vec_id"] for r in sel]
+        assert len(set(ids)) == len(ids) == similarity.MMR_K
+        # rank 1 == argmax of the 6dp-ROUNDED relevance: within one
+        # rounding step of the exact top-1's similarity
+        qv = emb[qid]
+        assert cos(qv, emb[ids[0]]) >= cos(qv, emb[topk_by_q[qid][0]]) - 2e-6
+        # from rank 2 on, scores are non-increasing: the selected set
+        # only grows (max-sim penalty is monotone) and the candidate
+        # pool only shrinks. (rank1 -> rank2 CAN rise: negative
+        # cosines make the penalty term positive.)
+        scores = [r["mmr_score_e7"] for r in sel]
+        assert all(
+            s1 >= s2 for s1, s2 in zip(scores[1:], scores[2:])
+        ), scores
+        diffs.append(
+            max_pair_sim(topk_by_q[qid][: similarity.TOP_K])
+            - max_pair_sim(ids[: similarity.TOP_K])
+        )
+    # diversification helps on average across the query set
+    assert sum(diffs) / len(diffs) >= 0

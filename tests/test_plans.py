@@ -250,3 +250,24 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
             spark.conf.set(k, v)
     baseline = {r["l_returnflag"]: r["n"] for r in q().collect()}
     assert with_bloom == baseline and baseline
+
+
+def test_pp9_corpus_scanned_once(spark, sf_dir):
+    """pp9: the positioned gram relation is materialized (eager
+    localCheckpoint) before fanning out to the dup-gram aggregate, the
+    join-back, and the per-doc totals — zero parquet scans in the
+    final plan (dd8's pin, same HOF-explode/ReuseExchange reason)."""
+    df = all_queries()["pp9_dup_span_mask"](spark, sf_dir)
+    stats = assert_scalable(df)
+    assert stats.scans == 0, stats.plan
+    assert "Scan ExistingRDD" in stats.plan, stats.plan
+
+
+def test_lm4_corpus_scanned_once(spark, sf_dir):
+    """lm4: the bigram-type relation is materialized once; the two
+    rank windows and the type-count scalar all read the checkpoint —
+    zero parquet scans, and the scalar joins broadcast."""
+    df = all_queries()["lm4_kneser_ney"](spark, sf_dir)
+    stats = assert_scalable(df)
+    assert stats.scans == 0, stats.plan
+    assert stats.broadcasts >= 1, stats.plan
