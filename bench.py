@@ -97,6 +97,8 @@ EXTENDED_QUERIES = [
     "tx14_quality_logit",
     "lm4_kneser_ney",
     "x10_mmr_topk",
+    "mm8_scene_cuts",
+    "pp10_trim_dup_spans",
 ]
 
 

@@ -767,3 +767,91 @@ def mm7_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_luma",
         F.round(F.col("sum_luma") / Y4M_PLANE, 6).alias("mean_luma"),
     )
+
+
+MM8_CUT_SAD = 4096  # scene-cut threshold on the luma SAD (tuned below)
+
+
+@register(
+    "mm8_scene_cuts",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                   CAST(ceil({Y4M_STREAM}.0 / length(text)) AS INT)),
+                   1, {Y4M_STREAM}) AS s
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, i AS frame_idx,
+               list_transform(
+                   str_split_regex(
+                       substring(s, i * {Y4M_FSZ} + 1, {Y4M_PLANE}), ''),
+                   c -> ord(c)) AS y
+        FROM base,
+             UNNEST([{", ".join(str(i) for i in range(Y4M_FRAMES))}])
+                 AS u(i)
+    ), tr AS (
+        SELECT a.doc_id, b.frame_idx,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {Y4M_PLANE}),
+                   k -> abs(a.y[k] - b.y[k]))) AS BIGINT) AS sad
+        FROM fr a JOIN fr b
+             ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx + 1
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           sad,
+           ROUND(CAST(sad AS DOUBLE) / {Y4M_PLANE}, 6) AS mean_abs_delta,
+           sad > {MM8_CUT_SAD} AS is_cut
+    FROM tr
+    """,
+)
+def mm8_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over the Y4M clips — the
+    temporal step a video-corpus pipeline runs after mm7's per-frame
+    screens: the luma SAD (sum of absolute differences) between every
+    consecutive frame pair, with a cut flagged where SAD exceeds
+    {MM8_CUT_SAD} (mean abs delta > {MM8_CUT_SAD}/{Y4M_PLANE} per
+    pixel). Cut boundaries decide keyframe extraction and clip
+    segmentation before any frame reaches an embedding model. The SAD
+    is an exact integer in both engines; the cut decision compares
+    integers, so no float boundary exists.
+
+    Reference parity: extension X2' multimodal scope (SURVEY §2h);
+    the same demuxer walk as mm7 (decode_y4m), one more temporal
+    reduction.
+
+    Shape: one Arrow pass over payloads; each clip's frames are local
+    to its row, so consecutive-frame deltas need NO self-join or
+    window on the engine side (the oracle's join is the relational
+    re-expression, not the plan) — output rows = clips x (frames-1);
+    zero shuffles after the fixture's pinned repartition. At 100 TB:
+    identical — temporal locality inside the payload is the point."""
+    video = video_table(spark, sf_dir)
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                planes = decode_y4m(bytes(buf))
+                y = planes[:, 0].astype(np.int64)
+                sads = np.abs(y[1:] - y[:-1]).sum(axis=(1, 2))
+                for i, sad in enumerate(sads, start=1):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": i,
+                            "sad": int(sad),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    acc = video.select("media_id", "payload").mapInPandas(
+        cuts, schema="media_id long, frame_idx long, sad long"
+    )
+    return acc.select(
+        "media_id",
+        "frame_idx",
+        "sad",
+        F.round(F.col("sad") / Y4M_PLANE, 6).alias("mean_abs_delta"),
+        (F.col("sad") > MM8_CUT_SAD).alias("is_cut"),
+    )

@@ -1320,10 +1320,61 @@ def dsir_score_tokens(tok: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "pp9_dup_span_mask",
-    oracle=f"""
-    WITH t AS (
+def _grams_and_covered(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of pp9/pp10: the positioned {NGRAM_N}-gram relation
+    (localCheckpointed — it feeds the dup-gram aggregate, the
+    join-back, and pp9's totals, so the corpus is scanned once) and
+    the distinct (doc_id, position) set covered by >=2-doc grams
+    (bounded by duplicate mass, not corpus mass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= NGRAM_N)
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - (NGRAM_N - 1))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.concat_ws(
+                " ", F.expr(f"slice(toks, start, {NGRAM_N})")
+            ).alias("gram"),
+        )
+        .localCheckpoint()
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (NGRAM_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    return grams, covered
+
+
+# Shared oracle CTE block: token arrays, the positioned gram relation,
+# >=2-doc duplicated grams, and the distinct covered (doc_id, position)
+# set — the relational core of pp9 (mask stats) and pp10 (the trim).
+_DUP_COV_CTES = f"""
+    t AS (
         SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
     ), tt AS (
         SELECT doc_id, toks, LEN(toks) AS n FROM t
@@ -1339,7 +1390,13 @@ def dsir_score_tokens(tok: DataFrame, vocab: DataFrame) -> DataFrame:
         SELECT DISTINCT doc_id, p
         FROM g JOIN dg USING (gram),
              UNNEST(generate_series(start, start + {NGRAM_N - 1})) AS u(p)
-    ), isl AS (
+    )"""
+
+
+@register(
+    "pp9_dup_span_mask",
+    oracle=f"""
+    WITH {_DUP_COV_CTES}, isl AS (
         SELECT doc_id,
                CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
                          = 1
@@ -1383,45 +1440,7 @@ def pp9_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle rows, pp5's note), and the dup-gram side of the join-back
     stays partitioned by the same key as the grouped relation — no
     extra exchange."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .filter(F.col("n") >= NGRAM_N)
-    )
-    grams = (
-        toks.select(
-            "doc_id",
-            "toks",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n") - (NGRAM_N - 1))
-            ).alias("start"),
-        )
-        .select(
-            "doc_id",
-            "start",
-            F.concat_ws(
-                " ", F.expr(f"slice(toks, start, {NGRAM_N})")
-            ).alias("gram"),
-        )
-        .localCheckpoint()
-    )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    covered = (
-        grams.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (NGRAM_N - 1))
-            ).alias("p"),
-        )
-        .distinct()
-    )
+    grams, covered = _grams_and_covered(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = covered.select(
         "doc_id",
@@ -1449,4 +1468,71 @@ def pp9_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens"),
             6,
         ).alias("dup_ratio"),
+    )
+
+
+@register(
+    "pp10_trim_dup_spans",
+    oracle=f"""
+    WITH {_DUP_COV_CTES}, cl AS (
+        SELECT doc_id, list(p) AS cov FROM cov GROUP BY doc_id
+    ), kt AS (
+        SELECT t.doc_id, t.toks,
+               list_transform(
+                   list_filter(generate_series(1, LEN(t.toks)),
+                               k -> cov IS NULL
+                                    OR NOT list_contains(cov, k)),
+                   k -> t.toks[k]) AS kept
+        FROM t LEFT JOIN cl USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(kept) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(kept, ' '), '') AS trimmed_text
+    FROM kt
+    """,
+)
+def pp10_trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-removal TRANSFORM the pp9 mask drives — Lee et al.'s
+    actual dedup step: every token position covered by a >=2-doc
+    {NGRAM_N}-gram is dropped and the document is reassembled from the
+    surviving tokens in order (fully-duplicated docs come out empty;
+    docs shorter than {NGRAM_N} tokens pass through untouched). The
+    output corpus is what a cleaned pre-training shard actually
+    contains, so the whole string is hash-checked, not just counts.
+
+    Reference parity: extension X2 scope (SURVEY §2h), completing
+    pp5 (report) -> pp9 (mask) -> pp10 (transform).
+
+    Shape: the trim is ARRAY-SIDE — covered positions aggregate to one
+    bounded per-doc array (duplicate-mass-sized), join back on doc_id,
+    and a transform/filter lambda drops masked slots; the corpus text
+    is NEVER token-exploded for the rewrite, so the only token-level
+    shuffle in the whole job is the gram aggregate inside the shared
+    covered-positions core. At 100 TB: same plan — the cov array for
+    a pathological all-duplicate doc is doc-length-bounded, and the
+    rewrite stays in whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, covered = _grams_and_covered(spark, sf_dir)
+    cov_arr = covered.groupBy("doc_id").agg(
+        F.collect_list("p").alias("cov")
+    )
+    toks_all = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    kept = F.expr(
+        "transform(filter(transform(toks, (t, i) ->"
+        " struct(t AS t, i + 1 AS p)),"
+        " s -> cov IS NULL OR NOT array_contains(cov, s.p)),"
+        " s -> s.t)"
+    )
+    return (
+        toks_all.join(cov_arr, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size("kept").cast("long").alias("n_kept"),
+            F.concat_ws(" ", F.col("kept")).alias("trimmed_text"),
+        )
     )

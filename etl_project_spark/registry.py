@@ -89,7 +89,7 @@ _FRONT_QUERIES = [
     # here displaces one tail name past the ~50 cap (the displaced
     # r03 rows join the 11 already deferred to r07's rotation).
     "pp9_dup_span_mask", "tx14_quality_logit", "lm4_kneser_ney",
-    "x10_mmr_topk",
+    "x10_mmr_topk", "mm8_scene_cuts", "pp10_trim_dup_spans",
     "dd10_dup_graph_stats", "dq5_neardup_rate_by_source", "rk6_ndcg",
     "lm3_perplexity_buckets", "dd9_canonical_keep",
     "q7_volume_shipping",

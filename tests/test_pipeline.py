@@ -425,3 +425,27 @@ def test_lm4_kneser_ney_probability_mass(spark, sf_dir):
     )
     for w1, s in by_w1.items():
         assert s <= 1.0 + 5.1e-7 * n_succ[w1], (w1, s)
+
+
+def test_pp10_trim_agrees_with_pp9_mask(spark, sf_dir):
+    """The transform and the mask must agree exactly: for every doc
+    long enough to shingle, n_kept == n_tokens - n_dup_tokens; shorter
+    docs pass through untrimmed; trimmed text has exactly n_kept
+    tokens (or is empty when everything was covered)."""
+    from etl_project_spark.operators import pipeline as pl
+
+    mask = {
+        r["doc_id"]: r
+        for r in all_queries()["pp9_dup_span_mask"](spark, sf_dir).collect()
+    }
+    for r in all_queries()["pp10_trim_dup_spans"](spark, sf_dir).collect():
+        if r["doc_id"] in mask:
+            m = mask[r["doc_id"]]
+            assert r["n_kept"] == m["n_tokens"] - m["n_dup_tokens"], r
+        else:
+            assert r["n_tokens"] < pl.NGRAM_N
+            assert r["n_kept"] == r["n_tokens"], r
+        n_text_tokens = (
+            len(r["trimmed_text"].split(" ")) if r["trimmed_text"] else 0
+        )
+        assert n_text_tokens == r["n_kept"], r
