@@ -111,19 +111,15 @@ _FRONT_QUERIES = [
     "cdc2_scd2_history", "cdc3_exactly_once_ingest",
     "dd5_simhash_buckets", "dd5c_simhash_md5_reference",
     "dq2_iqr_outliers", "j10_fuzzy_blocked_join",
-    "km1_kmeans_lloyd", "ly1_zorder_key", "mm2_media_features",
-    "mm3_frame_sample", "mm4_media_resize", "mm5_perceptual_hash_dedup",
-    "pp2_contamination_check", "pp5_repeated_ngrams", "rk1_bm25_score",
-    "rk2_tfidf_postings", "rk3_doc_chunking",
-    "tx11_rabin_winnowing",
+    "km1_kmeans_lloyd",
     # smp3_train_val_test retired to r07 (hash-split sibling of the
     # already-deferred smp2) to keep the cap at 50 with q7 added.
-    # With the eight late-r6 ops (pp9/tx14/lm4 + dd9/dd10/dq5/lm3/rk6)
-    # front-loaded, the last eight r03 rows above (mm5, pp2, pp5, rk1,
-    # rk2, rk3, tx11, mm4) fall past the ~50 cap and join the r07
-    # rotation; rk1-rk3 stay indirectly exercised (rk6 composes rk1's
-    # scored relation), pp5's gram relation via pp9, and mm4/mm5 via
-    # the media-corpus pytest jobs.
+    # The eleven late-r6 ops (pp9/pp10/tx14/lm4/x10/mm8 +
+    # dd9/dd10/dq5/lm3/rk6) take first-attestation slots; to stay at
+    # exactly 50 the eleven r03 rows ly1, mm2-mm5, pp2, pp5, rk1-rk3,
+    # tx11 retire to r07's rotation — rk1 stays indirectly exercised
+    # (rk6 composes its scored relation), pp5's gram relation via
+    # pp9/pp10, and mm2-mm5 via the media-corpus pytest jobs.
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. With 59 front
