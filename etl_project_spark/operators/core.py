@@ -1053,3 +1053,89 @@ def dq4_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double").alias("value"),
     )
     return vol.unionByName(lang).unionByName(dup)
+
+
+@register(
+    "dq6_source_token_kl",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(str_split(lower(text), ' ')) AS w
+        FROM documents
+    ), pair AS (
+        SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w
+    ), cw AS (
+        SELECT w, SUM(c) AS c_w FROM pair GROUP BY w
+    ), ns AS (
+        SELECT source, SUM(c) AS n_s FROM pair GROUP BY source
+    ), tot AS (
+        SELECT SUM(c_w) AS n, COUNT(*) AS v FROM cw
+    )
+    SELECT pair.source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(v), 6) AS vocab_coverage,
+           ROUND(SUM((CAST(c AS DOUBLE) / n_s)
+                     * LN((CAST(c AS DOUBLE) / n_s)
+                          / (CAST(c_w AS DOUBLE) / n))), 6) AS kl_nats
+    FROM pair
+    JOIN cw USING (w)
+    JOIN ns USING (source)
+    CROSS JOIN tot
+    GROUP BY pair.source
+    """,
+)
+def dq6_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution KL divergence against the whole
+    corpus — the mixture diagnostic a curation run reads before setting
+    source weights (pp4/smp6): a crawl slice whose token distribution
+    sits far from the corpus (high KL) is off-domain or degenerate
+    boilerplate, and its weight deserves a second look (the CCNet /
+    DoReMi-style per-domain divergence signal). KL(p_s || q) =
+    sum_w p_s(w) * ln(p_s(w) / q(w)) needs no smoothing: every word a
+    source contributes is by construction in the corpus distribution,
+    so q(w) > 0 wherever p_s(w) > 0. vocab_coverage (share of corpus
+    vocabulary the source exercises) separates "narrow vocabulary" from
+    "different vocabulary" when reading the KL.
+
+    Shape: the corpus is tokenized and scanned ONCE into (source, word)
+    partial counts — the only corpus-wide exchange, with map-side
+    combine collapsing each partition to its distinct pairs; the
+    materialized pair relation (|sources| x |vocab|, checkpointed like
+    dq4's projection) then feeds all three derived aggregates (word
+    totals, source totals, corpus scalars) without re-scanning. The
+    word-marginal join keys on word (vocabulary-sized shuffle at
+    100 TB, never corpus-sized); source totals and the 1-row corpus
+    scalar broadcast. Output is O(sources). Engine parity: shares are
+    single divisions of exact integer counts; the per-source ln-term
+    sum is <= |vocab| O(1) doubles, so ROUND(..., 6) absorbs both the
+    LN ulp and summation-order drift (the lm2/dq3 rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pair = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cw = pair.groupBy("w").agg(F.sum("c").alias("c_w"))
+    ns = pair.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = cw.agg(
+        F.sum("c_w").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    p = F.col("c").cast("double") / F.col("n_s")
+    q = F.col("c_w").cast("double") / F.col("n")
+    return (
+        pair.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("v"), 6
+            ).alias("vocab_coverage"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+    )

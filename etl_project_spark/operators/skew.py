@@ -117,3 +117,129 @@ def sk2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("c_acctbal").alias("sum_bal"),
     )
+
+
+SK3_TARGET_PARTITIONS = 32  # reducer count the salt hint is sized for
+
+
+@register(
+    "sk3_skew_profile",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    ), oc AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+    ), lo AS (
+        SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+    ), prof AS (
+        SELECT 'events.user_id' AS relation, k FROM ev
+        UNION ALL SELECT 'orders.o_custkey', k FROM oc
+        UNION ALL SELECT 'lineitem.l_orderkey', k FROM lo
+    ), kc AS (
+        SELECT relation, k, COUNT(*) AS c FROM prof GROUP BY relation, k
+    )
+    SELECT relation,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS max_share,
+           ROUND(CASE WHEN COUNT(*) = 1 THEN 1.0 ELSE
+               (LN(CAST(SUM(c) AS DOUBLE))
+                - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                  / CAST(SUM(c) AS DOUBLE))
+               / LN(CAST(COUNT(*) AS DOUBLE)) END, 6) AS norm_entropy,
+           ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6)
+               AS skew_ratio,
+           CAST(LEAST(CEIL(CAST(MAX(c) AS DOUBLE)
+                           / GREATEST(CAST(SUM(c) AS DOUBLE)
+                                      / {SK3_TARGET_PARTITIONS}, 1.0)),
+                      {SK3_TARGET_PARTITIONS}) AS BIGINT) AS n_salts_hint
+    FROM kc
+    GROUP BY relation
+    """,
+)
+def sk3_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/group-key SKEW PROFILE — the diagnostic that decides whether
+    a key needs sk1/sk2's salting (or AQE's skew split) before a 100 TB
+    shuffle, run here over the three hottest keys in the schema
+    (``events.user_id``, ``orders.o_custkey``, ``lineitem.l_orderkey``).
+    Per key: row/key cardinalities, the heaviest key's count and share,
+    normalized Shannon entropy of the key distribution (1.0 = uniform,
+    → 0 = one key dominates; computed via the aggregate identity
+    H = ln(n) − (Σ c·ln c)/n so NO per-key share window is needed —
+    a constant-partition window would drag the whole key relation to
+    one reducer), skew_ratio
+    = max_count / mean_count (how many average keys the hottest key
+    weighs), and n_salts_hint = ceil(max_count / ideal_reducer_rows)
+    capped at the reducer count — the salt factor that levels the
+    hottest key across {SK3_TARGET_PARTITIONS} reducers.
+
+    Shape: per profiled key ONE groupBy(key).count() with map-side
+    combine (the same exchange the real join/agg would pay — profiling
+    costs nothing extra in shuffle shape), then an O(|keys|) summary
+    aggregate to ONE row; output is O(profiled keys). At 100 TB the
+    exact pass swaps for tx12's Misra-Gries heavy hitters + a8's HLL
+    key count on a sample — same output schema, sketch inputs. Engine
+    parity: counts and ratios are exact-integer arithmetic in doubles;
+    the entropy ln-term sum rounds at 6dp (lm2/dq3 rule); the CASE
+    guards n_keys=1 where ln(n_keys)=0 would divide by zero.
+    """
+    tables = [
+        ("events.user_id", "events", "user_id"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ]
+    outs = []
+    for label, table, col in tables:
+        kc = (
+            load_table(spark, sf_dir, table)
+            .select(F.col(col).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            kc.select(
+                F.col("c"),
+                (F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                .alias("clnc"),
+            )
+            .agg(
+                F.sum("c").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("c").cast("long").alias("max_key_count"),
+                F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                    "max_share"
+                ),
+                F.round(
+                    F.when(F.count(F.lit(1)) == 1, F.lit(1.0)).otherwise(
+                        (
+                            F.log(F.sum("c").cast("double"))
+                            - F.sum("clnc") / F.sum("c").cast("double")
+                        )
+                        / F.log(F.count(F.lit(1)).cast("double"))
+                    ),
+                    6,
+                ).alias("norm_entropy"),
+                F.round(
+                    F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"),
+                    6,
+                ).alias("skew_ratio"),
+                F.least(
+                    F.ceil(
+                        F.max("c").cast("double")
+                        / F.greatest(
+                            F.sum("c").cast("double") / SK3_TARGET_PARTITIONS,
+                            F.lit(1.0),
+                        )
+                    ),
+                    F.lit(SK3_TARGET_PARTITIONS).cast("long"),
+                )
+                .cast("long")
+                .alias("n_salts_hint"),
+            )
+            .select(F.lit(label).alias("relation"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

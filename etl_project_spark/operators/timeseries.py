@@ -368,3 +368,90 @@ def ts6_interpolated_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_interp"),
         )
     )
+
+
+TS7_LOOKBACK = 20  # trailing window (rows) the z-score is fitted on
+TS7_Z = 2.5  # anomaly threshold in standard deviations
+
+
+@register(
+    "ts7_rolling_zscore",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(value) OVER win AS s,
+               SUM(value * value) OVER win AS s2,
+               COUNT(*) OVER win AS n
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {TS7_LOOKBACK} PRECEDING
+                       AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value,
+           ROUND(s / n, 6) AS roll_mean,
+           ROUND(sqrt(GREATEST((s2 - s * s / n) / (n - 1), 1e-12)), 6)
+               AS roll_std,
+           ROUND((value - s / n)
+                 / sqrt(GREATEST((s2 - s * s / n) / (n - 1), 1e-12)), 6)
+               AS zscore
+    FROM w
+    WHERE n = {TS7_LOOKBACK}
+      AND abs((value - s / n)
+              / sqrt(GREATEST((s2 - s * s / n) / (n - 1), 1e-12))) > {TS7_Z}
+    """,
+)
+def ts7_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user — the streaming-shaped
+    outlier monitor (trailing {TS7_LOOKBACK}-event mean/std per user,
+    flag events beyond {TS7_Z} sigma) a metrics pipeline runs over every
+    counter; the batch twin of a stateful per-key detector. The trailing
+    frame EXCLUDES the current row (1 PRECEDING) so the tested value
+    never contaminates its own baseline, and rows without a full
+    lookback are suppressed (warm-up, n = {TS7_LOOKBACK}).
+
+    Shape: one corpus scan, ONE shuffle on user_id (the window
+    partition key — real per-key partitioning, never a global window),
+    then a per-row filter; output is O(anomalies). At 100 TB the same
+    plan holds for any cardinality of users; a single hot user is a
+    frame of consecutive rows, not a reducer hot-spot (frames are
+    row-bounded). Engine parity: mean/var derive from the SAME two
+    window sums in both engines (avg = s/n, var = (s2 - s^2/n)/(n-1) —
+    never each engine's own stddev kernel, whose summation algorithms
+    differ); the 1e-12 clamp guards a constant frame; published floats
+    round at 6dp, while the anomaly PREDICATE uses the unrounded chain
+    identically on both sides. (user_id, ts) is unique in the fixture,
+    but event_id stays in the ORDER BY as the deterministic tie-break
+    (the j6/w-family rule)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-TS7_LOOKBACK, -1)
+    )
+    s = F.sum("value").over(win)
+    s2 = F.sum(F.col("value") * F.col("value")).over(win)
+    n = F.count(F.lit(1)).over(win)
+    mean = s / n
+    std = F.sqrt(
+        F.greatest((s2 - s * s / n) / (n - 1), F.lit(1e-12))
+    )
+    z = (F.col("value") - mean) / std
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.round(mean, 6).alias("roll_mean"),
+            F.round(std, 6).alias("roll_std"),
+            F.round(z, 6).alias("zscore"),
+            n.alias("_n"),
+            z.alias("_z"),
+        )
+        .filter(
+            (F.col("_n") == TS7_LOOKBACK) & (F.abs(F.col("_z")) > TS7_Z)
+        )
+        .drop("_n", "_z")
+    )

@@ -184,3 +184,187 @@ def _register_zorder_query() -> None:
 
 
 _register_zorder_query()
+
+
+LY2_FILES = 64  # simulated file count per layout
+# (predicate, d_lo, d_hi, k_lo, k_hi); open dimensions span the domain
+LY2_PREDICATES = [  # orders span d = 1096..~3500 (1995-01-01 onward)
+    ("d_and_k", 1400, 1430, 100, 200),
+    ("d_only", 2000, 2100, 0, 4095),
+    ("k_only", 1096, 4000, 0, 50),
+]
+
+
+def _zorder_chain() -> str:
+    """The ly1 spread-bit CTE chain, ending in relation ``zr`` with
+    (o_orderkey, d, k, zkey) so callers can stack more CTEs on top."""
+    from etl_project_spark.functions.layout import _SPREAD_MASKS
+
+    parts = [
+        """
+    WITH base AS (
+        SELECT o_orderkey,
+               DATEDIFF('day', DATE '1992-01-01', o_orderdate) AS d,
+               o_custkey % 4096 AS k
+        FROM orders
+    ), c0 AS (
+        SELECT o_orderkey, d, k, d AS sd, k AS sk FROM base
+    )"""
+    ]
+    prev = "c0"
+    for i, (shift, mask) in enumerate(_SPREAD_MASKS, 1):
+        parts.append(f""", c{i} AS (
+        SELECT o_orderkey, d, k,
+               (sd | (sd << {shift})) & {mask} AS sd,
+               (sk | (sk << {shift})) & {mask} AS sk
+        FROM {prev}
+    )""")
+        prev = f"c{i}"
+    parts.append(f""", zr AS (
+        SELECT o_orderkey, d, k, sd | (sk << 1) AS zkey FROM {prev}
+    )""")
+    return "".join(parts)
+
+
+def _ly2_oracle() -> str:
+    preds = ", ".join(
+        f"('{p}', {dl}, {dh}, {kl}, {kh})"
+        for p, dl, dh, kl, kh in LY2_PREDICATES
+    )
+    n = LY2_FILES
+
+    def stats(key: str, layout: str) -> str:
+        return f"""
+    b_{layout} AS (
+        SELECT MIN({key}) AS mn, MAX({key}) AS mx FROM zr
+    ), f_{layout} AS (
+        SELECT LEAST(CAST(FLOOR(({key} - mn) * {n}.0 / (mx - mn + 1))
+                          AS BIGINT), {n - 1}) AS file_id, d, k
+        FROM zr CROSS JOIN b_{layout}
+    ), s_{layout} AS (
+        SELECT file_id, MIN(d) AS mn_d, MAX(d) AS mx_d,
+               MIN(k) AS mn_k, MAX(k) AS mx_k, COUNT(*) AS n_rows
+        FROM f_{layout} GROUP BY file_id
+    )"""
+
+    return (
+        _zorder_chain()
+        + ","
+        + stats("zkey", "z")
+        + ","
+        + stats("d", "lin")
+        + f""", preds(predicate, d_lo, d_hi, k_lo, k_hi) AS (
+        VALUES {preds}
+    ), stats AS (
+        SELECT 'zorder' AS layout, * FROM s_z
+        UNION ALL SELECT 'linear_date', * FROM s_lin
+    )
+    SELECT layout, predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mx_d >= d_lo AND mn_d <= d_hi
+                          AND mx_k >= k_lo AND mn_k <= k_hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+           CAST(SUM(CASE WHEN mx_d >= d_lo AND mn_d <= d_hi
+                          AND mx_k >= k_lo AND mn_k <= k_hi
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+    FROM stats CROSS JOIN preds
+    GROUP BY layout, predicate
+    """
+    )
+
+
+def _register_pruning_query() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.functions.layout import zorder_key
+    from etl_project_spark.registry import register
+
+    @register("ly2_pruning_stats", oracle=_ly2_oracle())
+    def ly2_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Zone-map PRUNING SIMULATION over two physical layouts — the
+        quantified version of ly1's claim. Orders are tiled into
+        {LY2_FILES} simulated files per layout (equal-width buckets of
+        the sort key's range: z-order key vs linear date ordinal), each
+        file carries its per-column min/max zone map — exactly what
+        parquet row-group stats / Delta file stats store — and three
+        representative predicates (conjunctive two-dim, date-only,
+        customer-only) are tested for which files their ranges can
+        skip. The output is the OPTIMIZE-planner's decision table:
+        rows_scanned per layout per predicate, showing the z-order
+        layout bounding BOTH dimensions while the linear layout prunes
+        only its sort dimension (measured end-to-end on real parquet in
+        tests/test_layout.py; this query hash-checks the arithmetic).
+
+        Shape: the keyed relation is computed ONCE (materialized, like
+        dq4's projection) and feeds both layouts' bucket stats; file
+        ids are scan-local arithmetic against a broadcast 1-row bounds
+        aggregate (NO global sort — equal-width range tiling stands in
+        for the range-partitioned sort a real OPTIMIZE runs, same
+        zone-map semantics); zone maps are a {LY2_FILES}-row relation,
+        predicates a 3-row literal — everything after the two
+        bucket-stat aggregates is metadata-sized, which is the point:
+        pruning decisions at 100 TB read file stats, never data.
+        Engine parity: pure integer arithmetic throughout (the bucket
+        division is exact-int-in-double, floored identically)."""
+        o = load_table(spark, sf_dir, "orders")
+        d = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        k = F.col("o_custkey") % 4096
+        zr = o.select(
+            d.alias("d"), k.alias("k"), zorder_key(d, k).alias("zkey")
+        ).localCheckpoint(eager=True)
+
+        def stats(key: str, layout: str) -> DataFrame:
+            b = zr.agg(
+                F.min(key).alias("mn"), F.max(key).alias("mx")
+            )
+            fid = F.least(
+                F.floor(
+                    (F.col(key) - F.col("mn"))
+                    * float(LY2_FILES)
+                    / (F.col("mx") - F.col("mn") + 1)
+                ).cast("long"),
+                F.lit(LY2_FILES - 1).cast("long"),
+            )
+            return (
+                zr.crossJoin(F.broadcast(b))
+                .select(fid.alias("file_id"), "d", "k")
+                .groupBy("file_id")
+                .agg(
+                    F.min("d").alias("mn_d"),
+                    F.max("d").alias("mx_d"),
+                    F.min("k").alias("mn_k"),
+                    F.max("k").alias("mx_k"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                )
+                .select(F.lit(layout).alias("layout"), "*")
+            )
+
+        st = stats("zkey", "zorder").unionByName(stats("d", "linear_date"))
+        preds = spark.createDataFrame(
+            LY2_PREDICATES,
+            "predicate string, d_lo long, d_hi long, k_lo long, k_hi long",
+        )
+        hit = (
+            (F.col("mx_d") >= F.col("d_lo"))
+            & (F.col("mn_d") <= F.col("d_hi"))
+            & (F.col("mx_k") >= F.col("k_lo"))
+            & (F.col("mn_k") <= F.col("k_hi"))
+        )
+        return (
+            st.crossJoin(F.broadcast(preds))
+            .groupBy("layout", "predicate")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(hit.cast("long")).cast("long").alias("n_files_scanned"),
+                F.sum(
+                    F.when(hit, F.col("n_rows")).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("rows_scanned"),
+            )
+        )
+
+
+_register_pruning_query()
