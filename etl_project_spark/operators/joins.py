@@ -322,3 +322,113 @@ def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+J11_BUCKET_US = 3_600_000_000  # 1-hour interval-index buckets
+
+
+@register(
+    "j11_interval_overlap_join",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM marked
+    ), sess AS (
+        SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM numbered GROUP BY user_id, sess_id
+    )
+    SELECT a.user_id AS user_a, a.s AS start_a,
+           b.user_id AS user_b, b.s AS start_b,
+           CAST(epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s))
+                AS BIGINT) AS overlap_us
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join — which users' activity sessions ran
+    concurrently, and for how long — via the BUCKETED INTERVAL INDEX
+    j9's docstring names as the scale path but a broadcast could dodge
+    there: both sides here are data-derived session sets (ts3's
+    30-minute-gap sessions), so neither broadcasts at 100 TB and a
+    naive inequality join would be a quadratic BroadcastNestedLoop.
+    Decomposition: every session explodes to the 1-hour epoch buckets
+    it touches (sessions are gap-bounded, so each spans O(1) buckets),
+    candidate pairs equi-join on bucket — a plain shuffled hash join on
+    a dense integer key — the exact overlap predicate filters bucket
+    co-residents that don't actually overlap, and DISTINCT collapses
+    pairs that co-occur in two buckets. Work is proportional to true
+    bucket co-residency, never |sessions|²; skewed hot hours split
+    under AQE like any hash join. The oracle IS the naive inequality
+    join — same relation, quadratic plan — so the hash check proves the
+    decomposition exact, including the touch-at-a-point overlap_us = 0
+    edge. Engine parity: overlap duration in integer MICROSECONDS
+    (epoch_us both sides — float seconds would round at 2^-22 s for
+    2024 epochs); Spark's session_window [t, t+gap) matches the
+    oracle's strict-< lag test (the ts3 contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    # events.ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the cast
+    # is exact under the session's pinned UTC (session.prepare), matching
+    # DuckDB's epoch_us over the naive value
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    spans = sess.select(
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (us("s") / J11_BUCKET_US).cast("long"),
+                (us("e") / J11_BUCKET_US).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    # distinct column names on the two sides: self-join lineage makes
+    # `a.bucket == b.bucket` resolve trivially true (Spark warns and
+    # plans a cross join — right answer, quadratic plan)
+    a = spans.select(
+        F.col("bucket").alias("bucket_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("s").alias("start_a"),
+        F.col("e").alias("end_a"),
+    )
+    b = spans.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("s").alias("start_b"),
+        F.col("e").alias("end_b"),
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("bucket_a") == F.col("bucket_b"),
+                F.col("user_a") < F.col("user_b"),
+                F.col("start_a") <= F.col("end_b"),
+                F.col("start_b") <= F.col("end_a"),
+            ],
+        )
+        .select(
+            "user_a",
+            "start_a",
+            "user_b",
+            "start_b",
+            (
+                F.least(us("end_a"), us("end_b"))
+                - F.greatest(us("start_a"), us("start_b"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )

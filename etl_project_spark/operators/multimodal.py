@@ -855,3 +855,125 @@ def mm8_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sad") / Y4M_PLANE, 6).alias("mean_abs_delta"),
         (F.col("sad") > MM8_CUT_SAD).alias("is_cut"),
     )
+
+
+MM9_WIN = 64  # samples per energy window (512 / 64 = 8 windows per clip)
+MM9_SILENCE_E = 120_000  # integer energy floor: e < this => silent window
+
+
+@register(
+    "mm9_silence_spans",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                   CAST(ceil({WAV_N}.0 / length(text)) AS INT)),
+                   1, {WAV_N}) AS s
+        FROM documents
+    ), samp AS (
+        SELECT doc_id,
+               list_transform(str_split_regex(s, ''), c -> ord(c)) AS v
+        FROM base
+    ), win AS (
+        SELECT doc_id, i AS win_id,
+               list_sum(list_transform(range(1, {MM9_WIN + 1}),
+                   j -> (v[{MM9_WIN} * i + j] - 128)
+                        * (v[{MM9_WIN} * i + j] - 128))) AS e
+        FROM samp, UNNEST(range(0, {WAV_N // MM9_WIN})) AS u(i)
+    ), sil AS (
+        SELECT doc_id, win_id,
+               win_id - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY win_id) AS grp
+        FROM win WHERE e < {MM9_SILENCE_E}
+    ), runs AS (
+        SELECT doc_id, COUNT(*) AS rl FROM sil GROUP BY doc_id, grp
+    ), longest AS (
+        SELECT doc_id, MAX(rl) AS lr FROM runs GROUP BY doc_id
+    ), wm AS (
+        SELECT doc_id, win_id, e,
+               MAX(e) OVER (PARTITION BY doc_id) AS doc_max_e
+        FROM win
+    ), agg AS (
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN e < {MM9_SILENCE_E} THEN 1 ELSE 0 END)
+                   AS n_silent,
+               MAX(e) AS max_e,
+               MIN(CASE WHEN e = doc_max_e THEN win_id END) AS peak_win
+        FROM wm GROUP BY doc_id
+    )
+    SELECT agg.doc_id AS media_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_silent AS BIGINT) AS n_silent,
+           CAST(COALESCE(lr, 0) AS BIGINT) AS longest_silent_run,
+           CAST(peak_win AS BIGINT) AS peak_win,
+           ROUND(sqrt(CAST(max_e AS DOUBLE) / {MM9_WIN}), 6) AS peak_rms
+    FROM agg LEFT JOIN longest ON agg.doc_id = longest.doc_id
+    """,
+)
+def mm9_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/energy SEGMENTATION over the WAV payloads — the
+    voice-activity-style screen an audio corpus build runs before
+    transcription: each clip's {WAV_N} samples split into
+    {WAV_N // MM9_WIN} fixed {MM9_WIN}-sample windows, each window's
+    midline-deviation energy e = Σ(x-128)² decides silent
+    (e < {MM9_SILENCE_E}, an INTEGER compare — the silence decision
+    never touches a float), and the clip reports its silent-window
+    count, LONGEST consecutive silent run (the trim/drop signal), and
+    loudest window (index + RMS). mm6 is the per-clip feature pass;
+    this is the per-SPAN structure pass that drives trimming.
+
+    Shape: one Arrow mapInPandas over payloads — decode (the real RIFF
+    chunk walk), an (8, {MM9_WIN}) reshape, integer energy reduction,
+    and the run-length scan all inside the numpy kernel, so windows
+    NEVER become rows in the engine (the oracle unnests them
+    relationally and finds runs with the gaps-and-islands window —
+    same semantics, expressed for a SQL engine); zero shuffles after
+    the fixture's pinned repartition, output one row per clip. Engine
+    parity: every published number is an exact integer except
+    peak_rms, a single sqrt over an exact integer ratio (rounded 6dp,
+    the mm6 rule); argmax ties break to the LOWEST window id on both
+    sides (numpy argmax / MIN(win_id) FILTER e = max)."""
+    audio = audio_table(spark, sf_dir)
+    n_win = WAV_N // MM9_WIN
+
+    def spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_wav(bytes(buf)).astype(np.int64)
+                dev = (v - 128).reshape(n_win, MM9_WIN)
+                e = (dev * dev).sum(axis=1)
+                silent = e < MM9_SILENCE_E
+                # longest consecutive run of silent windows
+                best = run = 0
+                for flag in silent:
+                    run = run + 1 if flag else 0
+                    best = max(best, run)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_windows": n_win,
+                        "n_silent": int(silent.sum()),
+                        "longest_silent_run": best,
+                        "peak_win": int(np.argmax(e)),
+                        "max_e": int(e.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    acc = audio.select("media_id", "payload").mapInPandas(
+        spans,
+        schema=(
+            "media_id long, n_windows long, n_silent long, "
+            "longest_silent_run long, peak_win long, max_e long"
+        ),
+    )
+    return acc.select(
+        "media_id",
+        "n_windows",
+        "n_silent",
+        "longest_silent_run",
+        "peak_win",
+        F.round(F.sqrt(F.col("max_e") / MM9_WIN), 6).alias("peak_rms"),
+    )

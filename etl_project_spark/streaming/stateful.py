@@ -384,3 +384,71 @@ def bucket_counts_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_zscore_stream(
+    events: DataFrame,
+    lookback: int = 20,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Streaming twin of batch ts7_rolling_zscore: per-user trailing
+    {lookback}-event mean/std, emit events beyond z_threshold sigma.
+    State per user is the trailing value ring (<= lookback doubles) —
+    bounded regardless of stream length. Rows are ordered by
+    (ts, event_id) WITHIN each micro-batch before the state walk, so a
+    time-ordered file replay reproduces the batch operator exactly
+    (verified in tests/test_ingest_streaming.py); mid-batch late data
+    needs an upstream watermark + sort, the standard caveat for any
+    order-sensitive stateful op.
+
+    Parity with batch: mean/var derive from the same s/s² formulas as
+    ts7 (per-frame Python sums instead of window sums — equal at 6dp
+    rounding); the anomaly predicate uses the unrounded chain.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        vals = list(state.get[0]) if state.exists else []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((vals,))
+            return
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        out = []
+        for _, row in batch.iterrows():
+            v = float(row["value"])
+            if len(vals) == lookback:
+                s = sum(vals)
+                s2 = sum(x * x for x in vals)
+                n = float(lookback)
+                mean = s / n
+                var = max((s2 - s * s / n) / (n - 1), 1e-12)
+                std = var**0.5
+                z = (v - mean) / std
+                if abs(z) > z_threshold:
+                    out.append(
+                        {
+                            "user_id": int(key[0]),
+                            "event_id": int(row["event_id"]),
+                            "value": v,
+                            "roll_mean": round(mean, 6),
+                            "roll_std": round(std, 6),
+                            "zscore": round(z, 6),
+                        }
+                    )
+            vals.append(v)
+            if len(vals) > lookback:
+                vals.pop(0)
+        state.update((vals,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, value double, "
+            "roll_mean double, roll_std double, zscore double"
+        ),
+        stateStructType="vals array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

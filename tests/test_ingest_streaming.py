@@ -790,3 +790,65 @@ def test_ingest_loop_restart_resumes_from_checkpoint(spark, tmp_path):
     assert n1 >= 1
     n2 = run_until_rows(n1 + 1)
     assert n2 > n1  # the restarted query kept ticking and appending
+
+
+def test_stateful_rolling_zscore_matches_batch_ts7(spark, sf_dir, tmp_path):
+    """Time-ordered 4-file replay of events through rolling_zscore_stream
+    flags exactly the anomalies batch ts7_rolling_zscore reports, with
+    the same stats at 6dp (the state walk reproduces the window frame
+    because files are disjoint time slices replayed one per batch)."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import get
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_zscore")
+    # 4 disjoint time slices, one file each, named in replay order
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.select(
+        F.expr(
+            "percentile(unix_micros(cast(ts as timestamp)),"
+            " array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    slices = [tsu <= bounds[0]]
+    for lo, hi in zip(bounds, bounds[1:]):
+        slices.append((tsu > lo) & (tsu <= hi))
+    slices.append(tsu > bounds[-1])
+    for i, cond in enumerate(slices):
+        ev.filter(cond).coalesce(1).write.parquet(f"{src_dir}/slice={i}")
+    schema = spark.read.parquet(f"{src_dir}/slice=0").schema
+    import glob as globmod
+
+    files_dir = str(tmp_path / "ev_zscore_files")
+    import os
+    import shutil
+
+    os.makedirs(files_dir)
+    for i in range(4):
+        (part,) = globmod.glob(f"{src_dir}/slice={i}/part-*.parquet")
+        dst = f"{files_dir}/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        # FileStreamSource orders batches by modification time — pin
+        # strictly increasing mtimes so replay order == time order
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = sp.file_event_stream(
+        spark, files_dir, schema, max_files_per_trigger=1
+    )
+    out = stateful.rolling_zscore_stream(stream)
+    sp.run_available_now(
+        out,
+        str(tmp_path / "ck_zscore"),
+        output_mode="update",
+        queryName="zscore_test",
+    )
+    got = {
+        (r["user_id"], r["event_id"], round(r["zscore"], 4))
+        for r in spark.sql("SELECT * FROM zscore_test").collect()
+    }
+    expected = {
+        (r["user_id"], r["event_id"], round(r["zscore"], 4))
+        for r in get("ts7_rolling_zscore").fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "vacuous fixture: no anomalies"
