@@ -363,3 +363,165 @@ def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("keep").alias("keeper_id"))
         .select(F.col("drop_").alias("vec_id"), "keeper_id")
     )
+
+
+X11_PLANES = 4  # 2^4 = 16 sign-LSH clusters for the eval contingency
+
+
+def _x11_oracle() -> str:
+    from etl_project_spark.operators.similarity import _rademacher
+
+    bits = ", ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{_rademacher(p)}::DOUBLE[]) > 0 THEN '1' ELSE '0' END"
+        for p in range(X11_PLANES)
+    )
+    return f"""
+    WITH asg AS (
+        SELECT CONCAT({bits}) AS cluster, label FROM embeddings
+    ), ct AS (
+        SELECT cluster, label, COUNT(*) AS n_cl
+        FROM asg GROUP BY cluster, label
+    ), mb AS (
+        SELECT cluster, SUM(n_cl) AS n_c, MAX(n_cl) AS n_max
+        FROM ct GROUP BY cluster
+    ), ml AS (
+        SELECT label, SUM(n_cl) AS n_l FROM ct GROUP BY label
+    ), tot AS (
+        SELECT SUM(n_cl) AS n, COUNT(DISTINCT cluster) AS kc,
+               COUNT(DISTINCT label) AS kl
+        FROM ct
+    ), ent AS (
+        SELECT
+            (SELECT LN(CAST(MAX(n) AS DOUBLE))
+                 - SUM(CAST(n_c AS DOUBLE) * LN(CAST(n_c AS DOUBLE)))
+                   / MAX(CAST(n AS DOUBLE))
+             FROM mb CROSS JOIN tot) AS h_c,
+            (SELECT LN(CAST(MAX(n) AS DOUBLE))
+                 - SUM(CAST(n_l AS DOUBLE) * LN(CAST(n_l AS DOUBLE)))
+                   / MAX(CAST(n AS DOUBLE))
+             FROM ml CROSS JOIN tot) AS h_l,
+            (SELECT SUM((CAST(n_cl AS DOUBLE) / n)
+                        * LN(CAST(n_cl AS DOUBLE) * n
+                             / (CAST(n_c AS DOUBLE) * n_l)))
+             FROM ct JOIN mb USING (cluster) JOIN ml USING (label)
+             CROSS JOIN tot) AS mi,
+            (SELECT CAST(SUM(n_max) AS DOUBLE) / MAX(n)
+             FROM mb CROSS JOIN tot) AS purity
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_points,
+           CAST(tot.kc AS BIGINT) AS n_clusters,
+           CAST(tot.kl AS BIGINT) AS n_labels,
+           ROUND(ent.purity, 6) AS purity,
+           ROUND(ent.mi, 6) AS mi_nats,
+           ROUND(ent.mi / sqrt(ent.h_c * ent.h_l), 6) AS nmi
+    FROM tot CROSS JOIN ent
+    """
+
+
+@register("x11_cluster_eval", oracle=_x11_oracle())
+def x11_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering EVALUATION metrics — purity and normalized mutual
+    information of a cluster assignment against ground-truth labels,
+    the rk5/rk6 analog for the clustering stack (how sd1/km1 cluster
+    quality gets a number before anyone trusts downstream dedup or
+    mixture decisions on it). The assignment evaluated here is the
+    {X11_PLANES}-plane sign-LSH partition (x6's plan-time Rademacher
+    hyperplanes — deterministic and engine-neutral, so the WHOLE
+    metric, assignment included, hash-checks cross-engine; km1's
+    centroids would evaluate identically but its memoized Lloyd state
+    is engine-side only).
+
+    Shape: one scan computes each vector's cluster (sequential-fold
+    projections), ONE (cluster, label) count aggregate — the only
+    corpus-wide exchange, map-side combined to the contingency-table
+    size — and every metric derives from the checkpointed contingency
+    relation: marginals by re-aggregation, entropies via the
+    ln(n) − Σc·ln(c)/n identity (the sk3 rule — no per-row share
+    window), MI from a contingency⋈marginals join that is
+    O(clusters × labels), purity from per-cluster maxima. Output is
+    ONE row at any corpus size. Engine parity: counts exact; ln-term
+    sums round at 6dp (lm2/dq3 rule)."""
+    from etl_project_spark.functions.vectors import dot
+    from etl_project_spark.operators.similarity import _rademacher
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    cluster = F.concat(
+        *[
+            F.when(
+                dot(
+                    F.col("e"),
+                    F.array(*[F.lit(float(x)) for x in _rademacher(p)]),
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(X11_PLANES)
+        ]
+    )
+    ct = (
+        emb.select(cluster.alias("cluster"), "label")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n_cl"))
+        .localCheckpoint(eager=True)
+    )
+    mb = ct.groupBy("cluster").agg(
+        F.sum("n_cl").alias("n_c"), F.max("n_cl").alias("n_max")
+    )
+    ml = ct.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    tot = ct.agg(
+        F.sum("n_cl").alias("n"),
+        F.countDistinct("cluster").alias("kc"),
+        F.countDistinct("label").alias("kl"),
+    )
+
+    def entropy(marg: DataFrame, cnt: str):
+        return marg.crossJoin(F.broadcast(tot)).agg(
+            (
+                F.log(F.max("n").cast("double"))
+                - F.sum(
+                    F.col(cnt).cast("double")
+                    * F.log(F.col(cnt).cast("double"))
+                )
+                / F.max(F.col("n").cast("double"))
+            ).alias("h")
+        )
+
+    h_c = entropy(mb, "n_c").select(F.col("h").alias("h_c"))
+    h_l = entropy(ml, "n_l").select(F.col("h").alias("h_l"))
+    mi = (
+        ct.join(mb.select("cluster", "n_c"), "cluster")
+        .join(F.broadcast(ml), "label")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .agg(
+            F.sum(
+                (F.col("n_cl").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("n_cl").cast("double")
+                    * F.col("n")
+                    / (F.col("n_c").cast("double") * F.col("n_l"))
+                )
+            ).alias("mi")
+        )
+    )
+    purity = mb.crossJoin(F.broadcast(tot.select("n"))).agg(
+        (F.sum("n_max").cast("double") / F.max("n")).alias("purity")
+    )
+    return (
+        tot.crossJoin(F.broadcast(purity))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(h_c))
+        .crossJoin(F.broadcast(h_l))
+        .select(
+            F.col("n").cast("long").alias("n_points"),
+            F.col("kc").cast("long").alias("n_clusters"),
+            F.col("kl").cast("long").alias("n_labels"),
+            F.round(F.col("purity"), 6).alias("purity"),
+            F.round(F.col("mi"), 6).alias("mi_nats"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_c") * F.col("h_l")), 6
+            ).alias("nmi"),
+        )
+    )

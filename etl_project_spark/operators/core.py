@@ -1139,3 +1139,99 @@ def dq6_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
         )
     )
+
+
+@register(
+    "dq7_categorical_drift",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 0 ELSE 1 END
+                   AS win
+        FROM events
+    ), ct AS (
+        SELECT win, event_type, COUNT(*) AS o FROM w GROUP BY win, event_type
+    ), rt AS (
+        SELECT win, SUM(o) AS n_w FROM ct GROUP BY win
+    ), colt AS (
+        SELECT event_type, SUM(o) AS n_t FROM ct GROUP BY event_type
+    ), tot AS (
+        SELECT SUM(o) AS n FROM ct
+    ), terms AS (
+        SELECT ct.event_type, ct.win, ct.o, rt.n_w, colt.n_t, tot.n,
+               (CAST(rt.n_w AS DOUBLE) * colt.n_t / tot.n) AS e
+        FROM ct JOIN rt USING (win) JOIN colt USING (event_type)
+        CROSS JOIN tot
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN win = 0 THEN o ELSE 0 END) AS BIGINT)
+               AS n_ref,
+           CAST(SUM(CASE WHEN win = 1 THEN o ELSE 0 END) AS BIGINT)
+               AS n_cur,
+           ROUND(SUM(CASE WHEN win = 1 THEN o ELSE 0 END)
+                     / MAX(CASE WHEN win = 1 THEN CAST(n_w AS DOUBLE) END)
+                 - SUM(CASE WHEN win = 0 THEN o ELSE 0 END)
+                     / MAX(CASE WHEN win = 0 THEN CAST(n_w AS DOUBLE) END),
+                 6) AS share_delta,
+           ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2_term
+    FROM terms
+    GROUP BY event_type
+    """,
+)
+def dq7_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift report — dq3's sibling for DISCRETE features:
+    the ``event_type`` mix compared across the same reference/current
+    time split, with each type's share shift and its contribution to
+    the Pearson chi-square statistic (o-e)²/e summed over both windows
+    (expected counts from the standard independence model
+    e = row_total·col_total/n). Σ chi2_term over the output IS the
+    test statistic a monitoring job thresholds against the
+    chi-square(k-1) critical value before trusting a new data window's
+    label mix.
+
+    Shape: ONE (window, type) count aggregate over the corpus —
+    map-side combined to 2×|types| rows — then marginals by
+    re-aggregation and an O(types) join; output O(types) at any
+    corpus size. Engine parity: counts exact; expected counts and
+    chi-square terms are identical IEEE chains over exact integers,
+    rounded 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    ct = (
+        ev.select(
+            "event_type",
+            F.when(F.col("ts") < split, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("win"),
+        )
+        .groupBy("win", "event_type")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    rt = ct.groupBy("win").agg(F.sum("o").alias("n_w"))
+    colt = ct.groupBy("event_type").agg(F.sum("o").alias("n_t"))
+    tot = ct.agg(F.sum("o").alias("n"))
+    e = F.col("n_w").cast("double") * F.col("n_t") / F.col("n")
+    terms = (
+        ct.join(F.broadcast(rt), "win")
+        .join(F.broadcast(colt), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select("event_type", "win", "o", "n_w", e.alias("e"))
+    )
+    o_in = lambda w: F.sum(F.when(F.col("win") == w, F.col("o")).otherwise(F.lit(0)))  # noqa: E731
+    nw_in = lambda w: F.max(F.when(F.col("win") == w, F.col("n_w").cast("double")))  # noqa: E731
+    return terms.groupBy("event_type").agg(
+        o_in(0).cast("long").alias("n_ref"),
+        o_in(1).cast("long").alias("n_cur"),
+        F.round(o_in(1) / nw_in(1) - o_in(0) / nw_in(0), 6).alias(
+            "share_delta"
+        ),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            ),
+            6,
+        ).alias("chi2_term"),
+    )

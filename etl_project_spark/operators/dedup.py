@@ -1195,3 +1195,121 @@ def dq5_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neardup_rate"),
         )
     )
+
+
+DD11_TAU = 0.8  # containment threshold |A∩B| / |A|
+
+
+@register(
+    "dd11_containment_join",
+    # quadratic ground truth: ordered (contained, container) pairs
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) / LEN(a.s)
+               AS containment
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) / LEN(a.s)
+          >= {DD11_TAU}
+    """,
+)
+def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT join — ordered (contained, container)
+    pairs with C(A→B) = |A∩B| / |A| >= {DD11_TAU} — the ASYMMETRIC
+    sibling of dd8's Jaccard join. Jaccard misses the subset-dup
+    shape entirely (a doc quoted inside a much longer one has tiny
+    Jaccard but containment ~1), and subset dups are what boilerplate
+    wrapping, quoting, and page-chrome duplication actually look like
+    in web corpora; C is the metric the Lee et al. / CCNet-style
+    "document mostly contained elsewhere" filters use.
+
+    Candidate rule (the one-sided prefix filter): containment demands
+    |A∩B| >= ceil(tau*|A|), i.e. A may MISS at most
+    |A| - ceil(tau*|A|) elements, so A's (|A| - ceil(tau*|A|) + 1)
+    rarest shingles (global-frequency order, dd8's total order) must
+    hit B — the probe side indexes only prefixes while the CONTAINER
+    side must index its FULL posting list (B's size gives no bound on
+    which of its elements A shares; the asymmetry is intrinsic, cf.
+    Vernica et al. §overlap). The join volume is Σ_{{s in prefixes}}
+    freq(s): prefixes hold only globally-rare shingles, so the hot
+    postings a full×full self-join would square never meet each
+    other. Only |B| >= ceil(tau*|A|) survives as a length filter.
+    Verification is reduce-side on the checkpointed shingle arrays
+    (dd8's shape); containment is a ratio of exact integers. The
+    oracle is the quadratic ground truth, so the hash check proves
+    the asymmetric prefix rule loses no pair — including both
+    directions of symmetric near-dups (a != b ordered pairs, never
+    a < b)."""
+    tau = DD11_TAU
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", _shingles(3).alias("sh"))
+    )
+    sizes = docs.select(
+        "doc_id", "sh", F.size("sh").alias("sz")
+    ).localCheckpoint()
+    post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
+    # A may miss at most sz - ceil(tau*sz) shingles of B
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    prefix = (
+        post.join(F.broadcast(freq), "s")
+        .withColumn("rn", F.row_number().over(by_rarity))
+        .filter(F.col("rn") <= prefix_len)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            "s",
+        )
+    )
+    full = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "s"
+    )
+    # both sides shuffled on the shingle key once; candidates dedup
+    # into the verify partitioning (dd8's fused exchange)
+    cand = (
+        prefix.repartition(par, "s")
+        .join(
+            full.repartition(par, "s"),
+            on=[
+                prefix.s == full.s,
+                F.col("doc_a") != F.col("doc_b"),
+                # containment needs >= ceil(tau*|A|) distinct hits in B
+                F.col("sz_b") >= F.ceil(F.col("sz_a") * tau),
+            ],
+        )
+        .select("doc_a", "doc_b")
+        .repartition(par, "doc_a")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    cont = (
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+            "double"
+        )
+        / F.col("sz_a")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= tau)
+    )

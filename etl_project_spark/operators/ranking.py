@@ -945,3 +945,195 @@ def lm4_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_kn"),
     )
+
+
+# --- persisted inverted index: the serving-side scale path -------------------
+
+TEXT_IDX_BUCKETS = 16
+
+
+def _term_bucket_py(term: str, n_buckets: int = TEXT_IDX_BUCKETS) -> int:
+    """Driver-side twin of the engine's md5 term bucket (smp4's
+    hex-fold rule): both sides must agree so the querier can turn query
+    terms into a static partition filter."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(col, n_buckets: int = TEXT_IDX_BUCKETS):
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def build_text_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = TEXT_IDX_BUCKETS,
+    table: str = "text_postings_index",
+) -> None:
+    """Materialize the inverted index as a managed parquet table
+    PARTITIONED BY md5 term bucket — the text twin of build_ivf_index:
+    the partition layout IS the index, and a query's terms become a
+    static bucket partition filter so serving reads only the touched
+    directories (|query terms| / n_buckets of the bytes, pinned in
+    tests/test_layout.py). Every term's postings live wholly inside
+    ONE bucket, so per-term df is computable bucket-locally at query
+    time and incremental corpus appends never rewrite other buckets.
+    Corpus-level BM25 stats (n_docs, sum_dl) land in a 1-row side
+    table ``<table>_stats``. Build is rk2's single explode +
+    (term, doc) count — one corpus-wide exchange — plus the
+    partitioned write; rebuilds are idempotent (overwrite).
+
+    Reference parity: the reference has no text surface at all; this
+    is the extension-mandate retrieval scale path made durable,
+    complementing the in-session rk1/rk2 (SURVEY §2h)."""
+    from etl_project_spark.sources.tables import _drop_table_and_location
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    d = docs.select("doc_id", "toks", F.size("toks").alias("dl"))
+    postings = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            _term_bucket_col(F.col("term"), n_buckets).alias("tbucket"),
+        )
+    )
+    _drop_table_and_location(spark, table)
+    _drop_table_and_location(spark, f"{table}_stats")
+    (
+        postings.repartition("tbucket")
+        .write.partitionBy("tbucket")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.format("parquet").saveAsTable(f"{table}_stats")
+
+
+def query_text_index(
+    spark: SparkSession,
+    terms: list[str],
+    k: int = 10,
+    n_buckets: int = TEXT_IDX_BUCKETS,
+    table: str = "text_postings_index",
+) -> DataFrame:
+    """Serve BM25 top-k from the persisted index: query terms →
+    driver-side md5 buckets → static ``tbucket IN (...)`` partition
+    filter (the scan reads ONLY those bucket directories) → term
+    filter → bucket-local df → per-(term, doc) BM25 — ROUND(.,4)
+    per posting, rk1's published contract — summed per doc, global
+    top-k as TakeOrderedAndProject (score desc, doc_id asc
+    tie-break). The 1-row stats table broadcasts."""
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    idx = (
+        spark.table(table)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("term").isin(list(terms)))
+    )
+    df_rel = idx.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = spark.table(f"{table}_stats")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = idf * (
+        (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+        )
+    )
+    return (
+        idx.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def append_to_text_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    n_buckets: int = TEXT_IDX_BUCKETS,
+    table: str = "text_postings_index",
+) -> int:
+    """Incremental index maintenance: tokenize ONLY the new documents,
+    append their postings into the term-bucket partitions they touch,
+    and refresh the 1-row corpus stats table (old stats + the append
+    delta — never a corpus recount). Existing postings are untouched;
+    per-term df stays correct WITHOUT any statistics rewrite because
+    query_text_index computes df bucket-locally at query time (the
+    design reason df is not stored). The text twin of
+    append_to_ivf_index / append_to_bpe_cache; the anti-join guards
+    replayed doc_ids so an at-least-once upstream can't double-index
+    a document. Returns postings appended (Observation-counted on the
+    write job — one lineage execution).
+
+    When the corpus drifts enough that bucket sizes skew (dq3/dq6 are
+    the detectors), rebuild with build_text_index — bucket-count
+    changes are a full-corpus decision, not an append-path one."""
+    from pyspark.sql import Observation
+
+    existing_ids = spark.table(table).select("doc_id").distinct()
+    d = (
+        new_docs.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("toks")
+        )
+        .join(existing_ids, "doc_id", "left_anti")
+        .select("doc_id", "toks", F.size("toks").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    postings = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            _term_bucket_col(F.col("term"), n_buckets).alias("tbucket"),
+        )
+    )
+    obs = Observation("text_idx_append")
+    (
+        postings.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition("tbucket")
+        .write.partitionBy("tbucket")
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(table)
+    )
+    n_appended = int(obs.get["n"])
+    delta = d.agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("dl").alias("ddl")
+    ).collect()[0]
+    if delta["dn"]:
+        old = spark.table(f"{table}_stats").collect()[0]
+        stats = spark.createDataFrame(
+            [
+                (
+                    old["n_docs"] + delta["dn"],
+                    old["sum_dl"] + (delta["ddl"] or 0),
+                )
+            ],
+            "n_docs long, sum_dl long",
+        )
+        stats.write.format("parquet").mode("overwrite").saveAsTable(
+            f"{table}_stats"
+        )
+    return n_appended

@@ -941,3 +941,86 @@ def tx14_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
         (z >= 0).alias("keep"),
     )
+
+
+TX15_K = 3  # keywords per document
+
+
+@register(
+    "tx15_tfidf_keywords",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs FROM d
+    ), tf AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM d, UNNEST(toks) AS u(term)
+        GROUP BY term, doc_id
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf * LN(n_docs / df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, kw_rank, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC
+               ) AS kw_rank
+        FROM scored
+    ) WHERE kw_rank <= {TX15_K}
+    """,
+)
+def tx15_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KEYWORD EXTRACTION: each doc's top-{TX15_K} terms by
+    TF-IDF — the classic unsupervised tagger (search snippets, topic
+    hints, weak labels for classifier bootstrapping) composed directly
+    on rk2's posting relation semantics. Ranking happens on the
+    PUBLISHED ROUND(tfidf, 4) value with the term string as
+    tie-break (the rk5 rule: never rank cross-engine on an unrounded
+    float — two engines' ln ulps would disagree exactly at ties, and a
+    31-word vocabulary over uniform docs produces plenty of equal
+    scores).
+
+    Shape: one explode + (term, doc) count — the only corpus-wide
+    exchange, map-side combined — a broadcast vocabulary-sized df
+    join, then a top-k window partitioned BY DOC (each frame is the
+    doc's distinct-term list, bounded by doc length — never a global
+    or vocabulary-wide frame). Output is exactly {TX15_K} rows per
+    doc."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf", F.row_number().over(w).alias("kw_rank")
+        )
+        .filter(F.col("kw_rank") <= TX15_K)
+        .select("doc_id", "kw_rank", "term", "tfidf")
+    )

@@ -452,3 +452,59 @@ def rolling_zscore_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def type_mix_stream(
+    events: DataFrame,
+    split: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming categorical-mix state — the stateful half of the batch
+    ``dq7_categorical_drift``: each event classifies against the FIXED
+    reference/current time split and its type's two running counters
+    are maintained across micro-batches and re-emitted on update.
+    State is TWO integers per category forever, so a never-ending
+    monitored stream costs O(types) memory; a trivial batch query over
+    the latest snapshot computes the share deltas and chi-square terms
+    (replay-tested equal to dq7's n_ref/n_cur columns in
+    tests/test_ingest_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    w = (
+        F.when(
+            F.col(ts_col) < F.lit(split).cast("timestamp"), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("win")
+    )
+    classified = events.select(F.col(type_col).alias("event_type"), w)
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n_ref, n_cur = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cur = int((pdf["win"] == 1).sum())
+            n_cur += cur
+            n_ref += len(pdf) - cur
+        state.update((n_ref, n_cur))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_ref": [n_ref],
+                "n_cur": [n_cur],
+            }
+        )
+
+    return classified.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_ref long, n_cur long",
+        stateStructType="n_ref long, n_cur long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

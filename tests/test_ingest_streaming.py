@@ -852,3 +852,38 @@ def test_stateful_rolling_zscore_matches_batch_ts7(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert expected, "vacuous fixture: no anomalies"
+
+
+def test_stateful_type_mix_matches_batch_dq7(spark, sf_dir, tmp_path):
+    """Replaying the whole events table through type_mix_stream yields
+    final per-type (n_ref, n_cur) counters equal to batch dq7's
+    columns (same fixed time split)."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.core import PSI_SPLIT
+    from etl_project_spark.registry import get
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_typemix")
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.type_mix_stream(stream, split=PSI_SPLIT)
+    sp.run_available_now(
+        out,
+        str(tmp_path / "ck_typemix"),
+        output_mode="update",
+        queryName="typemix_test",
+    )
+    rows = spark.sql(
+        "SELECT event_type, n_ref, n_cur FROM typemix_test"
+    ).collect()
+    # last emission per type is the final snapshot
+    final = {}
+    for r in rows:
+        final[r["event_type"]] = (r["n_ref"], r["n_cur"])
+    expected = {
+        r["event_type"]: (r["n_ref"], r["n_cur"])
+        for r in get("dq7_categorical_drift").fn(spark, sf_dir).collect()
+    }
+    assert final == expected

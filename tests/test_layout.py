@@ -416,3 +416,95 @@ def test_ivfpq_index_prunes_and_recalls(spark, sf_dir):
     }
     recall = len(got_pairs & exact) / len(exact)
     assert recall >= 0.55, recall
+
+
+def test_text_index_prunes_buckets_and_matches_bm25(spark, sf_dir):
+    """Persisted inverted index: the serving scan must carry a tbucket
+    partition filter (reading only the query terms' bucket
+    directories), and the served top-10 must equal the per-doc rollup
+    of rk1's published BM25 relation under the same tie-break."""
+    from etl_project_spark.operators.ranking import (
+        BM25_TERMS,
+        TEXT_IDX_BUCKETS,
+        _term_bucket_py,
+        build_text_index,
+        query_text_index,
+    )
+    from etl_project_spark.registry import get
+
+    table = "text_idx_test"
+    build_text_index(spark, sf_dir, table=table)
+    got_df = query_text_index(spark, list(BM25_TERMS), k=10, table=table)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [tbucket" in plan, plan
+    probed = {_term_bucket_py(t) for t in BM25_TERMS}
+    assert len(probed) < TEXT_IDX_BUCKETS  # pruning is non-vacuous
+    got = [(r["doc_id"], round(r["score"], 4)) for r in got_df.collect()]
+    rk1 = get("rk1_bm25_score").fn(spark, sf_dir)
+    expected = [
+        (r["doc_id"], round(r["total"], 4))
+        for r in rk1.groupBy("doc_id")
+        .agg(F.sum("score").alias("total"))
+        .orderBy(F.desc("total"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_text_index_incremental_bucket_locality(spark, sf_dir):
+    """Every term's postings live wholly inside one bucket (the
+    invariant that makes per-term df bucket-local and appends
+    bucket-isolated)."""
+    from etl_project_spark.operators.ranking import build_text_index
+
+    table = "text_idx_test_loc"
+    build_text_index(spark, sf_dir, table=table)
+    multi = (
+        spark.table(table)
+        .groupBy("term")
+        .agg(F.countDistinct("tbucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_text_index_incremental_append(spark, sf_dir):
+    """append_to_text_index: replayed doc_ids append nothing, new docs'
+    postings land only in their terms' buckets, existing postings are
+    byte-identical, stats advance by the delta, and a query finds the
+    new doc without any rebuild."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.ranking import (
+        append_to_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    table = "text_idx_test_append"
+    build_text_index(spark, sf_dir, table=table)
+    before = {
+        (r["term"], r["doc_id"], r["tf"], r["dl"], r["tbucket"])
+        for r in spark.table(table).collect()
+    }
+    stats0 = spark.table(f"{table}_stats").collect()[0]
+    # replay: appending docs already indexed must be a no-op
+    replay = load_table(spark, sf_dir, "documents").limit(5)
+    assert append_to_text_index(spark, replay, table=table) == 0
+    # genuinely new doc, made entirely of one query term
+    new = spark.createDataFrame(
+        [(10_000_000, "spark spark spark spark")], "doc_id long, text string"
+    )
+    n = append_to_text_index(spark, new, table=table)
+    assert n == 1  # one distinct (term, doc) posting
+    after = {
+        (r["term"], r["doc_id"], r["tf"], r["dl"], r["tbucket"])
+        for r in spark.table(table).collect()
+    }
+    assert before < after and len(after) == len(before) + 1
+    stats1 = spark.table(f"{table}_stats").collect()[0]
+    assert stats1["n_docs"] == stats0["n_docs"] + 1
+    assert stats1["sum_dl"] == stats0["sum_dl"] + 4
+    served = query_text_index(spark, ["spark"], k=5, table=table)
+    assert 10_000_000 in {r["doc_id"] for r in served.collect()}
