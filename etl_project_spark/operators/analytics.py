@@ -616,3 +616,109 @@ def an6_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / n_from, 6
         ).alias("p_cond"),
     )
+
+
+AN7_ANCHOR = "2001-08-02"  # day after the last order in the fixture
+AN7_QS = (0.2, 0.4, 0.6, 0.8)  # quintile cutpoints
+
+
+@register(
+    "an7_rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                        DATE '{AN7_ANCHOR}') AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 10)))
+                          AS DOUBLE), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT
+            {", ".join(f"ROUND(quantile_cont(recency_days, {q}), 6) AS r{i}"
+                       for i, q in enumerate(AN7_QS))},
+            {", ".join(f"ROUND(quantile_cont(frequency, {q}), 6) AS f{i}"
+                       for i, q in enumerate(AN7_QS))},
+            {", ".join(f"ROUND(quantile_cont(monetary, {q}), 6) AS m{i}"
+                       for i, q in enumerate(AN7_QS))}
+        FROM rfm
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           -- recency scores INVERT (recent = low days = high score)
+           CAST(5 - (CAST(recency_days > r0 AS INT)
+                     + CAST(recency_days > r1 AS INT)
+                     + CAST(recency_days > r2 AS INT)
+                     + CAST(recency_days > r3 AS INT))
+                AS BIGINT) AS r_score,
+           CAST(1 + (CAST(frequency > f0 AS INT)
+                     + CAST(frequency > f1 AS INT)
+                     + CAST(frequency > f2 AS INT)
+                     + CAST(frequency > f3 AS INT))
+                AS BIGINT) AS f_score,
+           CAST(1 + (CAST(monetary > m0 AS INT)
+                     + CAST(monetary > m1 AS INT)
+                     + CAST(monetary > m2 AS INT)
+                     + CAST(monetary > m3 AS INT))
+                AS BIGINT) AS m_score
+    FROM rfm CROSS JOIN cuts
+    """,
+)
+def an7_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores per customer, the classic marketing-analytics
+    segmentation (and the lm3-pattern showcase: quintiles come from
+    ONE exact-percentile aggregate broadcast back over the customers,
+    NEVER an ntile/rank window — a global ntile drags every customer
+    to one reducer, the 100 TB anti-pattern). Recency scores invert
+    (bought recently → 5); cutoff comparisons use the ROUND(.,6)
+    published cutoffs on exact integer/2dp-decimal features, so the
+    strict-> tie behavior is engine-identical (the dq4 rule: Spark
+    percentile() == DuckDB quantile_cont at 6dp on these inputs).
+
+    Shape: one orders scan → per-customer aggregate (map-side
+    combined, the only corpus-wide exchange, checkpointed) → a 1-row
+    percentile aggregate broadcast back → scan-local scoring. Output
+    is O(customers)."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(
+                F.lit(AN7_ANCHOR).cast("date"),
+                F.max("o_orderdate").cast("date"),
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(28,10)")
+                ).cast("double"),
+                2,
+            ).alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cut_cols = []
+    for dim in ("recency_days", "frequency", "monetary"):
+        for i, q in enumerate(AN7_QS):
+            cut_cols.append(
+                F.round(
+                    F.expr(f"percentile({dim}, {q})"), 6
+                ).alias(f"{dim[0]}{i}")
+            )
+    cuts = rfm.agg(*cut_cols)
+
+    def score(col: str, prefix: str):
+        return sum(
+            (F.col(col) > F.col(f"{prefix}{i}")).cast("long")
+            for i in range(len(AN7_QS))
+        )
+
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(5) - score("recency_days", "r")).cast("long").alias("r_score"),
+        (F.lit(1) + score("frequency", "f")).cast("long").alias("f_score"),
+        (F.lit(1) + score("monetary", "m")).cast("long").alias("m_score"),
+    )

@@ -977,3 +977,124 @@ def mm9_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_win",
         F.round(F.sqrt(F.col("max_e") / MM9_WIN), 6).alias("peak_rms"),
     )
+
+
+@register(
+    "mm10_shot_keyframes",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                   CAST(ceil({Y4M_STREAM}.0 / length(text)) AS INT)),
+                   1, {Y4M_STREAM}) AS s
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, i AS frame_idx,
+               list_transform(
+                   str_split_regex(
+                       substring(s, i * {Y4M_FSZ} + 1, {Y4M_PLANE}), ''),
+                   c -> ord(c)) AS y
+        FROM base,
+             UNNEST([{", ".join(str(i) for i in range(Y4M_FRAMES))}])
+                 AS u(i)
+    ), tr AS (
+        SELECT a.doc_id, b.frame_idx,
+               CASE WHEN list_sum(list_transform(
+                        generate_series(1, {Y4M_PLANE}),
+                        k -> abs(a.y[k] - b.y[k]))) > {{cut}}
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM fr a JOIN fr b
+             ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx + 1
+    ), marked AS (
+        SELECT fr.doc_id, fr.frame_idx, fr.y,
+               COALESCE(SUM(is_cut) OVER (
+                   PARTITION BY fr.doc_id ORDER BY fr.frame_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0) AS shot_id
+        FROM fr LEFT JOIN tr
+          ON fr.doc_id = tr.doc_id AND fr.frame_idx = tr.frame_idx
+    ), shots AS (
+        SELECT doc_id, shot_id,
+               MIN(frame_idx) AS start_frame,
+               MAX(frame_idx) AS end_frame,
+               COUNT(*) AS n_frames
+        FROM marked GROUP BY doc_id, shot_id
+    )
+    SELECT s.doc_id AS media_id,
+           CAST(s.shot_id AS BIGINT) AS shot_id,
+           CAST(start_frame AS BIGINT) AS start_frame,
+           CAST(end_frame AS BIGINT) AS end_frame,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(start_frame + (n_frames - 1) // 2 AS BIGINT)
+               AS keyframe_idx,
+           ROUND(CAST(list_sum(m.y) AS DOUBLE) / {Y4M_PLANE}, 6)
+               AS keyframe_mean_luma
+    FROM shots s
+    JOIN marked m
+      ON m.doc_id = s.doc_id
+     AND m.frame_idx = s.start_frame + (s.n_frames - 1) // 2
+    """.replace("{cut}", "4096"),
+)
+def mm10_shot_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYFRAME SELECTION per shot — the step after mm8: cut flags
+    split each clip into shots (cumulative cut count), and each shot
+    nominates its MEDIAN frame (lower middle on even lengths — a
+    deterministic integer rule, the standard cheap representative
+    before any embedding model sees frames) with its exact mean luma.
+    mm3 samples frames on a fixed stride; mm10 samples
+    content-adaptively on shot structure.
+
+    Shape: frames are row-local inside the payload, so shots,
+    medians, and luma sums all compute inside ONE Arrow kernel pass —
+    no self-join, no window, zero shuffles after the fixture's pinned
+    repartition; output rows = clips × shots (the oracle re-expresses
+    the same per-clip walk relationally with a bounded per-doc
+    window). Engine parity: everything is exact integer arithmetic
+    except mean luma, a single division rounded 6dp (the mm6 rule)."""
+    video = video_table(spark, sf_dir)
+
+    def keyframes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                planes = decode_y4m(bytes(buf))
+                y = planes[:, 0].astype(np.int64)  # (frames, H, W)
+                sad = np.abs(np.diff(y, axis=0)).sum(axis=(1, 2))
+                shot_of = np.concatenate(
+                    ([0], np.cumsum(sad > MM8_CUT_SAD))
+                )
+                for shot in range(int(shot_of[-1]) + 1):
+                    idxs = np.nonzero(shot_of == shot)[0]
+                    kf = int(idxs[0] + (len(idxs) - 1) // 2)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "shot_id": shot,
+                            "start_frame": int(idxs[0]),
+                            "end_frame": int(idxs[-1]),
+                            "n_frames": len(idxs),
+                            "keyframe_idx": kf,
+                            "luma_sum": int(y[kf].sum()),  # full-plane sum
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    acc = video.select("media_id", "payload").mapInPandas(
+        keyframes,
+        schema=(
+            "media_id long, shot_id long, start_frame long, "
+            "end_frame long, n_frames long, keyframe_idx long, "
+            "luma_sum long"
+        ),
+    )
+    return acc.select(
+        "media_id",
+        "shot_id",
+        "start_frame",
+        "end_frame",
+        "n_frames",
+        "keyframe_idx",
+        F.round(F.col("luma_sum") / Y4M_PLANE, 6).alias(
+            "keyframe_mean_luma"
+        ),
+    )

@@ -1286,3 +1286,93 @@ def x10_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, mmr_rank int, vec_id long, mmr_score_e7 long"
         ),
     )
+
+
+def _x12_oracle() -> str:
+    from etl_project_spark.registry import get as _get
+
+    exact_sql = _get("x1_topk_cosine_exact").oracle
+    approx_sql = _get("x6_rademacher_lsh_topk").oracle
+    return f"""
+    WITH exact_r AS (
+        SELECT * FROM ({exact_sql})
+    ), approx_r AS (
+        SELECT * FROM ({approx_sql})
+    ), per_q AS (
+        SELECT e.query_id,
+               COUNT(*) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM exact_r e
+        LEFT JOIN approx_r a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    ), retr AS (
+        SELECT query_id, COUNT(*) AS n_approx FROM approx_r
+        GROUP BY query_id
+    )
+    SELECT per_q.query_id,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(n_approx, 0) AS BIGINT) AS n_approx,
+           n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+    FROM per_q LEFT JOIN retr USING (query_id)
+    """
+
+
+@register("x12_ann_recall_eval", oracle=_x12_oracle())
+def x12_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVALUATION as a hash-checked relation: per-query
+    recall@{TOP_K} of the x6 sign-LSH retrieval against x1's exact
+    brute-force ranking — the eval completeness piece for the ANN
+    stack (retrieval has rk5/rk6, clustering has x11; this closes the
+    triangle). RECALL.json records the production x3/x4/x9 paths with
+    behavioral checks; x12 makes the evaluation JOIN itself
+    differentially checkable end-to-end because both of its inputs are
+    engine-neutral deterministic rankings. n_approx < n_exact exposes
+    under-retrieval (an LSH bucket smaller than k) separately from
+    ranking misses.
+
+    Shape: both rankings broadcast their query sets (x1/x6 plans
+    unchanged underneath); the eval join keys on (query, neighbor) —
+    |queries|·k rows a side — and aggregates to O(queries). Recall is
+    a single division of exact integers."""
+    exact = x1_topk_cosine_exact(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = x6_rademacher_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("neighbor_id").alias("a_nid"),
+    )
+    per_q = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.col("a_nid").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    retr = approx.groupBy(F.col("a_qid").alias("query_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return (
+        per_q.join(retr, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0))
+            .cast("long")
+            .alias("n_approx"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -128,9 +128,10 @@ _FRONT_QUERIES = [
     # rotation — a7/a8 keep their local rtol checks every sweep, dd5/
     # dd5c stay exercised through dd5b (in-window; pytest pins the
     # dd5b/dd5c pair), an4's window frame through ts4/w5, and all
-    # eight stay in the full-registry local sweep. The last two
-    # session-2 ops (dq7_categorical_drift, tx15_tfidf_keywords) are
-    # NOT front-loaded — eight displacements is the cap this round
+    # eight stay in the full-registry local sweep. The remaining five
+    # session-2 ops (dq7_categorical_drift, tx15_tfidf_keywords,
+    # x12_ann_recall_eval, an7_rfm_segmentation, mm10_shot_keyframes)
+    # are NOT front-loaded — eight displacements is the cap this round
     # honors for VERDICT r5 #1's stale-row rotation; they are
     # sweep-verified and queue for r07's first-attestation slots.
 ]
