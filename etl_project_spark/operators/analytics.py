@@ -722,3 +722,126 @@ def an7_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + score("frequency", "f")).cast("long").alias("f_score"),
         (F.lit(1) + score("monetary", "m")).cast("long").alias("m_score"),
     )
+
+
+AN8_MIN_SUP = 2  # minimum co-occurrence count for a reported pair
+
+
+@register(
+    "an8_copurchase_pairs",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        FROM lineitem
+    ), item AS (
+        SELECT pkey, COUNT(*) AS n_item FROM basket GROUP BY pkey
+    ), n AS (
+        SELECT COUNT(DISTINCT okey) AS n_orders FROM basket
+    ), pairs AS (
+        SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS n_pair
+        FROM basket a
+        JOIN basket b ON a.okey = b.okey AND a.pkey < b.pkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {AN8_MIN_SUP}
+    )
+    SELECT part_a, part_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(fa.n_item AS BIGINT) AS n_a,
+           CAST(fb.n_item AS BIGINT) AS n_b,
+           ROUND(CAST(n_pair AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(n_pair AS DOUBLE) / fa.n_item, 6) AS conf_a_b,
+           ROUND(CAST(n_pair AS DOUBLE) / fb.n_item, 6) AS conf_b_a,
+           ROUND(CAST(n_pair AS DOUBLE) * n_orders
+                 / (fa.n_item * fb.n_item), 6) AS lift
+    FROM pairs
+    JOIN item fa ON pairs.part_a = fa.pkey
+    JOIN item fb ON pairs.part_b = fb.pkey
+    CROSS JOIN n
+    """,
+)
+def an8_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET MINING (a-priori frequent 2-itemsets): part pairs
+    co-occurring in >= {AN8_MIN_SUP} orders, with support, directional
+    confidence, and lift — the co-purchase association signal behind
+    "customers also bought". Extension scope (SURVEY section 2h growth
+    of the reference's dashboard analytics family).
+
+    Shape — the scale design is what matters here: baskets build as
+    ONE groupBy(order).collect_set(part) shuffle (basket sizes are
+    bounded by order size, never corpus-sized), pair GENERATION is
+    basket-local (explode x explode inside the row — there is NO
+    corpus-wide self-join anywhere), and the a-priori prune applies
+    BEFORE pair generation as a broadcast frequent-item array
+    intersect (a pair frequent => both items frequent, so the prune
+    is lossless by the a-priori property; it only removes work, not
+    results). Pair counts map-side combine into the second exchange;
+    the metric joins broadcast the O(parts) item-count relation and
+    the 1-row order count. At 100 TB the only heavy exchanges are the
+    basket build and the pair count, both linear in line items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # one lineitem scan -> per-order deduped item sets; checkpointed:
+    # three consumers (item counts, order count, pair generation)
+    order_sets = (
+        li.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.collect_set("l_partkey").alias("items"))
+        .localCheckpoint(eager=True)
+    )
+    member = order_sets.select(
+        "okey", F.explode("items").alias("pkey")
+    )
+    item = member.groupBy("pkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    n_orders = order_sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    # a-priori prune: only items that can appear in a frequent pair
+    freq_arr = item.filter(F.col("n_item") >= AN8_MIN_SUP).agg(
+        F.collect_list("pkey").alias("freq_items")
+    )
+    pruned = (
+        order_sets.crossJoin(F.broadcast(freq_arr))
+        .select(
+            F.array_intersect("items", "freq_items").alias("items")
+        )
+        .filter(F.size("items") >= 2)
+    )
+    pairs = (
+        pruned.select(F.explode("items").alias("part_a"), "items")
+        .select("part_a", F.explode("items").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= AN8_MIN_SUP)
+    )
+    fa = item.select(
+        F.col("pkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    fb = item.select(
+        F.col("pkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a"), 6
+            ).alias("conf_a_b"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_b"), 6
+            ).alias("conf_b_a"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1313,3 +1313,76 @@ def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", cont.alias("containment"))
         .filter(F.col("containment") >= tau)
     )
+
+
+def _smp7_oracle() -> str:
+    from etl_project_spark.operators.core import (
+        _SPLIT_TRAIN_MAX,
+        _SPLIT_VAL_MAX,
+    )
+
+    return f"""
+    WITH clusters AS ({_CC_CLUSTERS_SQL})
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < '{_SPLIT_TRAIN_MAX}' THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < '{_SPLIT_VAL_MAX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
+    """
+
+
+@register("smp7_leakage_safe_split", oracle=_smp7_oracle())
+def smp7_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assign every document to a
+    split by hashing its near-dup CLUSTER id (dd7's min-doc_id label),
+    not its own id — so a near-duplicate family can never straddle
+    train and test. smp3's per-doc hash split is contamination-blind:
+    two 0.9-Jaccard copies of one page land in different splits ~9.5%
+    of the time (any cross-split near-dup pair IS test-set leakage,
+    the thing pp2 exists to detect after the fact); smp7 is
+    the structural fix — the split key is the connected-component
+    label, so leakage through the near-dup graph is zero by
+    construction, which tests/test_dedup_similarity.py pins (no LSH
+    edge straddles splits).
+
+    Shape: dd7's plan (LSH candidates -> verified edges -> O(log n)
+    star-contraction components; never all-pairs) plus one scan-local
+    md5 projection — the split adds NO shuffle beyond the cluster
+    labeling it already needs. Same 90/5/5 hex thresholds as smp3, so
+    the two relations are drop-in interchangeable downstream; split
+    membership stays decidable per (doc, cluster) row with no global
+    state, and appending new docs never moves an existing family
+    (frozen-merges discipline, the append_to_text_index rule)."""
+    from etl_project_spark.operators.core import (
+        _SPLIT_TRAIN_MAX,
+        _SPLIT_VAL_MAX,
+    )
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = (
+        lsh_verified_pairs(spark, raw)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    comp = connected_components(edges)
+    labeled = (
+        raw.select("doc_id")
+        .join(comp, raw.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    h = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8)
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < _SPLIT_TRAIN_MAX, "train")
+        .when(h < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -229,3 +229,56 @@ def test_bivariate_stats_in_range(spark, sf_dir):
     r = entrymod.queries()["a10_bivariate_stats"](spark, sf_dir).first()
     assert -1.0 <= r.corr_qty_price <= 1.0
     assert r.std_qty > 0
+
+
+ORACLED_R6 = ["an7_rfm_segmentation", "an8_copurchase_pairs"]
+
+
+@pytest.mark.parametrize("name", ORACLED_R6)
+def test_matches_oracle_round6(spark, sf_dir, name):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_rfm_scores_cover_all_customers_in_range(spark, sf_dir):
+    """every customer with an order gets exactly one row; all three
+    scores sit in 1..5; quintile counts are near-balanced (each score
+    bucket holds <= ceil(n/5) + ties, so no bucket may exceed 2n/5 on
+    these near-unique monetary values)."""
+    from etl_project_spark.catalog import load_table
+
+    rfm = analytics.an7_rfm_segmentation(spark, sf_dir)
+    rows = rfm.collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cust
+    assert len({r.custkey for r in rows}) == n_cust
+    for c in ("r_score", "f_score", "m_score"):
+        vals = [r[c] for r in rows]
+        assert min(vals) >= 1 and max(vals) <= 5
+    # monetary is a near-unique 2dp sum: its quintiles must balance
+    from collections import Counter
+
+    m_counts = Counter(r.m_score for r in rows)
+    assert set(m_counts) == {1, 2, 3, 4, 5}
+    assert max(m_counts.values()) <= 2 * n_cust / 5
+
+
+def test_copurchase_pair_metrics_consistent(spark, sf_dir):
+    """pair counts bound item counts; confidence/support/lift agree
+    with their integer numerators; part_a < part_b everywhere; every
+    reported pair meets the support floor."""
+    rows = analytics.an8_copurchase_pairs(spark, sf_dir).collect()
+    assert rows, "support floor should keep some pairs at every sf"
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_pair >= analytics.AN8_MIN_SUP
+        assert r.n_pair <= min(r.n_a, r.n_b)
+        assert 0 < r.conf_a_b <= 1 and 0 < r.conf_b_a <= 1
+        assert 0 < r.support <= 1
+        assert r.lift > 0

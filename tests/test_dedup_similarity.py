@@ -244,3 +244,58 @@ def test_mmr_diversifies_vs_plain_topk(spark, sf_dir):
         )
     # diversification helps on average across the query set
     assert sum(diffs) / len(diffs) >= 0
+
+
+def test_ann_recall_eval_consistent_with_inputs(spark, sf_dir):
+    """x12's relation is internally consistent (n_hits <= n_exact ==
+    TOP_K, recall = n_hits/n_exact) and its mean recall equals a
+    direct python recomputation from x1/x6 outputs."""
+    from etl_project_spark.operators import similarity as sim
+
+    rows = sim.x12_ann_recall_eval(spark, sf_dir).collect()
+    assert rows
+    exact: dict = {}
+    for r in sim.x1_topk_cosine_exact(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict = {}
+    for r in sim.x6_rademacher_lsh_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert {r.query_id for r in rows} == set(exact)
+    for r in rows:
+        assert r.n_exact == sim.TOP_K
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.n_approx == len(approx.get(r.query_id, set()))
+        got = len(exact[r.query_id] & approx.get(r.query_id, set()))
+        assert r.n_hits == got
+        assert abs(r.recall - round(got / r.n_exact, 6)) < 1e-9
+
+
+def test_leakage_safe_split_no_edge_straddles(spark, sf_dir):
+    """smp7's defining property: no verified near-dup edge crosses a
+    split boundary; cluster members share one split; fractions are
+    hash-split-plausible at cluster granularity."""
+    from etl_project_spark.operators import dedup as dd
+
+    from etl_project_spark.catalog import load_table
+
+    rows = dd.smp7_leakage_safe_split(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    cluster_of = {r.doc_id: r.cluster_id for r in rows}
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = dd.lsh_verified_pairs(spark, raw).collect()
+    assert edges, "fixture plants near-dup pairs"
+    for e in edges:
+        assert split_of[e.doc_a] == split_of[e.doc_b]
+        assert cluster_of[e.doc_a] == cluster_of[e.doc_b]
+    # every cluster maps to exactly one split
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # 90/5/5 at cluster level within loose binomial slack
+    n = len(by_cluster)
+    train = sum(
+        1 for c, s in by_cluster.items() if s == {"train"}
+    )
+    assert 0.8 * n <= train <= n

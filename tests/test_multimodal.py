@@ -253,3 +253,33 @@ def test_streaming_perceptual_dedup_composes(spark, sf_dir, tmp_path):
         ahash_signatures(m).select("ahash_bits").distinct().count()
     )
     assert len({r["ahash_bits"] for r in rows}) == n_batch_unique
+
+
+def test_shot_keyframes_partition_the_clip(spark, sf_dir):
+    """per clip: shots tile the frame range exactly (contiguous ids
+    from 0, frame spans abut, n_frames sums to the clip length), the
+    keyframe is the lower-median of its shot, and the shot count is
+    mm8's cut count + 1."""
+    kf = mm.mm10_shot_keyframes(spark, sf_dir).collect()
+    cuts: dict = {}
+    for r in mm.mm8_scene_cuts(spark, sf_dir).collect():
+        cuts[r.media_id] = cuts.get(r.media_id, 0) + int(r.is_cut)
+    by_media: dict = {}
+    for r in kf:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(cuts)
+    for media_id, shots in by_media.items():
+        shots.sort(key=lambda r: r.shot_id)
+        assert [s.shot_id for s in shots] == list(range(len(shots)))
+        assert len(shots) == cuts[media_id] + 1
+        assert shots[0].start_frame == 0
+        assert shots[-1].end_frame == mm.Y4M_FRAMES - 1
+        for prev, nxt in zip(shots, shots[1:]):
+            assert nxt.start_frame == prev.end_frame + 1
+        for s in shots:
+            assert s.n_frames == s.end_frame - s.start_frame + 1
+            assert (
+                s.keyframe_idx
+                == s.start_frame + (s.n_frames - 1) // 2
+            )
+            assert 0.0 <= s.keyframe_mean_luma <= 255.0
