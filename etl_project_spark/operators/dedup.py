@@ -1386,3 +1386,173 @@ def smp7_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _dq8_oracle() -> str:
+    from etl_project_spark.operators.core import (
+        _SPLIT_TRAIN_MAX,
+        _SPLIT_VAL_MAX,
+    )
+
+    case = (
+        "CASE WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 8) "
+        f"< '{_SPLIT_TRAIN_MAX}' THEN 'train' "
+        "WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 8) "
+        f"< '{_SPLIT_VAL_MAX}' THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+    WITH clusters AS ({_CC_CLUSTERS_SQL}),
+    toks2 AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh2 AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks2
+    ), pair_edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+              >= 0.5
+    ), labeled AS (
+        SELECT c.doc_id,
+               {case.format(k="c.doc_id")} AS doc_split,
+               {case.format(k="c.cluster_id")} AS cluster_split
+        FROM clusters c
+    ), strategies AS (
+        SELECT 'doc_hash' AS strategy, doc_id, doc_split AS split
+        FROM labeled
+        UNION ALL
+        SELECT 'cluster_hash', doc_id, cluster_split FROM labeled
+    ), sizes AS (
+        SELECT strategy,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_val,
+               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM strategies GROUP BY strategy
+    ), cross_pairs AS (
+        SELECT s.strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN su.split <> sv.split THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_cross_pairs
+        FROM pair_edges e
+        CROSS JOIN (SELECT DISTINCT strategy FROM strategies) s
+        JOIN strategies su
+          ON su.strategy = s.strategy AND su.doc_id = e.u
+        JOIN strategies sv
+          ON sv.strategy = s.strategy AND sv.doc_id = e.v
+        GROUP BY s.strategy
+    )
+    SELECT sizes.strategy, n_train, n_val, n_test,
+           n_pairs, n_cross_pairs
+    FROM sizes JOIN cross_pairs ON sizes.strategy = cross_pairs.strategy
+    """
+
+
+@register("dq8_split_leakage_audit", oracle=_dq8_oracle())
+def dq8_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT LEAKAGE AUDIT — the number that justifies smp7: for each
+    split strategy ('doc_hash' = smp3's per-doc rule, 'cluster_hash' =
+    smp7's per-near-dup-cluster rule), the split sizes plus how many
+    verified near-dup pairs STRADDLE a split boundary. A straddling
+    pair is train/test contamination (a test doc whose near-copy was
+    trained on); doc_hash shows a positive count on any corpus with
+    planted dups, cluster_hash is structurally zero — this relation is
+    the before/after evidence a data team reviews when switching split
+    rules, and the batch twin of what pp2 checks against an external
+    benchmark. Two rows, six columns, hash-checked end to end
+    (including the zero).
+
+    Shape: ONE edge materialization (LSH candidates -> verified pairs,
+    persisted) and ONE cluster labeling feed both strategies; the
+    strategy relation is a union of two scan-local md5 projections
+    over the same labeled relation; straddle counting joins the
+    bounded edge set to the split map on each endpoint (at 100 TB:
+    broadcast the edge relation if the dup-family mass fits, else two
+    doc_id-keyed shuffles). Counts reduce to O(strategies) rows."""
+    from etl_project_spark.operators.core import (
+        _SPLIT_TRAIN_MAX,
+        _SPLIT_VAL_MAX,
+    )
+
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = (
+        lsh_verified_pairs(spark, raw)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    comp = connected_components(edges)
+    labeled = (
+        raw.select("doc_id")
+        .join(comp, raw.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds both strategies twice
+    )
+
+    def split_col(key: str):
+        h = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
+        return (
+            F.when(h < _SPLIT_TRAIN_MAX, "train")
+            .when(h < _SPLIT_VAL_MAX, "val")
+            .otherwise("test")
+        )
+
+    strategies = (
+        labeled.select(
+            F.lit("doc_hash").alias("strategy"),
+            "doc_id",
+            split_col("doc_id").alias("split"),
+        )
+        .unionAll(
+            labeled.select(
+                F.lit("cluster_hash").alias("strategy"),
+                "doc_id",
+                split_col("cluster_id").alias("split"),
+            )
+        )
+        .localCheckpoint(eager=True)  # sizes + two straddle joins
+    )
+    sizes = strategies.groupBy("strategy").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    su = strategies.select(
+        F.col("strategy").alias("s_u"),
+        F.col("doc_id").alias("u"),
+        F.col("split").alias("split_u"),
+    )
+    sv = strategies.select(
+        F.col("strategy").alias("s_v"),
+        F.col("doc_id").alias("vv"),
+        F.col("split").alias("split_v"),
+    )
+    cross = (
+        F.broadcast(edges)
+        .join(su, "u")
+        .join(
+            sv,
+            (F.col("s_u") == F.col("s_v"))
+            & (F.col("v") == F.col("vv")),
+        )
+        .groupBy(F.col("s_u").alias("strategy"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("split_u") != F.col("split_v")).cast("long")
+            ).alias("n_cross_pairs"),
+        )
+    )
+    return sizes.join(cross, "strategy").select(
+        "strategy", "n_train", "n_val", "n_test", "n_pairs", "n_cross_pairs"
+    )

@@ -299,3 +299,23 @@ def test_leakage_safe_split_no_edge_straddles(spark, sf_dir):
         1 for c, s in by_cluster.items() if s == {"train"}
     )
     assert 0.8 * n <= train <= n
+
+
+def test_split_leakage_audit_story(spark, sf_dir):
+    """cluster_hash strategy must report exactly zero straddling
+    pairs; both strategies see the same pair universe and partition
+    the whole corpus."""
+    from etl_project_spark.operators.dedup import dq8_split_leakage_audit
+    from etl_project_spark.catalog import load_table
+
+    rows = {
+        r.strategy: r
+        for r in dq8_split_leakage_audit(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"doc_hash", "cluster_hash"}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    for r in rows.values():
+        assert r.n_train + r.n_val + r.n_test == n_docs
+    assert rows["doc_hash"].n_pairs == rows["cluster_hash"].n_pairs
+    assert rows["cluster_hash"].n_cross_pairs == 0
+    assert 0 <= rows["doc_hash"].n_cross_pairs <= rows["doc_hash"].n_pairs
