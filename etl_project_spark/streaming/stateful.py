@@ -508,3 +508,59 @@ def type_mix_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def copurchase_pairs_stream(lineitem: DataFrame) -> DataFrame:
+    """Streaming twin of batch ``an8_copurchase_pairs``' pair-count
+    core: per-order state is the item set seen so far, and each
+    arriving line item emits exactly the NEW unordered pairs it forms
+    with the items already in its order — so an order split across
+    micro-batches still yields each pair exactly once (pairs(S ∪ N) −
+    pairs(S), walked item-at-a-time). A trivial batch count over the
+    emitted (part_a, part_b) rows reproduces an8's n_pair column
+    (replay-pinned in tests/test_ingest_streaming.py, including a
+    slicing that deliberately splits orders across batches).
+
+    State per order is its item set — bounded by basket size, never
+    corpus-sized; a production deployment adds a processing-time
+    timeout to evict orders once their basket is complete (the
+    at-most-basket-sized analog of rolling_zscore_stream's ring).
+    Support/confidence/lift stay batch-side: they need the global
+    order count, which any scheduled batch query over the emitted
+    sink computes (the a8 HLL-rollup pattern)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        pa, pb = [], []
+        for pdf in pdfs:
+            for it in pdf["l_partkey"]:
+                it = int(it)
+                if it in seen:
+                    continue
+                for b in seen:
+                    pa.append(min(it, b))
+                    pb.append(max(it, b))
+                seen.add(it)
+        state.update((sorted(seen),))
+        if pa:
+            yield pd.DataFrame(
+                {
+                    "okey": int(key[0]),
+                    "part_a": pa,
+                    "part_b": pb,
+                }
+            )
+
+    return lineitem.select("l_orderkey", "l_partkey").groupBy(
+        "l_orderkey"
+    ).applyInPandasWithState(
+        update,
+        outputStructType="okey long, part_a long, part_b long",
+        stateStructType="items array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -887,3 +887,64 @@ def test_stateful_type_mix_matches_batch_dq7(spark, sf_dir, tmp_path):
         for r in get("dq7_categorical_drift").fn(spark, sf_dir).collect()
     }
     assert final == expected
+
+
+def test_stateful_copurchase_matches_batch_an8(spark, sf_dir, tmp_path):
+    """Replaying lineitem in 3 row-sliced files (orders deliberately
+    split across batches) through copurchase_pairs_stream emits each
+    within-order pair exactly once; counting emissions and applying
+    an8's support floor reproduces batch an8's n_pair relation."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.analytics import (
+        AN8_MIN_SUP,
+        an8_copurchase_pairs,
+    )
+    from etl_project_spark.streaming import stateful
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    src_dir = str(tmp_path / "li_pairs")
+    import os
+
+    os.makedirs(src_dir)
+    # slice by line number, NOT order: most orders straddle slices,
+    # exercising the incremental pairs(S∪N)−pairs(S) emission
+    for i, cond in enumerate(
+        [F.col("l_linenumber") <= 2, F.col("l_linenumber").between(3, 4),
+         F.col("l_linenumber") >= 5]
+    ):
+        import glob as globmod
+        import shutil
+
+        part_dir = str(tmp_path / f"li_slice_{i}")
+        li.filter(cond).coalesce(1).write.parquet(part_dir)
+        (part,) = globmod.glob(f"{part_dir}/part-*.parquet")
+        dst = f"{src_dir}/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(
+        spark, src_dir, schema, max_files_per_trigger=1
+    )
+    out = stateful.copurchase_pairs_stream(stream)
+    sp.run_available_now(
+        out,
+        str(tmp_path / "ck_pairs"),
+        output_mode="update",
+        queryName="pairs_test",
+    )
+    emitted = spark.sql("SELECT * FROM pairs_test").collect()
+    # exactly-once per (order, pair)
+    keys = [(r.okey, r.part_a, r.part_b) for r in emitted]
+    assert len(keys) == len(set(keys))
+    from collections import Counter
+
+    counts = Counter((r.part_a, r.part_b) for r in emitted)
+    got = {k: n for k, n in counts.items() if n >= AN8_MIN_SUP}
+    expected = {
+        (r.part_a, r.part_b): r.n_pair
+        for r in an8_copurchase_pairs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected
