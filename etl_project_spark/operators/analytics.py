@@ -845,3 +845,98 @@ def an8_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+AN9_WINDOW_DAYS = 7  # attribution lookback: touch must precede by <= 7d
+
+
+@register(
+    "an9_attribution",
+    oracle=f"""
+    WITH o AS (
+        SELECT event_id, ts, user_id, event_type, value,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END IGNORE NULLS)
+                   OVER w AS t_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS t_ts,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS t_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS conv_event_id, user_id, value AS revenue,
+           CASE WHEN epoch_us(ts) - epoch_us(t_ts)
+                     <= {AN9_WINDOW_DAYS} * 86400000000 THEN t_id END
+               AS touch_event_id,
+           CASE WHEN epoch_us(ts) - epoch_us(t_ts)
+                     <= {AN9_WINDOW_DAYS} * 86400000000 THEN t_type END
+               AS touch_type,
+           CASE WHEN epoch_us(ts) - epoch_us(t_ts)
+                     <= {AN9_WINDOW_DAYS} * 86400000000
+                THEN (epoch_us(ts) - epoch_us(t_ts)) // 1000000 END
+               AS gap_sec
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def an9_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH CONVERSION ATTRIBUTION: every purchase is credited
+    to the same user's most recent click/view that happened STRICTLY
+    BEFORE it and within a {AN9_WINDOW_DAYS}-day lookback; purchases
+    with no qualifying touch stay in the relation unattributed (NULL
+    touch columns) — the marketing-analytics primitive the funnel
+    (an1) and session-path (an3) ops stop short of. Output is the
+    per-conversion attribution manifest (conversion, revenue, credited
+    touch, touch type, gap seconds) a channel-level rollup consumes.
+
+    Shape: ONE pass — a single user-partitioned ordered window
+    (ties broken by event_id; frame ends at 1 PRECEDING so a touch at
+    the exact purchase timestamp orders by event_id, and the purchase
+    itself can never self-attribute) carries the last touch forward
+    via last_value(... ignore nulls); the lookback is a post-window
+    null-out, NOT a join. No as-of join, no self-join: one shuffle on
+    user_id total, and window partitions are per-user event counts —
+    bounded, never corpus-wide. Gap math is exact integer
+    microseconds (unix_micros/epoch_us) floor-divided to seconds, so
+    both engines agree bit-for-bit. At 100 TB this is the plan you
+    want: attribution is embarrassingly parallel across users."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    o = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("t_id"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("t_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_type"),
+    ).filter(F.col("event_type") == "purchase")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.unix_micros(
+        F.col("t_ts").cast("timestamp_ltz")
+    )
+    in_window = gap_us <= AN9_WINDOW_DAYS * 86_400_000_000
+    return o.select(
+        F.col("event_id").alias("conv_event_id"),
+        "user_id",
+        F.col("value").alias("revenue"),
+        F.when(in_window, F.col("t_id")).alias("touch_event_id"),
+        F.when(in_window, F.col("t_type")).alias("touch_type"),
+        F.when(in_window, F.floor(gap_us / 1_000_000))
+        .cast("long")
+        .alias("gap_sec"),
+    )

@@ -1556,3 +1556,81 @@ def dq8_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(cross, "strategy").select(
         "strategy", "n_train", "n_val", "n_test", "n_pairs", "n_cross_pairs"
     )
+
+
+PP11_WEIGHT_CAP = 10  # upweight clip: huge boilerplate families stay at 10
+
+
+@register(
+    "pp11_dup_weighted_keep",
+    oracle=f"""
+    WITH clusters AS ({_CC_CLUSTERS_SQL}),
+    t AS (
+        SELECT doc_id, LEN(str_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    ), m AS (
+        SELECT c.cluster_id, c.doc_id, t.n_tokens
+        FROM clusters c JOIN t USING (doc_id)
+    )
+    SELECT cluster_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN m.doc_id = cluster_id THEN n_tokens END)
+                AS BIGINT) AS n_tokens_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+           CAST(LEAST(COUNT(*), {PP11_WEIGHT_CAP}) AS BIGINT) AS weight
+    FROM m GROUP BY cluster_id
+    """,
+)
+def pp11_dup_weighted_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE SAMPLING WEIGHTS: keep ONE copy per near-dup
+    cluster (dd7's min-doc_id canonical) and upweight it by the
+    cluster's multiplicity, clipped at {PP11_WEIGHT_CAP} — the
+    "count duplicates once but don't lose their evidence" correction
+    a training sampler applies after dedup (hard-dropping dups
+    underweights genuinely popular content; unclipped multiplicity
+    re-inflates boilerplate — the clip is the standard compromise).
+    Output is one row per canonical doc: members, kept-doc tokens,
+    total collapsed tokens (the repeat mass a smp4-style weighted
+    sampler or pp4's mixture reweighting consumes), and the clipped
+    weight.
+
+    Shape: dd7's edge->CC labeling (never all-pairs) joined once to
+    scan-local token counts, then ONE per-cluster hash aggregate —
+    members, token sums, and the kept doc's tokens (a conditional MAX
+    inside the same aggregate: canonical == cluster label by
+    construction, so no second join back). O(canonical docs) out."""
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = (
+        lsh_verified_pairs(spark, raw)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    comp = connected_components(edges)
+    m = (
+        raw.select("doc_id", F.size(_tokens()).alias("n_tokens"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    return m.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(
+            F.when(
+                F.col("doc_id") == F.col("cluster_id"),
+                F.col("n_tokens"),
+            )
+        )
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        F.least(
+            F.count(F.lit(1)), F.lit(PP11_WEIGHT_CAP).cast("long")
+        )
+        .cast("long")
+        .alias("weight"),
+    )

@@ -1098,3 +1098,118 @@ def mm10_shot_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keyframe_mean_luma"
         ),
     )
+
+
+# video near-dup: per-frame 64-bit aHash over the Y plane (128 px ->
+# 64 two-pixel cells), matched on (frame_idx, hash) postings
+MM11_MIN_SHARED = 1  # emit the full candidate relation (see docstring)
+
+
+@register(
+    "mm11_video_neardup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                   CAST(ceil({Y4M_STREAM}.0 / length(text)) AS INT)),
+                   1, {Y4M_STREAM}) AS s
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, i AS frame_idx,
+               list_transform(
+                   str_split_regex(
+                       substring(s, i * {Y4M_FSZ} + 1, {Y4M_PLANE}), ''),
+                   c -> ord(c)) AS y
+        FROM base,
+             UNNEST([{", ".join(str(i) for i in range(Y4M_FRAMES))}])
+                 AS u(i)
+    ), fh AS (
+        SELECT doc_id, frame_idx,
+               ARRAY_TO_STRING(list_transform(
+                   generate_series(1, {Y4M_PLANE // 2}),
+                   k -> CASE WHEN (y[2*k-1] + y[2*k]) * {Y4M_PLANE // 2}
+                                  > list_sum(y)
+                             THEN '1' ELSE '0' END), '') AS fhash
+        FROM fr
+    )
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_frames
+    FROM fh a JOIN fh b
+      ON a.frame_idx = b.frame_idx AND a.fhash = b.fhash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {MM11_MIN_SHARED}
+    """,
+)
+def mm11_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO NEAR-DUP PAIRS by frame-fingerprint postings — the video
+    analogue of mm5's image aHash dedup and dd8's inverted-index join:
+    REAL Y4M decode -> per-frame 64-bit aHash over the Y plane (the
+    128 luma bytes mean-pooled into 64 two-pixel cells; bit = cell
+    brighter than the frame average, division-cleared to exact integer
+    arithmetic) -> videos pair when >= {MM11_MIN_SHARED} of their
+    {Y4M_FRAMES} frames hash-match AT THE SAME temporal index, ranked
+    by the aligned-match count. Exact re-encodes collide on all
+    {Y4M_FRAMES} frames; frame-hash sequence matching is the standard
+    cheap video-copy detector that runs before any embedding model
+    sees a clip. MIN_SHARED stays at 1 deliberately: the registry
+    emits the FULL candidate relation with its evidence count and
+    leaves the confirm threshold to the consumer, because this
+    fixture's text-derived clips peak at 2 aligned matches (no two
+    documents share bytes at frame granularity — a one-token edit
+    shifts the whole stream), so any majority threshold would pin a
+    trivially-empty result instead of exercising the pair aggregate.
+
+    Shape: ONE Arrow decode pass emits {Y4M_FRAMES} (frame_idx, hash)
+    rows per clip; the relation is localCheckpointed so the self-join
+    decodes the corpus ONCE; candidates come from an equi-join on
+    (frame_idx, fhash) — an inverted-index posting join, never
+    all-pairs — then one pair-keyed count aggregate applies the
+    majority threshold. At 100 TB the posting join inherits dd8's
+    discipline: hash buckets are bounded by capping pathological
+    posting lists (a frame hash shared by >F clips is boilerplate —
+    drop or handle via the dd8 prefix rule); here every bucket is
+    tiny. Oracle recomputes every bit from the text-derived byte
+    stream (mm7's substring walk)."""
+    video = video_table(spark, sf_dir)
+
+    def fhashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                planes = decode_y4m(bytes(buf))
+                y = planes[:, 0].astype(np.int64)  # (frames, H, W)
+                for f in range(y.shape[0]):
+                    flat = y[f].reshape(-1)
+                    cells = flat.reshape(-1, 2).sum(axis=1)
+                    total = int(flat.sum())
+                    bits = "".join(
+                        "1" if int(c) * (Y4M_PLANE // 2) > total else "0"
+                        for c in cells
+                    )
+                    ids.append(media_id)
+                    idxs.append(f)
+                    sigs.append(bits)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "fhash": sigs}
+            )
+
+    fh = (
+        video.select("media_id", "payload")
+        .mapInPandas(
+            fhashes, schema="media_id long, frame_idx int, fhash string"
+        )
+        .localCheckpoint()  # decode once; both self-join sides read this
+    )
+    a = fh.select(
+        F.col("media_id").alias("media_a"), "frame_idx", "fhash"
+    )
+    b = fh.select(
+        F.col("media_id").alias("media_b"), "frame_idx", "fhash"
+    )
+    return (
+        a.join(b, ["frame_idx", "fhash"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched_frames"))
+        .filter(F.col("n_matched_frames") >= MM11_MIN_SHARED)
+    )

@@ -1536,3 +1536,104 @@ def pp10_trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.col("kept")).alias("trimmed_text"),
         )
     )
+
+
+@register(
+    "pp12_seq_composition",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               LEN(str_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS cum_before
+        FROM d
+    ), e AS (
+        SELECT doc_id, source, n_tokens, cum_before,
+               UNNEST(generate_series(cum_before // {SEQ_LEN},
+                   (cum_before + n_tokens - 1) // {SEQ_LEN})) AS seq_id
+        FROM c WHERE n_tokens > 0
+    ), m AS (
+        SELECT seq_id, doc_id, source,
+               LEAST((seq_id + 1) * {SEQ_LEN}, cum_before + n_tokens)
+                   - GREATEST(seq_id * {SEQ_LEN}, cum_before) AS n_contrib
+        FROM e
+    ), s AS (
+        SELECT seq_id, source,
+               COUNT(*) AS src_docs, SUM(n_contrib) AS src_tokens
+        FROM m GROUP BY seq_id, source
+    ), r AS (
+        SELECT seq_id, source, src_docs, src_tokens,
+               ROW_NUMBER() OVER (PARTITION BY seq_id
+                   ORDER BY src_tokens DESC, source ASC) AS rn
+        FROM s
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(SUM(src_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(src_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           MAX(CASE WHEN rn = 1 THEN source END) AS top_source,
+           CAST(MAX(CASE WHEN rn = 1 THEN src_tokens END) AS BIGINT)
+               AS top_source_tokens,
+           ROUND(CAST(MAX(CASE WHEN rn = 1 THEN src_tokens END)
+                 AS DOUBLE) / SUM(src_tokens), 6) AS top_source_share
+    FROM r GROUP BY seq_id
+    """,
+)
+def pp12_seq_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-COMPOSITION AUDIT over pp8's packing manifest — the
+    eval relation a pretraining team reads before choosing attention
+    masking: concat-and-chunk packing (pp8) puts fragments of many
+    documents — and many SOURCES — inside one {SEQ_LEN}-token
+    attention window, and this op quantifies that bleed per sequence:
+    how many docs, how many distinct sources, and how dominant the
+    top source is (share of the window's tokens). A corpus where
+    top_source_share ~ 1/n_sources is heavily interleaved (cross-doc
+    attention contamination if sequences aren't boundary-masked); a
+    share near 1.0 means windows are effectively single-source.
+
+    Shape: pp8's manifest (two-phase prefix sum + bounded explode —
+    no corpus-sized window) joins the scan-local (doc_id, source)
+    projection, then two hash aggregates: (seq_id, source) partials
+    first, then one bounded row_number window (partitions = sources
+    per sequence, ~n_docs-per-window wide, never corpus-wide) picks
+    the deterministic top source (ties: src_tokens DESC, source ASC)
+    inside the final per-seq_id rollup. At 100 TB every stage is
+    linear in manifest rows and the widest window partition is the
+    doc count of one {SEQ_LEN}-token window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    manifest = pp8_sequence_packing(spark, sf_dir)
+    s = (
+        manifest.join(docs, "doc_id")
+        .groupBy("seq_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("src_docs"),
+            F.sum("n_contrib").alias("src_tokens"),
+        )
+    )
+    per_seq = Window.partitionBy("seq_id").orderBy(
+        F.col("src_tokens").desc(), F.col("source").asc()
+    )
+    r = s.withColumn("rn", F.row_number().over(per_seq))
+    return (
+        r.groupBy("seq_id")
+        .agg(
+            F.sum("src_docs").cast("long").alias("n_docs"),
+            F.sum("src_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max(F.when(F.col("rn") == 1, F.col("source"))).alias(
+                "top_source"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("src_tokens")))
+            .cast("long")
+            .alias("top_source_tokens"),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("src_tokens")))
+                / F.sum("src_tokens"),
+                6,
+            ).alias("top_source_share"),
+        )
+    )

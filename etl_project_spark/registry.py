@@ -88,6 +88,8 @@ _FRONT_QUERIES = [
     # (0) NEW in r6 — need their first attestation. Each name added
     # here displaces one tail name past the ~50 cap (the displaced
     # r03 rows join the 11 already deferred to r07's rotation).
+    "pp11_dup_weighted_keep", "mm11_video_neardup",
+    "pp12_seq_composition", "an9_attribution",
     "dq6_source_token_kl", "sk3_skew_profile", "ts7_rolling_zscore",
     "ly2_pruning_stats", "j11_interval_overlap_join",
     "mm9_silence_spans", "x11_cluster_eval", "dd11_containment_join",
@@ -107,9 +109,14 @@ _FRONT_QUERIES = [
     "ts1_tumbling_5min", "ts4_ohlcv_resample",
     "s1_union_all", "s2_intersect", "s3_except", "mm1_media_metadata",
     # (c) last attested r03 (minus the rows deferred to r07)
-    "an1_event_funnel", "an2_cohort_retention", "an3_session_paths",
+    "an1_event_funnel",
     "an5_nation_pagerank", "cdc1_latest_snapshot",
-    "cdc2_scd2_history", "cdc3_exactly_once_ingest",
+    # cdc2/cdc3 and an2/an3 retired to r07 with the session-3
+    # pp11/mm11/pp12/an9 slots (all four r03-attested and
+    # sweep-verified every round; cdc1 keeps the CDC family
+    # in-window, cdc3's dedupe-on-append path is pytest-pinned via
+    # the streaming ingest tests, and an9 exercises the same
+    # user-partitioned ordered-window machinery an2/an3 rest on).
     "j10_fuzzy_blocked_join",
     "km1_kmeans_lloyd",
     # smp3_train_val_test retired to r07 (hash-split sibling of the

@@ -564,3 +564,80 @@ def copurchase_pairs_stream(lineitem: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+AN9_WINDOW_US = 7 * 86_400_000_000  # an9's 7-day lookback, microseconds
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch ``an9_attribution``: per-user state is
+    the single most recent click/view (id, epoch-us, type); every
+    purchase emits one attribution row against that state — credited
+    if the touch is within the 7-day lookback, NULL columns otherwise.
+    Rows are sorted by (ts, event_id) within each micro-batch before
+    the state walk, so a time-ordered file replay reproduces the batch
+    window frame exactly (UNBOUNDED PRECEDING..1 PRECEDING: the walk
+    reads state BEFORE applying the current row, and a same-timestamp
+    touch with a lower event_id is applied first by the sort) —
+    replay-pinned in tests/test_ingest_streaming.py.
+
+    State per user is ONE touch tuple — O(users), the smallest state
+    of any twin here; production adds an event-time timeout at the
+    lookback horizon to evict idle users (state older than 7 days can
+    never attribute again). Gap math is exact integer microseconds
+    floor-divided to seconds — bit-equal to batch an9."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        touch = tuple(state.get) if state.exists else None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if touch is not None:
+                state.update(touch)
+            return
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        out = []
+        for _, row in batch.iterrows():
+            et = row["event_type"]
+            ts_us = int(pd.Timestamp(row["ts"]).value // 1000)
+            if et == "purchase":
+                rec = {
+                    "conv_event_id": int(row["event_id"]),
+                    "user_id": int(key[0]),
+                    "revenue": float(row["value"]),
+                    "touch_event_id": None,
+                    "touch_type": None,
+                    "gap_sec": None,
+                }
+                if touch is not None:
+                    gap_us = ts_us - touch[1]
+                    if gap_us <= AN9_WINDOW_US:
+                        rec["touch_event_id"] = touch[0]
+                        rec["touch_type"] = touch[2]
+                        rec["gap_sec"] = gap_us // 1_000_000
+                out.append(rec)
+            elif et in ("click", "view"):
+                touch = (int(row["event_id"]), ts_us, et)
+        if touch is not None:
+            state.update(touch)
+        if out:
+            yield pd.DataFrame(out).astype(
+                {
+                    "touch_event_id": "Int64",
+                    "gap_sec": "Int64",
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "conv_event_id long, user_id long, revenue double, "
+            "touch_event_id long, touch_type string, gap_sec long"
+        ),
+        stateStructType="t_id long, t_ts_us long, t_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

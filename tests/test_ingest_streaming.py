@@ -948,3 +948,72 @@ def test_stateful_copurchase_matches_batch_an8(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert expected
+
+
+def test_stateful_attribution_matches_batch_an9(spark, sf_dir, tmp_path):
+    """Time-ordered 4-file replay of events through attribution_stream
+    emits exactly batch an9_attribution's rows — credited touches,
+    gaps, AND the unattributed-NULL purchases (the state walk
+    reproduces the UNBOUNDED..1 PRECEDING frame because files are
+    disjoint time slices replayed one per batch and each batch is
+    sorted by (ts, event_id) before the walk)."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import get
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_attr")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.select(
+        F.expr(
+            "percentile(unix_micros(cast(ts as timestamp)),"
+            " array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    slices = [tsu <= bounds[0]]
+    for lo, hi in zip(bounds, bounds[1:]):
+        slices.append((tsu > lo) & (tsu <= hi))
+    slices.append(tsu > bounds[-1])
+    for i, cond in enumerate(slices):
+        ev.filter(cond).coalesce(1).write.parquet(f"{src_dir}/slice={i}")
+    schema = spark.read.parquet(f"{src_dir}/slice=0").schema
+    import glob as globmod
+    import os
+    import shutil
+
+    files_dir = str(tmp_path / "ev_attr_files")
+    os.makedirs(files_dir)
+    for i in range(4):
+        (part,) = globmod.glob(f"{src_dir}/slice={i}/part-*.parquet")
+        dst = f"{files_dir}/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = sp.file_event_stream(
+        spark, files_dir, schema, max_files_per_trigger=1
+    )
+    out = stateful.attribution_stream(stream)
+    sp.run_available_now(
+        out,
+        str(tmp_path / "ck_attr"),
+        output_mode="update",
+        queryName="attr_test",
+    )
+
+    def canon(rows):
+        return {
+            (
+                r["conv_event_id"],
+                r["user_id"],
+                round(r["revenue"], 6),
+                r["touch_event_id"],
+                r["touch_type"],
+                r["gap_sec"],
+            )
+            for r in rows
+        }
+
+    got = canon(spark.sql("SELECT * FROM attr_test").collect())
+    expected = canon(get("an9_attribution").fn(spark, sf_dir).collect())
+    assert got == expected
+    assert any(t[3] is not None for t in expected), "no credited touches"
+    assert any(t[3] is None for t in expected), "no unattributed rows"

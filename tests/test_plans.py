@@ -271,3 +271,35 @@ def test_lm4_corpus_scanned_once(spark, sf_dir):
     stats = assert_scalable(df)
     assert stats.scans == 0, stats.plan
     assert stats.broadcasts >= 1, stats.plan
+
+
+def test_mm11_corpus_decoded_once(spark, sf_dir):
+    """mm11: the frame-hash relation feeds BOTH self-join sides, so it
+    is materialized (eager localCheckpoint) — the final plan must read
+    the checkpoint (zero parquet scans: the decode kernel ran exactly
+    once over the corpus) and join candidates on (frame_idx, fhash)
+    postings, never a nested-loop pair scan."""
+    df = all_queries()["mm11_video_neardup"](spark, sf_dir)
+    stats = assert_scalable(df)
+    assert stats.scans == 0, stats.plan
+    assert "Scan ExistingRDD" in stats.plan, stats.plan
+
+
+def test_an9_single_user_window_no_join(spark, sf_dir):
+    """an9: last-touch attribution is ONE user-partitioned ordered
+    window over the events scan — no self-join, no as-of join, and at
+    most the window's single shuffle."""
+    df = all_queries()["an9_attribution"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=1)
+    assert "Join" not in stats.plan, stats.plan
+    assert stats.scans == 1, stats.plan
+
+
+def test_pp12_no_corpus_window(spark, sf_dir):
+    """pp12: composition audit inherits pp8's two-phase prefix sum —
+    the only unbounded-ordered window runs over the tiny bucket-totals
+    relation, and the top-source pick's row_number partitions by
+    seq_id (bounded by docs-per-window), never corpus-wide."""
+    df = all_queries()["pp12_seq_composition"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=8)
+    assert stats.broadcasts >= 1, stats.plan  # bucket offsets broadcast
