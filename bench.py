@@ -99,6 +99,15 @@ EXTENDED_QUERIES = [
     "x10_mmr_topk",
     "mm8_scene_cuts",
     "pp10_trim_dup_spans",
+    # session-3 r6 additions
+    "pp11_dup_weighted_keep",
+    "mm11_video_neardup",
+    "pp12_seq_composition",
+    "an9_attribution",
+    "dq9_source_overlap_matrix",
+    "mm12_audio_neardup",
+    "x13_dim_truncation_eval",
+    "ts8_ewma_forecast",
 ]
 
 

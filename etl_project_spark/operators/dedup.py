@@ -1634,3 +1634,81 @@ def pp11_dup_weighted_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight"),
     )
+
+
+@register(
+    "dq9_source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, source, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
+    ), pairs AS (
+        SELECT LEAST(a.source, b.source) AS source_a,
+               GREATEST(a.source, b.source) AS source_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s)))
+              >= 0.5
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           source_a = source_b AS within_source
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def dq9_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE DUPLICATION MATRIX — which crawls/feeds duplicate
+    EACH OTHER: every verified near-dup pair (3-shingle Jaccard >= 0.5,
+    dd4/dd7's metric) is keyed by its unordered source pair and
+    counted. dq5 answers "how much of source X is removable"; dq9
+    answers the planning question behind it — "removable against
+    WHOM": a heavy off-diagonal cell means two sources re-serve the
+    same content (dedup one against the other, or drop the lower-
+    quality feed), while a diagonal-dominant matrix means dedup can
+    run per-source in isolation (a much cheaper sharding at 100 TB).
+
+    Shape: the pair relation is lsh_verified_pairs — banded MinHash
+    buckets, exact verify, never all-pairs (recall 1.0 on this
+    fixture's planted pairs, RECALL.json; the oracle recomputes the
+    exact quadratic truth) — joined twice to the scan-local (doc_id,
+    source) projection (broadcast at test scale, hash joins against
+    the bounded pair relation at any scale), then ONE aggregate on
+    the unordered source-pair key. Output is O(sources²) rows
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = lsh_verified_pairs(spark, docs.select("doc_id", "text"))
+    src = docs.select("doc_id", "source")
+    pairs = (
+        edges.select("doc_a", "doc_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        pairs.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "within_source", F.col("source_a") == F.col("source_b")
+        )
+    )

@@ -1213,3 +1213,86 @@ def mm11_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_matched_frames"))
         .filter(F.col("n_matched_frames") >= MM11_MIN_SHARED)
     )
+
+
+_AWIN = 64  # audio fingerprint windows per clip (8 samples each)
+
+
+@register(
+    "mm12_audio_neardup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               substring(repeat(text,
+                   CAST(ceil({WAV_N}.0 / length(text)) AS INT)),
+                   1, {WAV_N}) AS s
+        FROM documents
+    ), samp AS (
+        SELECT doc_id,
+               list_transform(str_split_regex(s, ''), c -> ord(c)) AS v
+        FROM base
+    ), sig AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(list_transform(
+                   generate_series(1, {_AWIN}),
+                   k -> CASE WHEN list_sum(
+                                 v[(k-1)*{WAV_N // _AWIN}+1 :
+                                   k*{WAV_N // _AWIN}]) * {_AWIN}
+                                 > list_sum(v)
+                             THEN '1' ELSE '0' END), '') AS ahash_bits
+        FROM samp
+    )
+    SELECT ahash_bits, COUNT(*) AS n_media,
+           ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS media_ids
+    FROM sig GROUP BY ahash_bits HAVING COUNT(*) > 1
+    """,
+)
+def mm12_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO PERCEPTUAL DEDUP — the third modality of the dedup
+    triple (images mm5, video mm11): REAL RIFF/WAVE decode -> the
+    {WAV_N}-sample clip windowed into {_AWIN} energy cells ({WAV_N
+    // _AWIN} samples each) -> 64-bit time-domain envelope hash
+    (bit = window louder than the clip average, division-cleared to
+    exact integers — the audio analogue of aHash, the cheap
+    pre-filter run before any chromaprint/spectral matcher), bucketed
+    on the whole signature; groups >1 are perceptual duplicates.
+    Near-identical (not byte-equal) signatures feed dd5b's
+    block-pigeonhole Hamming join unchanged, exactly as mm5's
+    docstring prescribes for images.
+
+    Shape: one Arrow decode pass, one bucket shuffle, O(dup groups)
+    out; at 100 TB the signature is a stored column and dedup is this
+    same groupBy. Oracle recomputes every bit from the text-derived
+    sample stream (mm6's substring walk)."""
+    sigs = audio_table(spark, sf_dir).select("media_id", "payload")
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_wav(bytes(buf)).astype(np.int64)
+                cells = v.reshape(_AWIN, -1).sum(axis=1)
+                total = int(v.sum())
+                hs.append(
+                    "".join(
+                        "1" if int(c) * _AWIN > total else "0"
+                        for c in cells
+                    )
+                )
+                ids.append(media_id)
+            yield pd.DataFrame({"media_id": ids, "ahash_bits": hs})
+
+    return (
+        sigs.mapInPandas(fp, schema="media_id long, ahash_bits string")
+        .groupBy("ahash_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.array_join(
+                F.array_sort(F.collect_list("media_id")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("media_ids"),
+        )
+        .filter(F.col("n_media") > 1)
+    )

@@ -1376,3 +1376,119 @@ def x12_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+X13_PREFIX_DIM = 16  # truncated prefix dims (of EMB_DIM=64) to evaluate
+
+
+@register(
+    "x13_dim_truncation_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    ), full_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_dot_product(qv, cv)
+                                / (sqrt(list_dot_product(qv, qv))
+                                   * sqrt(list_dot_product(cv, cv))) DESC,
+                                neighbor_id
+                   ) AS r
+            FROM q CROSS JOIN c
+        ) WHERE r <= {TOP_K}
+    ), trunc_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_dot_product(qv[1:{X13_PREFIX_DIM}],
+                                                 cv[1:{X13_PREFIX_DIM}])
+                                / (sqrt(list_dot_product(
+                                       qv[1:{X13_PREFIX_DIM}],
+                                       qv[1:{X13_PREFIX_DIM}]))
+                                   * sqrt(list_dot_product(
+                                       cv[1:{X13_PREFIX_DIM}],
+                                       cv[1:{X13_PREFIX_DIM}]))) DESC,
+                                neighbor_id
+                   ) AS r
+            FROM q CROSS JOIN c
+        ) WHERE r <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COUNT(t.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+               AS overlap_frac
+    FROM full_k f LEFT JOIN trunc_k t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def x13_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-TRUNCATION RETRIEVAL EVAL (the Matryoshka/adaptive-
+    retrieval question): how much of the exact {EMB_DIM}-dim top-{TOP_K}
+    does a search over only the FIRST {X13_PREFIX_DIM} dims recover?
+    Per query: overlap count and fraction between the full-dim exact
+    top-k (x1's ranking) and the prefix-dim top-k. Production runs the
+    cheap prefix pass as the shortlist stage (4× less memory bandwidth
+    per candidate, exactly PQ/ADC's economics but via truncation) and
+    refines with full dims; this relation — computed over a bounded
+    query sample exactly as here — is the evidence for choosing the
+    prefix length.
+
+    Shape: two x1-shaped rankings (broadcast query set, crossJoin
+    linear in corpus per query, per-query window of corpus size only
+    inside the rank — k·|queries| rows survive each) + one k·|queries|
+    join and aggregate. No new scale hazards beyond x1's intended
+    bounded brute force; at 100 TB both arms run over the ANN
+    shortlist instead (x12's pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv")
+    )
+
+    def topk(qcol, ccol):
+        sims = F.broadcast(q).crossJoin(c).select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(qcol, ccol).alias("sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        return (
+            sims.select(
+                "query_id",
+                "neighbor_id",
+                F.row_number().over(w).alias("r"),
+            )
+            .filter(F.col("r") <= TOP_K)
+            .drop("r")
+        )
+
+    full_k = topk(F.col("qv"), F.col("cv"))
+    trunc_k = topk(
+        F.slice(F.col("qv"), 1, X13_PREFIX_DIM),
+        F.slice(F.col("cv"), 1, X13_PREFIX_DIM),
+    )
+    hits = full_k.join(
+        trunc_k.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.count("hit").cast("long").alias("n_overlap"),
+        F.round(F.count("hit") / F.lit(TOP_K), 6).alias("overlap_frac"),
+    )

@@ -455,3 +455,71 @@ def ts7_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_n", "_z")
     )
+
+
+TS8_ALPHA = 0.5  # dyadic smoothing: every (1-a)^k is a power of two,
+# so all scalings are EXACT in binary floating point and the fold is
+# bit-identical across engines before the final 6dp rounding
+
+
+@register(
+    "ts8_ewma_forecast",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(CAST(list_reduce(
+               LIST(value ORDER BY ts, event_id),
+               (acc, x) -> 0.5 * acc + 0.5 * x) AS DOUBLE), 6)
+               AS ewma_level
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ts8_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ENTITY EXPONENTIAL SMOOTHING (EWMA level / one-step
+    forecast): the classic recursive filter level_t = a*x_t +
+    (1-a)*level_(t-1), level_1 = x_1, folded over each user's
+    time-ordered value series; the final level IS the flat one-step
+    forecast. a = {TS8_ALPHA} deliberately: every decay power is a
+    power of two, so the multiply-halvings are exact IEEE ops and the
+    fold is bit-identical across engines (the x7/mm6 parity rule) —
+    only the published level is rounded.
+
+    Shape: a recursive fold is the one aggregate windows can't
+    express (each step depends on the previous RESULT, not a frame of
+    inputs), so it runs as sort_array(collect_list(struct)) + ONE
+    F.aggregate lambda per user — a single groupBy shuffle, state
+    bounded by per-user history, no corpus-wide window, no Python.
+    The oracle replays the identical fold via DuckDB's list_reduce
+    (its no-init form seeds acc with the first element — exactly
+    level_1 = x_1). At 100 TB the same fold runs incrementally as the
+    streaming twin's one-tuple state (rolling_zscore_stream's shape
+    with O(1) state)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    series = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        t_us.alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("vals"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(TS8_ALPHA) * x
+        + F.lit(1 - TS8_ALPHA) * acc,
+    )
+    return series.select(
+        "user_id", "n_obs", F.round(ewma, 6).alias("ewma_level")
+    )

@@ -90,6 +90,7 @@ _FRONT_QUERIES = [
     # r03 rows join the 11 already deferred to r07's rotation).
     "pp11_dup_weighted_keep", "mm11_video_neardup",
     "pp12_seq_composition", "an9_attribution",
+    "dq9_source_overlap_matrix",
     "dq6_source_token_kl", "sk3_skew_profile", "ts7_rolling_zscore",
     "ly2_pruning_stats", "j11_interval_overlap_join",
     "mm9_silence_spans", "x11_cluster_eval", "dd11_containment_join",
@@ -109,7 +110,6 @@ _FRONT_QUERIES = [
     "ts1_tumbling_5min", "ts4_ohlcv_resample",
     "s1_union_all", "s2_intersect", "s3_except", "mm1_media_metadata",
     # (c) last attested r03 (minus the rows deferred to r07)
-    "an1_event_funnel",
     "an5_nation_pagerank", "cdc1_latest_snapshot",
     # cdc2/cdc3 and an2/an3 retired to r07 with the session-3
     # pp11/mm11/pp12/an9 slots (all four r03-attested and
@@ -117,6 +117,9 @@ _FRONT_QUERIES = [
     # in-window, cdc3's dedupe-on-append path is pytest-pinned via
     # the streaming ingest tests, and an9 exercises the same
     # user-partitioned ordered-window machinery an2/an3 rest on).
+    # an1_event_funnel retired to r07 with dq9's slot (r03-attested;
+    # its conditional-agg funnel shape stays exercised via an2's
+    # sibling path in the full local sweep).
     "j10_fuzzy_blocked_join",
     "km1_kmeans_lloyd",
     # smp3_train_val_test retired to r07 (hash-split sibling of the
@@ -141,6 +144,10 @@ _FRONT_QUERIES = [
     # are NOT front-loaded — eight displacements is the cap this round
     # honors for VERDICT r5 #1's stale-row rotation; they are
     # sweep-verified and queue for r07's first-attestation slots.
+    # Session 3 adds mm12_audio_neardup, x13_dim_truncation_eval, and
+    # ts8_ewma_forecast to that r07 first-attestation queue
+    # (sweep-verified; mm12's mm5-shaped bucket machinery is in-window
+    # via mm11's sibling postings path, x13's via x1).
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is

@@ -641,3 +641,58 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TS8_ALPHA = 0.5  # ts8's dyadic smoothing constant (exact halvings)
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch ``ts8_ewma_forecast``: the recursive
+    EWMA fold as O(1) per-user state — (level, n_obs) — updated one
+    event at a time and emitted once per micro-batch. Because the
+    filter is associative over a time-ordered replay (each step
+    depends only on the running level), the final emission per user
+    is bit-identical to the batch fold before rounding — the row with
+    the max n_obs per user reproduces ts8 exactly (replay-pinned in
+    tests/test_ingest_streaming.py). Rows are sorted by (ts, event_id)
+    within each micro-batch; this is the smallest-state twin alongside
+    attribution_stream's one-touch tuple."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        level, n = (state.get[0], state.get[1]) if state.exists else (None, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if n:
+                state.update((level, n))
+            return
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            if pd.isna(v):
+                continue
+            v = float(v)
+            level = v if level is None else (
+                TS8_ALPHA * v + (1 - TS8_ALPHA) * level
+            )
+            n += 1
+        if n == 0:
+            return
+        state.update((level, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_obs": [n],
+                "ewma_level": [round(level, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_obs long, ewma_level double",
+        stateStructType="level double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
