@@ -108,6 +108,9 @@ EXTENDED_QUERIES = [
     "mm12_audio_neardup",
     "x13_dim_truncation_eval",
     "ts8_ewma_forecast",
+    "lm5_bigram_eval",
+    "pp13_curriculum_phases",
+    "rk7_prf_expansion",
 ]
 
 

@@ -1637,3 +1637,100 @@ def pp12_seq_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_source_share"),
         )
     )
+
+
+@register(
+    "pp13_curriculum_phases",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lower(text) AS lt,
+               str_split(lower(text), ' ') AS tk
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CAST((SUM(LEN(tk)) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - LEN(tk)) // {SHARD_TOKENS} AS BIGINT) AS shard_id
+        FROM d
+    ), z AS (
+        SELECT doc_id,
+               ROUND({-3.8}
+               + {0.5} * LN(LEN(tk))
+               + {0.2} * (CAST(LENGTH(replace(lt, ' ', ''))
+                                          AS DOUBLE) / LEN(tk))
+               + {2.5} * (CAST(LENGTH(regexp_replace(
+                                       lt, '[^a-z]', '', 'g')) AS DOUBLE)
+                                   / LENGTH(lt))
+               + {3.0} * (CAST(LEN(list_filter(tk,
+                                      x -> list_contains(
+                                          {['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']}, x))) AS DOUBLE)
+                                  / LEN(tk))
+               + {-2.5} * (1.0 - CAST(LEN(list_distinct(tk))
+                                            AS DOUBLE) / LEN(tk)), 6)
+               AS logit
+        FROM d
+    ), s AS (
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(logit), 6) AS mean_logit
+        FROM sh JOIN z USING (doc_id) GROUP BY shard_id
+    ), cut AS (
+        SELECT ROUND(quantile_cont(mean_logit, 1.0/3), 6) AS c1,
+               ROUND(quantile_cont(mean_logit, 2.0/3), 6) AS c2
+        FROM s
+    )
+    SELECT shard_id, n_docs, mean_logit,
+           CASE WHEN mean_logit > c2 THEN 1
+                WHEN mean_logit > c1 THEN 2
+                ELSE 3 END AS phase
+    FROM s, cut
+    """,
+)
+def pp13_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM PHASE ASSIGNMENT over pp1's training shards — the
+    quality-ordered schedule a curriculum-learning run feeds shards
+    in (cleanest first): per shard, the mean tx14 quality logit of
+    its documents; shards then split into exact terciles (phase 1 =
+    highest-quality third ... phase 3 = lowest). Both the per-shard
+    mean and the tercile CUTOFFS are published at ROUND(6) and the
+    phase compares rounded against rounded with strict >, so tie
+    behavior is engine-identical (an7/lm3's rule).
+
+    Shape: pp1's two-phase prefix-sum sharding + tx14's zero-shuffle
+    logit expression share the one corpus scan path; ONE per-shard
+    aggregate, then ONE exact-percentile aggregate over the
+    shard-level relation broadcast back as the cutoff row — never a
+    global ntile/rank window over shards (shard count is
+    corpus_tokens/{SHARD_TOKENS}, corpus-sized at 100 TB; the
+    percentile aggregate is the scale-safe ranking, lm3's pattern)."""
+    from etl_project_spark.operators.text import tx14_quality_logit
+
+    shards = pp1_token_shard_packing(spark, sf_dir).select(
+        "doc_id", "shard_id"
+    )
+    logits = tx14_quality_logit(spark, sf_dir).select("doc_id", "logit")
+    s = (
+        shards.join(logits, "doc_id")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("logit"), 6).alias("mean_logit"),
+        )
+    )
+    cut = s.agg(
+        F.round(
+            F.percentile(F.col("mean_logit"), F.lit(1.0 / 3)), 6
+        ).alias("c1"),
+        F.round(
+            F.percentile(F.col("mean_logit"), F.lit(2.0 / 3)), 6
+        ).alias("c2"),
+    )
+    return s.crossJoin(F.broadcast(cut)).select(
+        "shard_id",
+        "n_docs",
+        "mean_logit",
+        F.when(F.col("mean_logit") > F.col("c2"), 1)
+        .when(F.col("mean_logit") > F.col("c1"), 2)
+        .otherwise(3)
+        .alias("phase"),
+    )

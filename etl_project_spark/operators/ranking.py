@@ -1137,3 +1137,230 @@ def append_to_text_index(
             f"{table}_stats"
         )
     return n_appended
+
+
+LM5_EVAL_MOD = 97  # pp2's held-out convention: doc_id % 97 == 0 -> eval
+
+
+@register(
+    "lm5_bigram_eval",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), train_p AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(t))) AS u(i)
+        WHERE doc_id % {LM5_EVAL_MOD} <> 0
+    ), bg AS (
+        SELECT w1, w2, COUNT(*) AS c FROM train_p GROUP BY w1, w2
+    ), pred AS (
+        SELECT w1, w2 AS predicted FROM (
+            SELECT w1, w2,
+                   ROW_NUMBER() OVER (PARTITION BY w1
+                       ORDER BY c DESC, w2 ASC) AS rn
+            FROM bg
+        ) WHERE rn = 1
+    ), eval_p AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM d, UNNEST(range(1, len(t))) AS u(i)
+        WHERE doc_id % {LM5_EVAL_MOD} = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN e.w2 = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN e.w2 = p.predicted THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS top1_acc
+    FROM eval_p e LEFT JOIN pred p USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def lm5_bigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-TOKEN TOP-1 ACCURACY of the lm1 bigram model on held-out
+    documents — the intrinsic LM eval that pairs with lm2's
+    perplexity: train bigram counts on the non-eval corpus (pp2's
+    doc_id % {LM5_EVAL_MOD} split), derive each context's argmax
+    continuation (ties broken lexicographically so both engines pick
+    the same word), and score every held-out bigram against it.
+    Output per eval doc: bigram count, correct predictions, accuracy.
+
+    Shape: one corpus scan feeds both the train pair aggregate and the
+    eval pairs (the lm1 array-zip explode, map-side combined); the
+    prediction table is VOCABULARY-sized — its rank window partitions
+    by context word (bounded by vocab fan-out) and the scoring join
+    broadcasts it (lm2's model-join discipline). Nothing
+    vocabulary-sized ever shuffles corpus rows twice; at 100 TB the
+    argmax table is exactly the distilled artifact you'd persist."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    )
+    n = F.size("t")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    is_eval = F.col("doc_id") % LM5_EVAL_MOD == 0
+    bg = (
+        pairs.filter(~is_eval)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    by_ctx = Window.partitionBy("w1").orderBy(
+        F.col("c").desc(), F.col("w2").asc()
+    )
+    pred = (
+        bg.withColumn("rn", F.row_number().over(by_ctx))
+        .filter(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("predicted"))
+    )
+    ev = pairs.filter(is_eval)
+    scored = ev.join(F.broadcast(pred), "w1", "left")
+    hit = F.when(F.col("w2") == F.col("predicted"), 1).otherwise(0)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("top1_acc"),
+    )
+
+
+RK7_FEEDBACK = 3  # pseudo-relevant docs fed back per query
+RK7_EXPAND = 2  # expansion terms adopted per query
+RK7_K = 5  # final results per query
+
+
+@register(
+    "rk7_prf_expansion",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS t
+        FROM documents
+    ), q AS (
+        SELECT doc_id AS query_id, t AS qt FROM d
+        WHERE doc_id < {RRF_QUERIES}
+    ), c AS (
+        SELECT doc_id, t FROM d WHERE doc_id >= {RRF_QUERIES}
+    ), r1 AS (
+        SELECT query_id, doc_id, t,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                   CAST(LEN(list_intersect(qt, t)) AS DOUBLE)
+                   / (LEN(qt) + LEN(t) - LEN(list_intersect(qt, t)))
+                   DESC, doc_id ASC) AS r
+        FROM q CROSS JOIN c
+    ), fb AS (
+        SELECT query_id, doc_id, t FROM r1 WHERE r <= {RK7_FEEDBACK}
+    ), fb_terms AS (
+        SELECT fb.query_id, u.term
+        FROM fb, UNNEST(fb.t) AS u(term)
+    ), exp_terms AS (
+        SELECT query_id, term FROM (
+            SELECT ft.query_id, ft.term, COUNT(*) AS n_fb,
+                   ROW_NUMBER() OVER (PARTITION BY ft.query_id
+                       ORDER BY COUNT(*) DESC, ft.term ASC) AS rn
+            FROM fb_terms ft JOIN q ON q.query_id = ft.query_id
+            WHERE NOT list_contains(q.qt, ft.term)
+            GROUP BY ft.query_id, ft.term
+        ) WHERE rn <= {RK7_EXPAND}
+    ), eq AS (
+        SELECT q.query_id,
+               list_distinct(list_concat(
+                   q.qt, COALESCE(LIST(e.term), []))) AS xt
+        FROM q LEFT JOIN exp_terms e USING (query_id)
+        GROUP BY q.query_id, q.qt
+    )
+    SELECT query_id, doc_id, CAST(r AS BIGINT) AS final_rank FROM (
+        SELECT eq.query_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY eq.query_id ORDER BY
+                   CAST(LEN(list_intersect(eq.xt, c.t)) AS DOUBLE)
+                   / (LEN(eq.xt) + LEN(c.t)
+                      - LEN(list_intersect(eq.xt, c.t)))
+                   DESC, c.doc_id ASC) AS r
+        FROM eq CROSS JOIN c
+    ) WHERE r <= {RK7_K}
+    """,
+)
+def rk7_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio's loop, the
+    rank-time half): round 1 ranks candidates by exact token-set
+    Jaccard against the query doc (rk4's lexical ranker); the top
+    {RK7_FEEDBACK} "pseudo-relevant" docs vote expansion terms (most
+    feedback docs containing the term, excluding original query
+    terms, lexicographic tie-break); the query grows by {RK7_EXPAND}
+    terms and round 2 re-ranks the corpus against the expanded set,
+    emitting the final top-{RK7_K} ids + rank (x1's hash rule — no
+    float crosses the output). Every score is a ratio of exact
+    integer set sizes and every tie-break is total, so both engines
+    produce identical rankings.
+
+    Shape: two bounded broadcast-query corpus passes (rk4's economics
+    — linear per query, never corpus²) with a feedback/expansion
+    stage between them that touches {RK7_FEEDBACK}·|queries| rows;
+    the per-query rank windows carry only (query, doc) pairs. At
+    100 TB round 1 runs over rk1's BM25 postings (term-filtered
+    shuffle) and round 2 over the text index's pruned buckets — the
+    expansion stage is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    q = docs.filter(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("t").alias("qt")
+    )
+    c = docs.filter(F.col("doc_id") >= RRF_QUERIES)
+
+    def jaccard_rank(queries, qcol):
+        inter = F.size(F.array_intersect(qcol, F.col("t")))
+        j = inter / (F.size(qcol) + F.size("t") - inter)
+        w = Window.partitionBy("query_id").orderBy(
+            j.desc(), F.col("doc_id").asc()
+        )
+        return F.broadcast(queries).crossJoin(c).withColumn(
+            "r", F.row_number().over(w)
+        )
+
+    fb = (
+        jaccard_rank(q, F.col("qt"))
+        .filter(F.col("r") <= RK7_FEEDBACK)
+        .select("query_id", "qt", F.explode("t").alias("term"))
+    )
+    by_q = Window.partitionBy("query_id").orderBy(
+        F.col("n_fb").desc(), F.col("term").asc()
+    )
+    exp_terms = (
+        fb.filter(~F.array_contains(F.col("qt"), F.col("term")))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("n_fb"))
+        .withColumn("rn", F.row_number().over(by_q))
+        .filter(F.col("rn") <= RK7_EXPAND)
+    )
+    eq = (
+        q.join(
+            exp_terms.groupBy("query_id").agg(
+                F.collect_list("term").alias("ext")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.array_distinct(
+                F.concat(
+                    F.col("qt"),
+                    F.coalesce("ext", F.array().cast("array<string>")),
+                )
+            ).alias("xt"),
+        )
+    )
+    return (
+        jaccard_rank(eq, F.col("xt"))
+        .filter(F.col("r") <= RK7_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("r").cast("long").alias("final_rank"),
+        )
+    )

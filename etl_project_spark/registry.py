@@ -144,10 +144,12 @@ _FRONT_QUERIES = [
     # are NOT front-loaded — eight displacements is the cap this round
     # honors for VERDICT r5 #1's stale-row rotation; they are
     # sweep-verified and queue for r07's first-attestation slots.
-    # Session 3 adds mm12_audio_neardup, x13_dim_truncation_eval, and
-    # ts8_ewma_forecast to that r07 first-attestation queue
-    # (sweep-verified; mm12's mm5-shaped bucket machinery is in-window
-    # via mm11's sibling postings path, x13's via x1).
+    # Session 3 adds mm12_audio_neardup, x13_dim_truncation_eval,
+    # ts8_ewma_forecast, lm5_bigram_eval, pp13_curriculum_phases, and
+    # rk7_prf_expansion to that r07 first-attestation queue (sweep-verified; mm12's
+    # mm5-shaped bucket machinery is in-window via mm11's sibling
+    # postings path, x13's via x1, lm5/pp13's via lm3-pattern
+    # percentile broadcasts and the in-window pp-family).
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
