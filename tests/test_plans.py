@@ -303,3 +303,57 @@ def test_pp12_no_corpus_window(spark, sf_dir):
     df = all_queries()["pp12_seq_composition"](spark, sf_dir)
     stats = assert_scalable(df, max_shuffles=8)
     assert stats.broadcasts >= 1, stats.plan  # bucket offsets broadcast
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Scale pin: a skewed join key (99% of rows on one key — the
+    hot-entity shape every 100 TB fact table has) must not serialize
+    the whole join behind one reducer. With AQE's skew thresholds
+    lowered to test scale (production tuning moves the same knobs),
+    OptimizeSkewedJoin splits the oversized partition and the final
+    plan carries the skew=true marker — pinning that the engine can
+    rely on AQE skew handling on this Spark build, with results
+    identical to the unsplit plan. Complements sk1/sk2's explicit
+    salting: salting is the fallback when the join shape blocks AQE
+    (e.g. a required output partitioning downstream)."""
+    from pyspark.sql import functions as F
+
+    skewed = spark.range(0, 1_000_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(0))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pay"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    q = lambda: (  # noqa: E731
+        skewed.join(dim, "k").select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+        )
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    originals = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q()
+        split = df.collect()[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in originals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    base = q().collect()[0]
+    assert (split["n"], split["sv"]) == (base["n"], base["sv"])
+    assert split["n"] == 1_000_000
