@@ -111,6 +111,7 @@ EXTENDED_QUERIES = [
     "lm5_bigram_eval",
     "pp13_curriculum_phases",
     "rk7_prf_expansion",
+    "a11_rolling_active_users",
 ]
 
 

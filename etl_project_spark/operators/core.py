@@ -1235,3 +1235,69 @@ def dq7_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+A11_WINDOW_DAYS = 7  # trailing window for rolling active users (WAU)
+
+
+@register(
+    "a11_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), bounds AS (
+        SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud
+    ), fan AS (
+        SELECT ud.user_id, ud.day + CAST(i AS INT) AS cal
+        FROM ud, UNNEST(generate_series(0, {A11_WINDOW_DAYS - 1})) AS u(i)
+    )
+    SELECT CAST(CAST(cal AS DATE) AS TIMESTAMP) AS period_date,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM fan, bounds
+    WHERE cal BETWEEN d0 AND d1
+    GROUP BY 1
+    """,
+)
+def a11_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING ACTIVE USERS (the WAU dashboard metric): for every
+    calendar day in the data's range, the count of DISTINCT users
+    active in the trailing {A11_WINDOW_DAYS}-day window ending that
+    day. Exact sliding-window distincts can't come from a windowed
+    aggregate (distinct doesn't decompose over frames), so the engine
+    uses the fan-out identity instead: a user active on day D is
+    WAU-active on days D..D+{A11_WINDOW_DAYS - 1}, so dedupe to
+    (user, day) once, explode each row into its {A11_WINDOW_DAYS}
+    covered days, and count distinct per day — NO self-join, no
+    per-day window, output clipped to observed days.
+
+    Shape: one (user, day) pre-dedupe (map-side combine collapses the
+    per-day event mass first), a {A11_WINDOW_DAYS}x bounded explode,
+    one distinct aggregate keyed by (day, user) then day. Linear in
+    active (user, day) pairs at any scale — the plan a 100 TB DAU/WAU
+    job wants; the day-range clip is a broadcast 1-row bound."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    bounds = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), A11_WINDOW_DAYS - 1),
+            )
+        ).alias("cal"),
+    )
+    return (
+        fan.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("cal") >= F.col("d0")) & (F.col("cal") <= F.col("d1"))
+        )
+        .groupBy(F.col("cal").cast("timestamp_ntz").alias("period_date"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("active_users")
+        )
+    )

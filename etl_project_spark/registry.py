@@ -145,8 +145,9 @@ _FRONT_QUERIES = [
     # honors for VERDICT r5 #1's stale-row rotation; they are
     # sweep-verified and queue for r07's first-attestation slots.
     # Session 3 adds mm12_audio_neardup, x13_dim_truncation_eval,
-    # ts8_ewma_forecast, lm5_bigram_eval, pp13_curriculum_phases, and
-    # rk7_prf_expansion to that r07 first-attestation queue (sweep-verified; mm12's
+    # ts8_ewma_forecast, lm5_bigram_eval, pp13_curriculum_phases,
+    # rk7_prf_expansion, and a11_rolling_active_users to that r07
+    # first-attestation queue (sweep-verified; mm12's
     # mm5-shaped bucket machinery is in-window via mm11's sibling
     # postings path, x13's via x1, lm5/pp13's via lm3-pattern
     # percentile broadcasts and the in-window pp-family).
