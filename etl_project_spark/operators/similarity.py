@@ -1492,3 +1492,335 @@ def x13_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("long").alias("n_overlap"),
         F.round(F.count("hit") / F.lit(TOP_K), 6).alias("overlap_frac"),
     )
+
+
+# x14/x15: the IVF and PQ pipelines made engine-neutral, completing the
+# deterministic-twin set (x6 twins x3's sign-LSH). x4/x9 use data-trained
+# centroids/codebooks and numpy GEMMs — right for production, not
+# SQL-replayable — so they carry rows-only driver checks plus RECALL.json
+# evidence. The twins inline md5-derived Rademacher (±1) centroids /
+# codewords AT PLAN TIME into both the Spark expression and the oracle
+# SQL; every projection is a sequential fold both engines evaluate in the
+# same order (identical IEEE doubles → identical argmaxes, probe sets,
+# shortlists and rank orders), making the ENTIRE assign → probe →
+# shortlist → exact-rerank pipeline hash-match checkable at the driver.
+
+IVF_REF_CELLS = 16
+IVF_REF_NPROBE = 4
+
+
+def _ivf_ref_centroid(c: int, dim: int = EMB_DIM) -> list[int]:
+    """Deterministic ±1 centroid c: sign = top bit of md5('ivf{c},{d}').
+    All 2^dim ±1 vectors share one L2 norm, so argmax-by-dot equals
+    argmax-by-cosine and no normalization enters the assignment."""
+    import hashlib
+
+    return [
+        1
+        if hashlib.md5(f"ivf{c},{d}".encode()).hexdigest()[0] in "89abcdef"
+        else -1
+        for d in range(dim)
+    ]
+
+
+def _x14_oracle() -> str:
+    cen = ", ".join(
+        f"({c}, {_ivf_ref_centroid(c)}::DOUBLE[])"
+        for c in range(IVF_REF_CELLS)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cen(cell, w) AS (VALUES {cen}),
+    dp AS (
+        SELECT vec_id, e, cell, list_dot_product(e, w) AS dp
+        FROM v CROSS JOIN cen
+    ), r AS (
+        SELECT vec_id, e, cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dp DESC, cell ASC
+               ) AS pr
+        FROM dp
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qv, cell FROM r
+        WHERE vec_id < {N_QUERIES} AND pr <= {IVF_REF_NPROBE}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, e AS cv, cell FROM r
+        WHERE vec_id >= {N_QUERIES} AND pr = 1
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(cv, cv))) DESC,
+                            neighbor_id
+               ) AS nn_rank
+        FROM q JOIN c USING (cell)
+    ) WHERE nn_rank <= {TOP_K}
+    """
+
+
+@register("x14_ivf_reference_topk", oracle=_x14_oracle())
+def x14_ivf_reference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with plan-time Rademacher centroids — the
+    differentially-checked reference for x4's probe rule (see module
+    comment above). One scan ranks every vector's {IVF_REF_CELLS}
+    centroid dot products scan-locally (sort_array over an inline
+    struct array — no per-vector window, no shuffle for assignment);
+    candidates sit in their top-1 Voronoi cell, queries probe their
+    {IVF_REF_NPROBE} closest cells, an equi-join on cell yields
+    candidates (a candidate has ONE cell, so a pair can match at most
+    once — no dedup stage), exact cosine reranks inside the probed
+    cells. Identical join shape to x4 and the persisted IVF index;
+    only the centroid source differs."""
+    from etl_project_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # (dp desc, cell asc) ranking, scan-local: sort desc on
+    # struct(dp, -cell) — float negation is exact, so ties on dp fall
+    # to the lowest cell id exactly like the oracle's ORDER BY.
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    dot(
+                        F.col("e"),
+                        F.array(
+                            *[F.lit(float(x)) for x in _ivf_ref_centroid(c)]
+                        ),
+                    ).alias("dp"),
+                    F.lit(-c).alias("negcell"),
+                )
+                for c in range(IVF_REF_CELLS)
+            ]
+        ),
+        asc=False,
+    )
+    b = emb.select("vec_id", "e", ranked.alias("cells"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.col("cells"), 1, IVF_REF_NPROBE),
+                lambda s: -s["negcell"],
+            )
+        ).alias("cell"),
+    )
+    c = b.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("cv"),
+        (-F.col("cells")[0]["negcell"]).alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank")
+        )
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
+PQ_REF_M = 8  # subspaces
+PQ_REF_DSUB = EMB_DIM // PQ_REF_M
+PQ_REF_K = 16  # codewords per subspace
+PQ_REF_SHORTLIST = 100
+
+
+def _pq_ref_codeword(s: int, c: int, dim: int = PQ_REF_DSUB) -> list[int]:
+    """Deterministic ±1 codeword c of subspace s."""
+    import hashlib
+
+    return [
+        1
+        if hashlib.md5(f"pq{s}:{c},{d}".encode()).hexdigest()[0] in "89abcdef"
+        else -1
+        for d in range(dim)
+    ]
+
+
+def _x15_oracle() -> str:
+    cb = ",\n           ".join(
+        f"({s}, {c}, {_pq_ref_codeword(s, c)}::DOUBLE[])"
+        for s in range(PQ_REF_M)
+        for c in range(PQ_REF_K)
+    )
+    d = PQ_REF_DSUB
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cb(s, code, w) AS (VALUES {cb}),
+    dp AS (
+        SELECT vec_id, s, code,
+               list_dot_product(e[(s*{d}+1):(s*{d}+{d})], w) AS dp
+        FROM v CROSS JOIN cb
+    ), enc AS (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, s ORDER BY dp DESC, code ASC
+               ) AS r
+        FROM dp
+    ), codes AS (
+        SELECT vec_id, list(code ORDER BY s) AS codes
+        FROM enc WHERE r = 1 GROUP BY vec_id
+    ), lut AS (
+        SELECT vec_id, list(dp ORDER BY s, code) AS lut
+        FROM dp WHERE vec_id < {N_QUERIES} GROUP BY vec_id
+    ), scored AS (
+        SELECT l.vec_id AS query_id, cd.vec_id AS neighbor_id,
+               list_reduce(
+                   list_transform(range(0, {PQ_REF_M}),
+                                  s -> l.lut[s*{PQ_REF_K} + cd.codes[s+1] + 1]),
+                   (a, b) -> a + b) AS adc
+        FROM lut l CROSS JOIN codes cd WHERE cd.vec_id >= {N_QUERIES}
+    ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY adc DESC, neighbor_id
+                   ) AS sr
+            FROM scored
+        ) WHERE sr <= {PQ_REF_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM (
+        SELECT sl.query_id, sl.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sl.query_id
+                   ORDER BY list_dot_product(qv.e, cv.e)
+                            / (sqrt(list_dot_product(qv.e, qv.e))
+                               * sqrt(list_dot_product(cv.e, cv.e))) DESC,
+                            sl.neighbor_id
+               ) AS nn_rank
+        FROM shortlist sl
+        JOIN v qv ON qv.vec_id = sl.query_id
+        JOIN v cv ON cv.vec_id = sl.neighbor_id
+    ) WHERE nn_rank <= {TOP_K}
+    """
+
+
+@register("x15_pq_reference_topk", oracle=_x15_oracle())
+def x15_pq_reference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k with plan-time Rademacher codebooks — the
+    differentially-checked reference for x9's encode → ADC-shortlist →
+    exact-rerank pipeline (see module comment above). Candidates encode
+    to {PQ_REF_M} 4-bit codes in one scan (per subspace: argmax over
+    {PQ_REF_K} inline codeword dots, scan-local sort_array — no
+    shuffle); each query's flat (s, code) lookup table is the SAME dot
+    relation restricted to query rows; the ADC score is a fixed-order
+    fold over the {PQ_REF_M} table gathers, so both engines sum the
+    partials identically; top-{PQ_REF_SHORTLIST} per query by (adc,
+    id) then exact cosine rerank of the shortlist only — never all
+    pairs against full vectors. Identical stage shape to x9; only the
+    codebook source (md5 vs trained k-means) and the scoring kernel
+    (expression fold vs Arrow GEMM) differ."""
+    from etl_project_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def sub(s: int):
+        return F.slice(F.col("e"), s * PQ_REF_DSUB + 1, PQ_REF_DSUB)
+
+    def code_expr(s: int):
+        ranked = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        dot(
+                            sub(s),
+                            F.array(
+                                *[
+                                    F.lit(float(x))
+                                    for x in _pq_ref_codeword(s, c)
+                                ]
+                            ),
+                        ).alias("dp"),
+                        F.lit(-c).alias("negc"),
+                    )
+                    for c in range(PQ_REF_K)
+                ]
+            ),
+            asc=False,
+        )
+        return -ranked[0]["negc"]
+
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array(*[code_expr(s) for s in range(PQ_REF_M)]).alias("codes"),
+    )
+    lut = F.array(
+        *[
+            dot(
+                sub(s),
+                F.array(*[F.lit(float(x)) for x in _pq_ref_codeword(s, c)]),
+            )
+            for s in range(PQ_REF_M)
+            for c in range(PQ_REF_K)
+        ]
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), lut.alias("lut")
+    )
+    # ADC scan: queries broadcast against the 4-byte code relation only
+    score = F.aggregate(
+        F.array(*[F.lit(s) for s in range(PQ_REF_M)]),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            s * PQ_REF_K + F.element_at(F.col("codes"), s + F.lit(1)) + 1,
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .select("query_id", "neighbor_id", score.alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(ws).alias("sr")
+        )
+        .filter(F.col("sr") <= PQ_REF_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv")
+    )
+    sims = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank")
+        )
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
