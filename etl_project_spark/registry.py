@@ -72,85 +72,64 @@ def register(
 # many it checks per round (~50), so export order — not Python import
 # order, which pytest collection or any direct operator import can
 # scramble — decides who gets driver rows. Attestation history (union
-# of CORRECTNESS_r01–r05): every registry row has >= 1 green row;
-# last-attested rounds after r05 are r02 (17 rows), r03 (40), r04 (43),
-# r05 (50). Round 6 front-loads (a) x3/x4 — their plans changed in r5
-# (margin-aware multiprobe, 6/8 probes) but they last sat in a driver
-# window in r04, so re-earning them outranks pure rotation; then
-# (b) the 17 rows last attested r02 and (c) 29 of the 40 rows last
-# attested r03 — the oldest evidence in the tree — after the new-in-r6
-# bpe3/rk5 take the first slots. Exactly 50 names; the 11 r03 rows
-# deferred to r07's rotation are the trivial projection/filter/scalar
-# ones (p2 p3 p4 f1 f2 f3 a1 a9 fn3 x7 smp2), kept out so the
-# substantive operators re-earn rows first. Slack (if the cap rises)
-# falls to those via _MODULE_ORDER.
+# of CORRECTNESS_r01–r06): every oracle-bearing registry row has >= 1
+# green driver row EXCEPT the 22 ops added across round 6's three
+# sessions that never fit the r6 cap — VERDICT r6 #1 names them the
+# single highest-leverage rotation target, so they take the first
+# slots this round. Then, per VERDICT r6 #2, the two NEW deterministic
+# ANN twins (x14/x15) earn first attestation — they exist precisely so
+# the window stops carrying x3/x4-style `no_oracle` burn rows (x3, x4,
+# dd5b stay OUT of the window; their recall evidence lives in
+# RECALL.json and their deterministic twins x6/dd5c/x14/x15 carry the
+# hash signal). Then the 13 rows displaced by r6's session-3 additions
+# minus a7/a8/dd5 (see below), then the 11 trivial r03 rows deferred
+# since r6, then 5 of the 12 r03-retired rows. Exactly 50 names.
+#
+# Rotation schedule (published per VERDICT r6 #3; also SURVEY §16):
+# the registry (201 queries) is ~4× the driver cap, so the steady-state
+# rotation period is 4 rounds. Queued for r08's window: the remaining
+# r03-retired rows ly1_zorder_key, mm2-mm5, pp2_contamination_check,
+# pp5_repeated_ngrams (last attested r03), any ops new in r7, then the
+# oldest r04 block. a7_approx_percentile, a8_hll_daily_merge and
+# dd5_simhash_buckets are EXCLUDED from driver windows permanently:
+# they are approximate/hash-bit by nature, so a driver row can only
+# ever read `err: no_oracle` (r03 showed exactly that) — their
+# evidence is the rtol compare every local sweep runs
+# (approx_oracle/rtol in this registry) plus the dd5b/dd5c pytest pin;
+# burning a window slot re-records nothing.
 _FRONT_QUERIES = [
-    # (0) NEW in r6 — need their first attestation. Each name added
-    # here displaces one tail name past the ~50 cap (the displaced
-    # r03 rows join the 11 already deferred to r07's rotation).
-    "pp11_dup_weighted_keep", "mm11_video_neardup",
-    "pp12_seq_composition", "an9_attribution",
-    "dq9_source_overlap_matrix",
-    "dq6_source_token_kl", "sk3_skew_profile", "ts7_rolling_zscore",
-    "ly2_pruning_stats", "j11_interval_overlap_join",
-    "mm9_silence_spans", "x11_cluster_eval", "dd11_containment_join",
-    "pp9_dup_span_mask", "tx14_quality_logit", "lm4_kneser_ney",
-    "x10_mmr_topk", "mm8_scene_cuts", "pp10_trim_dup_spans",
-    "dd10_dup_graph_stats", "dq5_neardup_rate_by_source", "rk6_ndcg",
-    "lm3_perplexity_buckets", "dd9_canonical_keep",
-    "q7_volume_shipping",
-    "bpe3_cached_shard_packing", "rk5_retrieval_eval",
-    # (a) plan changed in r5, last driver-seen r04
-    "x3_lsh_bucketed_topk", "x4_ivf_topk",
-    # (b) last attested r02
-    "dd5b_simhash_multiprobe", "dd7_dup_clusters", "x1_topk_cosine_exact",
-    "x6_rademacher_lsh_topk", "tx1_doc_stats", "tx2_corpus_profile",
-    "tx3_token_topk", "tx5_fingerprint", "tx7_bpe_token_count",
-    "tx8_gopher_quality", "tx10_winnowing_fingerprint",
-    "ts1_tumbling_5min", "ts4_ohlcv_resample",
-    "s1_union_all", "s2_intersect", "s3_except", "mm1_media_metadata",
-    # (c) last attested r03 (minus the rows deferred to r07)
-    "an5_nation_pagerank", "cdc1_latest_snapshot",
-    # cdc2/cdc3 and an2/an3 retired to r07 with the session-3
-    # pp11/mm11/pp12/an9 slots (all four r03-attested and
-    # sweep-verified every round; cdc1 keeps the CDC family
-    # in-window, cdc3's dedupe-on-append path is pytest-pinned via
-    # the streaming ingest tests, and an9 exercises the same
-    # user-partitioned ordered-window machinery an2/an3 rest on).
-    # an1_event_funnel retired to r07 with dq9's slot (r03-attested;
-    # its conditional-agg funnel shape stays exercised via an2's
-    # sibling path in the full local sweep).
-    "j10_fuzzy_blocked_join",
-    "km1_kmeans_lloyd",
-    # smp3_train_val_test retired to r07 (hash-split sibling of the
-    # already-deferred smp2) to keep the cap at 50 with q7 added.
-    # The eleven late-r6 ops (pp9/pp10/tx14/lm4/x10/mm8 +
-    # dd9/dd10/dq5/lm3/rk6) take first-attestation slots; to stay at
-    # exactly 50 the eleven r03 rows ly1, mm2-mm5, pp2, pp5, rk1-rk3,
-    # tx11 retire to r07's rotation — rk1 stays indirectly exercised
-    # (rk6 composes its scored relation), pp5's gram relation via
-    # pp9/pp10, and mm2-mm5 via the media-corpus pytest jobs.
-    # The eight session-2 r6 ops (dq6/sk3/ts7/ly2/j11/mm9/x11/dd11)
-    # take the last eight first-attestation slots; the displaced r03
-    # rows p5_json_extract, a7_approx_percentile, a8_hll_daily_merge,
-    # a10_bivariate_stats, an4_twap, dd5_simhash_buckets,
-    # dq2_iqr_outliers, dd5c_simhash_md5_reference join r07's
-    # rotation — a7/a8 keep their local rtol checks every sweep, dd5/
-    # dd5c stay exercised through dd5b (in-window; pytest pins the
-    # dd5b/dd5c pair), an4's window frame through ts4/w5, and all
-    # eight stay in the full-registry local sweep. The remaining five
-    # session-2 ops (dq7_categorical_drift, tx15_tfidf_keywords,
-    # x12_ann_recall_eval, an7_rfm_segmentation, mm10_shot_keyframes)
-    # are NOT front-loaded — eight displacements is the cap this round
-    # honors for VERDICT r5 #1's stale-row rotation; they are
-    # sweep-verified and queue for r07's first-attestation slots.
-    # Session 3 adds mm12_audio_neardup, x13_dim_truncation_eval,
-    # ts8_ewma_forecast, lm5_bigram_eval, pp13_curriculum_phases,
-    # rk7_prf_expansion, and a11_rolling_active_users to that r07
-    # first-attestation queue (sweep-verified; mm12's
-    # mm5-shaped bucket machinery is in-window via mm11's sibling
-    # postings path, x13's via x1, lm5/pp13's via lm3-pattern
-    # percentile broadcasts and the in-window pp-family).
+    # (a) first driver attestation: the 22 r6 ops that never fit r6's
+    # cap (VERDICT r6 #1 list, verbatim). x9 is rows-only by nature
+    # (trained PQ codebooks); its recall@5 is 1.0/1.0/1.0 at
+    # sf0.01/sf0.1/planted in RECALL.json and its deterministic twin
+    # x15 (below) carries the hash-checkable pipeline.
+    "a11_rolling_active_users", "an7_rfm_segmentation",
+    "an8_copurchase_pairs", "dq4_corpus_report", "dq7_categorical_drift",
+    "dq8_split_leakage_audit", "lm5_bigram_eval", "mm10_shot_keyframes",
+    "mm12_audio_neardup", "pp8_sequence_packing", "pp13_curriculum_phases",
+    "rk7_prf_expansion", "smp5_dsir_resample", "smp6_temperature_mixture",
+    "smp7_leakage_safe_split", "ts8_ewma_forecast", "tx13_shared_span_index",
+    "tx15_tfidf_keywords", "w7_running_drawdown", "x12_ann_recall_eval",
+    "x13_dim_truncation_eval", "x9_pq_topk",
+    # (b) NEW in r7: hash-checkable IVF/PQ reference twins (the
+    # x6/dd5c pattern extended to the remaining two ANN families).
+    "x14_ivf_reference_topk", "x15_pq_reference_topk",
+    # (c) the oracle-bearing rows displaced by r6's session-3
+    # additions (VERDICT r6 #3 backfill list minus a7/a8/dd5 — see
+    # schedule note above).
+    "p5_json_extract", "a10_bivariate_stats", "an4_twap",
+    "dq2_iqr_outliers", "dd5c_simhash_md5_reference", "an1_event_funnel",
+    "an2_cohort_retention", "an3_session_paths", "cdc2_scd2_history",
+    "cdc3_exactly_once_ingest",
+    # (d) the 11 trivial r03 rows deferred since the r6 rotation.
+    "p2_projection", "p3_timestamp_parse", "p4_derived_date",
+    "f1_eq_date_filter", "f2_date_arith_filter", "f3_categorical_filter",
+    "a1_count_yesterday", "a9_value_histogram", "fn3_array_funcs",
+    "x7_int8_quantize", "smp2_hash_stratified_sample",
+    # (e) 5 of the 12 r03-retired rows (the rest queue for r08 — see
+    # schedule note above).
+    "smp3_train_val_test", "tx11_rabin_winnowing", "rk1_bm25_score",
+    "rk2_tfidf_postings", "rk3_doc_chunking",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is

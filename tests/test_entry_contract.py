@@ -96,3 +96,61 @@ def test_driver_window_outputs_are_scalar(spark, sf_dir):
         if nonscalar:
             bad[name] = nonscalar
     assert not bad, f"non-scalar driver-window outputs: {bad}"
+
+
+def test_front_window_passes_driver_gate_at_sf0_01(spark):
+    """Full driver-window simulation (VERDICT r6 #8): every name in
+    _FRONT_QUERIES must clear the driver's exact gate — row count,
+    column set, %.9g-canonicalized value equality vs its DuckDB oracle
+    — at sf0.01, the driver's own scale. A front-load edit can no
+    longer ship an unsimulated window. Rows-only names need an
+    explicit allowlisting here (approximate-by-nature, recall evidence
+    in RECALL.json) and must at least produce rows."""
+    import importlib.util
+    import pathlib
+
+    import duckdb
+
+    tool = pathlib.Path(__file__).parent.parent / "tools" / "check_correctness.py"
+    spec = importlib.util.spec_from_file_location("check_correctness", tool)
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    from etl_project_spark.catalog import TABLES
+    from etl_project_spark.registry import _FRONT_QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    rows_only_ok = {"x9_pq_topk"}
+    failures = {}
+    for name in _FRONT_QUERIES:
+        try:
+            spdf = cc.normalize_binary(qs[name](spark, sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"spark error: {e!r}"[:200]
+            continue
+        if name not in oracles:
+            if name not in rows_only_ok:
+                failures[name] = "no oracle and not rows-only-allowlisted"
+            elif len(spdf) == 0:
+                failures[name] = "rows-only query returned 0 rows"
+            continue
+        try:
+            opdf = cc.normalize_binary(con.sql(oracles[name]).df())
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"duckdb error: {e!r}"[:200]
+            continue
+        if len(spdf) != len(opdf):
+            failures[name] = f"rowcount spark={len(spdf)} oracle={len(opdf)}"
+        elif sorted(spdf.columns) != sorted(opdf.columns):
+            failures[name] = (
+                f"columns spark={sorted(spdf.columns)} "
+                f"oracle={sorted(opdf.columns)}"
+            )
+        elif cc.canon_frame(spdf) != cc.canon_frame(opdf):
+            failures[name] = "values differ (exact %.9g canon)"
+    assert not failures, failures
