@@ -357,3 +357,21 @@ def test_aqe_splits_skewed_join_partition(spark):
     base = q().collect()[0]
     assert (split["n"], split["sv"]) == (base["n"], base["sv"])
     assert split["n"] == 1_000_000
+
+
+def test_smp4_weighted_sample_plans_as_take_ordered(spark, sf_dir):
+    """smp4 (VERDICT r6 #6): the rank<=R filter over a GLOBAL ordered
+    window must physically plan as TakeOrderedAndProject — per-
+    partition top-R heaps merged on the driver side, 0 shuffles. The
+    pin matters because it rides Catalyst's
+    LimitPushDownThroughWindow: if the filter shape drifts (e.g. the
+    predicate stops being a constant comparison on the row_number
+    output), Spark silently regresses to ONE exchange collapsing the
+    whole corpus into a single-partition WindowExec sort — fine at
+    sf0.1, fatal at 100 TB."""
+    df = all_queries()["smp4_weighted_sample"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=0)
+    assert "TakeOrderedAndProject" in stats.plan, stats.plan
+    assert "WindowExec" not in stats.plan.replace(
+        "WindowGroupLimit", ""
+    ), stats.plan
