@@ -1824,3 +1824,117 @@ def x15_pq_reference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nn_rank") <= TOP_K)
     )
+
+
+# --- dq10: embedding drift ----------------------------------------------------
+
+DQ10_SCALE = 1 << 20  # micro-unit quantum for exact-integer centroid sums
+
+
+def _dq10_oracle() -> str:
+    return f"""
+    WITH v AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), dims AS (
+        SELECT label, half, d.pos,
+               CAST(FLOOR(e[d.pos + 1] * {DQ10_SCALE}) AS BIGINT) AS xq
+        FROM v CROSS JOIN
+             (SELECT UNNEST(range(0, {EMB_DIM})) AS pos) d
+    ), sums AS (
+        SELECT label, half, pos, SUM(xq) AS s
+        FROM dims GROUP BY 1, 2, 3
+    ), cent AS (
+        SELECT label, half,
+               list_transform(list(s ORDER BY pos),
+                              x -> CAST(x AS DOUBLE)) AS c
+        FROM sums GROUP BY 1, 2
+    ), counts AS (
+        SELECT label, half, COUNT(*) AS n FROM v GROUP BY 1, 2
+    )
+    SELECT r.label, rc.n AS n_ref, cc.n AS n_cur,
+           ROUND(list_dot_product(r.c, q.c)
+                 / (sqrt(list_dot_product(r.c, r.c))
+                    * sqrt(list_dot_product(q.c, q.c))), 6)
+               AS centroid_cosine
+    FROM cent r
+    JOIN cent q ON q.label = r.label AND r.half = 0 AND q.half = 1
+    JOIN counts rc ON rc.label = r.label AND rc.half = 0
+    JOIN counts cc ON cc.label = r.label AND cc.half = 1
+    """
+
+
+@register("dq10_embedding_drift", oracle=_dq10_oracle())
+def dq10_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-DISTRIBUTION DRIFT monitor: per label, the cosine
+    between the centroid of the reference half (even vec_id — standing
+    in for "last month's snapshot") and the current half (odd vec_id —
+    "this month's"), plus both populations. A drifting embedding
+    source (model swap, upstream preprocessing change, corrupted
+    batch) shows up as centroid_cosine falling from ~1.0 long before
+    per-vector checks fire; this is dq3's PSI idea lifted to vector
+    space, and the batch-side signal behind the IVF index's PSI
+    rebuild trigger (ivf_cell_psi).
+
+    Determinism at the driver's exact hash: a float SUM over rows is
+    combine-order-dependent, so each component is quantized to exact
+    int64 micro-units FIRST (FLOOR(x·2^20) — FLOOR, not ROUND, because
+    the engines' double→int rounding modes differ) and the centroid is
+    an exact INTEGER sum (magnitude ≤ n·2^20 « 2^53, so the later
+    double cast is lossless); the cosine fold then runs over
+    bit-identical operands in both engines.
+
+    Shape: one scan explodes to (label, half, dim) partials —
+    {EMB_DIM}·n rows that pre-aggregate map-side to O(labels·2·64) —
+    then O(labels)-sized joins. No all-pairs anything; at 100 TB the
+    explode is the standard sum-of-vectors layout (same as km1's
+    integer-exact mean step)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    dims = emb.select(
+        "label", "half", F.posexplode("e").alias("pos", "xd")
+    ).select(
+        "label",
+        "half",
+        "pos",
+        F.floor(F.col("xd") * DQ10_SCALE).cast("long").alias("xq"),
+    )
+    sums = dims.groupBy("label", "half", "pos").agg(
+        F.sum("xq").alias("s")
+    )
+    cent = sums.groupBy("label", "half").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "s"))),
+            lambda t: t["s"].cast("double"),
+        ).alias("c")
+    )
+    counts = emb.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    ref = cent.filter(F.col("half") == 0).select(
+        "label", F.col("c").alias("cr")
+    )
+    cur = cent.filter(F.col("half") == 1).select(
+        "label", F.col("c").alias("cq")
+    )
+    n_ref = counts.filter(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_ref")
+    )
+    n_cur = counts.filter(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_cur")
+    )
+    return (
+        ref.join(cur, "label")
+        .join(n_ref, "label")
+        .join(n_cur, "label")
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.round(
+                cosine_sim(F.col("cr"), F.col("cq")), 6
+            ).alias("centroid_cosine"),
+        )
+    )

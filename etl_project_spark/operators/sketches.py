@@ -1,0 +1,367 @@
+"""Deterministic sketch operators (extension §2h/X5 family): the
+hash-checkable twins of the approximate-aggregation paths, on the same
+pattern x6/dd5c/x14/x15 use for LSH/SimHash/IVF/PQ.
+
+a5/a7/a8 are the PRODUCTION sketches (Spark's HLL++ / Greenwald-Khanna /
+Datasketches HLL): mergeable, single-pass, the right operators at 100 TB
+— but their outputs are defined by engine-internal sketch
+implementations, so the driver can only check them within rtol. The
+operators here implement the same sketch ALGORITHMS from first
+principles with md5-derived hashing and exact-integer accumulators, so
+DuckDB can replay every register/cell/bin and the driver's exact hash
+gate applies end-to-end:
+
+- a12: HyperLogLog (Flajolet et al. 2007) — md5 32-bit hash, 1024
+  registers, per-day register relations merged by MAX (the a8 rollup
+  shape), the 2^-rho sum carried as an exact left-shifted integer.
+- a13: Count-Min (Cormode & Muthukrishnan 2005) — 4×512 exact-count
+  cells, point estimates by MIN over rows, one-sided error visible
+  against the exact counts.
+- a14: equi-width histogram quantiles — 128 exact-count bins per group,
+  interpolated quantile arithmetic over exact integers (the
+  fixed-memory single-pass substitute for a7's GK sketch).
+
+Every float op downstream of the exact-integer state is a single
+IEEE/libm operation over operands both engines derive identically, so
+results are bit-equal (lm2/smp4 precedent). No reference-parity row:
+the reference has no sketch surface (SURVEY §2g stops at COUNT/MAX);
+this is the extension mandate's scale-aggregation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import register
+
+# --- shared md5 → uniform 32-bit integer ------------------------------------
+# Spark: conv(hex, 16, 10); DuckDB has no conv(), so the oracle folds the
+# 8 hex digits with exact ≤2^32 integer arithmetic in doubles (smp4's
+# proven rule). Both yield the same integer; everything downstream is
+# exact-integer math.
+
+_DUCK_HEX_FOLD = """list_sum(list_transform(generate_series(1, 8), i ->
+    (strpos('0123456789abcdef',
+            array_extract(str_split_regex(substr(md5({expr}), 1, 8), ''), i))
+     - 1) * 16 ** (8 - i)))"""
+
+
+def _h32(col) -> "F.Column":
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# --- a12: HyperLogLog, replayable -------------------------------------------
+
+HLL_P = 10  # 1024 registers
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P  # 22-bit register payload → rho ∈ [1, 23]
+# Flajolet's alpha_m for m >= 128, inlined as ONE double literal into
+# both plans so the bias constant is bit-identical.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _a12_oracle() -> str:
+    h = _DUCK_HEX_FOLD.format(expr="CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH hashed AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST({h} AS BIGINT) AS h
+        FROM events
+    ), reg AS (
+        -- per-day registers (the mergeable rollup state)
+        SELECT day, h // {1 << HLL_WBITS} AS bucket,
+               MAX(CASE WHEN h % {1 << HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+                        ELSE {HLL_WBITS} + 1
+                             - LENGTH(bin(h % {1 << HLL_WBITS})) END) AS rho
+        FROM hashed GROUP BY 1, 2
+    ), merged AS (
+        -- union of the daily sketches = per-bucket MAX
+        SELECT bucket, MAX(rho) AS rho FROM reg GROUP BY bucket
+    ), z AS (
+        SELECT COUNT(*) AS used,
+               SUM(1::BIGINT << ({HLL_WBITS + 1} - rho)) AS z_scaled
+        FROM merged
+    ), est AS (
+        SELECT (SELECT COUNT(DISTINCT day) FROM hashed) AS n_days,
+               used,
+               {HLL_M} - used AS v,
+               {HLL_ALPHA!r}::DOUBLE * {HLL_M * HLL_M}::DOUBLE
+                   * {1 << (HLL_WBITS + 1)}::DOUBLE
+                   / CAST(z_scaled + ({HLL_M} - used)
+                          * (1::BIGINT << {HLL_WBITS + 1}) AS DOUBLE)
+                   AS e_raw
+        FROM z
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(used AS BIGINT) AS n_buckets_used,
+           ROUND(CASE WHEN v > 0 AND e_raw <= {2.5 * HLL_M!r}::DOUBLE
+                      THEN {float(HLL_M)!r}::DOUBLE
+                           * LN({float(HLL_M)!r}::DOUBLE / v)
+                      ELSE e_raw END, 4) AS n_users_est,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users_exact
+    FROM est
+    """
+
+
+@register("a12_hll_md5_reference", oracle=_a12_oracle())
+def a12_hll_md5_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from first principles, md5-hashed — the
+    differentially-checked reference for the a5/a8 HLL paths (module
+    comment above). Pipeline mirrors a8's two-level rollup exactly:
+    one scan builds PER-DAY register relations (day, bucket, max rho —
+    the mergeable state a rollup table persists), the daily sketches
+    union by per-bucket MAX, and the estimate applies Flajolet's
+    harmonic formula with the 2^-rho sum carried as the exact integer
+    Σ 2^(23-rho) (empty registers contribute 2^23), so the only float
+    ops are the final constant multiply/divide and the small-range
+    ln correction — each a single op over bit-identical operands.
+
+    Scale: register state is O(days × 1024) regardless of event count;
+    the merge stage is O(1024). The estimate lands within ~3% of exact
+    (rse 1.04/√1024 ≈ 3.3%) — published NEXT TO the exact distinct
+    count so the error is part of the checked relation."""
+    ev = load_table(spark, sf_dir, "events")
+    h = _h32(F.col("user_id").cast("string"))
+    w = h % (1 << HLL_WBITS)
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    reg = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (h / (1 << HLL_WBITS)).cast("long").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = reg.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    z = merged.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WBITS + 1} - rho)")
+        ).alias("z_scaled"),
+    )
+    n_days = ev.select(F.countDistinct(F.to_date("ts")).alias("n_days"))
+    n_exact = ev.select(F.countDistinct("user_id").alias("n_users_exact"))
+    v = F.lit(HLL_M) - F.col("used")
+    e_raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(HLL_M * HLL_M)
+        * F.lit(1 << (HLL_WBITS + 1))
+        / (
+            F.col("z_scaled")
+            + v * F.lit(1 << (HLL_WBITS + 1))
+        )
+    )
+    est = F.when(
+        (v > 0) & (e_raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(e_raw)
+    return (
+        z.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("used").cast("long").alias("n_buckets_used"),
+            F.round(est, 4).alias("n_users_est"),
+            "n_users_exact",
+        )
+    )
+
+
+# --- a13: Count-Min heavy hitters, replayable --------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 512  # cells per row
+CM_TOPK = 20
+
+
+def _a13_oracle() -> str:
+    h = _DUCK_HEX_FOLD.format(
+        expr="CONCAT(CAST(r.i AS VARCHAR), ':', CAST(user_id AS VARCHAR))"
+    )
+    return f"""
+    WITH rows_(i) AS (VALUES {", ".join(f"({i})" for i in range(CM_D))}),
+    coords AS (
+        SELECT user_id, r.i AS row_,
+               CAST({h} AS BIGINT) % {CM_W} AS col_
+        FROM events CROSS JOIN rows_ r
+    ), cells AS (
+        -- the sketch: d×w exact counters (every key update lands here)
+        SELECT row_, col_, COUNT(*) AS c FROM coords GROUP BY 1, 2
+    ), keys_ AS (
+        SELECT DISTINCT user_id, row_, col_ FROM coords
+    ), est AS (
+        SELECT k.user_id, MIN(c.c) AS est_count
+        FROM keys_ k JOIN cells c USING (row_, col_)
+        GROUP BY k.user_id
+    ), truth AS (
+        SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1
+    )
+    SELECT e.user_id, e.est_count, t.true_count
+    FROM est e JOIN truth t USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id ASC LIMIT {CM_TOPK}
+    """
+
+
+@register("a13_countmin_heavy_hitters", oracle=_a13_oracle())
+def a13_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan):
+    every user_id update hashes into {CM_D} rows × {CM_W} exact
+    counters; a point estimate is the MIN over its {CM_D} cells —
+    an overestimate with one-sided error ≤ 2n/w at probability
+    1-2^-d. Published: the top-{CM_TOPK} keys by estimate with their
+    TRUE counts beside them, so the sketch's collision inflation is
+    part of the checked relation (tx12's Misra-Gries is the
+    deterministic-guarantee alternative; CMS is the mergeable,
+    constant-memory one — sketches from disjoint shards add
+    cell-wise).
+
+    Scale: the sketch is {CM_D}×{CM_W} integers no matter the key
+    cardinality — the groupBy(row, col) partial-aggregates map-side,
+    so the shuffle carries at most d·w rows per task. The estimate
+    join broadcasts the 2048-cell sketch. All counters exact integers;
+    md5 hashing makes every cell coordinate engine-replayable."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias("row_")
+    coords = ev.select(F.col("user_id"), rows).select(
+        "user_id",
+        "row_",
+        (
+            _h32(
+                F.concat(
+                    F.col("row_").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CM_W
+        ).alias("col_"),
+    )
+    cells = coords.groupBy("row_", "col_").agg(F.count(F.lit(1)).alias("c"))
+    keys = coords.distinct()
+    est = (
+        keys.join(F.broadcast(cells), ["row_", "col_"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(truth, "user_id")
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(CM_TOPK)
+    )
+
+
+# --- a14: histogram quantile sketch, replayable -------------------------------
+
+HQ_BINS = 128
+HQ_QS = (0.5, 0.9, 0.99)
+
+
+def _a14_oracle() -> str:
+    qcols = ",\n           ".join(
+        f"""ROUND(MAX(CASE WHEN cum_before < {q!r} * n AND {q!r} * n <= cum
+               THEN CASE WHEN mx = mn THEN mn
+                    ELSE mn + (mx - mn) * (bin + ({q!r} * n - cum_before) / c)
+                         / {HQ_BINS} END END), 6) AS p{int(q * 100)}_est"""
+        for q in HQ_QS
+    )
+    return f"""
+    WITH stats AS (
+        SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+               MAX(l_extendedprice) AS mx, COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    ), binned AS (
+        SELECT s.l_returnflag,
+               CASE WHEN mx = mn THEN 0
+                    ELSE LEAST(CAST(FLOOR((l_extendedprice - mn)
+                                          / (mx - mn) * {HQ_BINS}) AS BIGINT),
+                               {HQ_BINS - 1}) END AS bin
+        FROM lineitem l JOIN stats s USING (l_returnflag)
+    ), counts AS (
+        SELECT l_returnflag, bin, COUNT(*) AS c
+        FROM binned GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, bin, c,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) - c
+                   AS cum_before
+        FROM counts
+    )
+    SELECT c.l_returnflag,
+           {qcols}
+    FROM cum c JOIN stats s USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """
+
+
+@register("a14_histogram_quantile_sketch", oracle=_a14_oracle())
+def a14_histogram_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-width histogram quantiles — the fixed-memory, mergeable,
+    REPLAYABLE substitute for a7's Greenwald-Khanna sketch: per group,
+    {HQ_BINS} exact bin counts (histograms from disjoint shards add
+    bin-wise, so this rolls up like a12's registers), quantiles read
+    off the cumulative counts with linear interpolation inside the
+    winning bin. The bin rule FLOOR((x-mn)/(mx-mn)·{HQ_BINS}) and the
+    interpolation are single-float-op chains over exact integers and
+    group min/max — both engines compute identical doubles, so unlike
+    a7 this is checked by the driver's exact hash, not rtol.
+
+    Scale: one stats pass + one binning pass (both scan-local before
+    their group aggregates); the cumulative window runs over ≤
+    {HQ_BINS} rows per group — the bounded-relation window pattern
+    (pp1), never a corpus sort. Accuracy is (mx-mn)/{HQ_BINS} absolute
+    per estimate — the right trade when the column's range is sane;
+    a7's rank-error sketch is the alternative when it isn't."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rng = F.col("mx") - F.col("mn")
+    bin_ = F.when(rng == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn")) / rng * HQ_BINS
+            ).cast("long"),
+            F.lit(HQ_BINS - 1).cast("long"),
+        )
+    )
+    counts = (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select("l_returnflag", bin_.alias("bin"))
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("bin")
+    cum = counts.select(
+        "l_returnflag",
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("cum_before"),
+    ).join(F.broadcast(stats), "l_returnflag")
+
+    def q_est(q: float):
+        qn = F.lit(q) * F.col("n")
+        inside = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+            F.col("mn")
+            + (F.col("mx") - F.col("mn"))
+            * (F.col("bin") + (qn - F.col("cum_before")) / F.col("c"))
+            / HQ_BINS
+        )
+        hit = (F.col("cum_before") < qn) & (qn <= F.col("cum"))
+        return F.round(
+            F.max(F.when(hit, inside)), 6
+        ).alias(f"p{int(q * 100)}_est")
+
+    return cum.groupBy("l_returnflag").agg(*[q_est(q) for q in HQ_QS])

@@ -1024,3 +1024,84 @@ def tx15_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= TX15_K)
         .select("doc_id", "kw_rank", "term", "tfidf")
     )
+
+
+# --- tx16: code detection ----------------------------------------------------
+
+# weights documented stand-ins (tx14's rule): a production classifier
+# (e.g. the StarCoder/The-Stack filters) is a trained model; the FEATURE
+# EXTRACTION is the Spark-side work and is what's pinned here.
+CD_SYMBOLS = ["{", "}", "(", ")", ";", "=", "<", ">", "[", "]"]
+CD_KEYWORDS = ["def ", "return ", "void ", "import ", "class ", "#include"]
+CD_W_SYMBOL = 12.0
+CD_W_KEYWORD = 2.0
+CD_BIAS = -1.5
+
+
+def _tx16_oracle() -> str:
+    sym = " + ".join(
+        "(LENGTH(text) - LENGTH(REPLACE(text, '%s', '')))" % s
+        for s in CD_SYMBOLS
+    )
+    kw = " + ".join(
+        f"(LENGTH(lt) - LENGTH(REPLACE(lt, '{k}', ''))) / {len(k)}"
+        for k in CD_KEYWORDS
+    )
+    return f"""
+    WITH f AS (
+        SELECT doc_id, lower(text) AS lt, LENGTH(text) AS n,
+               {sym} AS n_symbols
+        FROM documents
+    ), g AS (
+        SELECT doc_id, n, n_symbols,
+               CAST({kw} AS BIGINT) AS n_keywords
+        FROM f
+    )
+    SELECT doc_id, n_symbols, n_keywords,
+           ROUND({CD_BIAS!r}::DOUBLE
+                 + {CD_W_SYMBOL!r}::DOUBLE * n_symbols / n
+                 + {CD_W_KEYWORD!r}::DOUBLE * n_keywords, 6) AS code_score,
+           ({CD_BIAS!r}::DOUBLE
+            + {CD_W_SYMBOL!r}::DOUBLE * n_symbols / n
+            + {CD_W_KEYWORD!r}::DOUBLE * n_keywords) > 0.0 AS is_code
+    FROM g
+    """
+
+
+@register("tx16_code_detection", oracle=_tx16_oracle())
+def tx16_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection (The-Stack-style corpus routing): exact
+    integer counts of code-indicative symbols and keyword occurrences
+    (each via the LENGTH-REPLACE identity — scan-local, no
+    tokenization), combined by a documented stand-in linear model; the
+    keep decision is the exact logit SIGN (tx14's rule — never a
+    rounded float). A training pipeline routes is_code docs to the
+    code subcorpus / a different quality gate.
+
+    Shape: one scan, zero shuffles, whole-stage codegen string ops —
+    identical plan class to tx8/tx14. At 100 TB this runs inside the
+    same pass as the other per-doc gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    n_symbols = None
+    for s in CD_SYMBOLS:
+        term = F.length("text") - F.length(F.replace(F.col("text"), F.lit(s)))
+        n_symbols = term if n_symbols is None else n_symbols + term
+    n_keywords = None
+    for k in CD_KEYWORDS:
+        term = (
+            (F.length(lt) - F.length(F.replace(lt, F.lit(k)))) / len(k)
+        )
+        n_keywords = term if n_keywords is None else n_keywords + term
+    score = (
+        F.lit(CD_BIAS)
+        + F.lit(CD_W_SYMBOL) * n_symbols / F.length("text")
+        + F.lit(CD_W_KEYWORD) * n_keywords.cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        n_symbols.alias("n_symbols"),
+        n_keywords.cast("long").alias("n_keywords"),
+        F.round(score, 6).alias("code_score"),
+        (score > 0.0).alias("is_code"),
+    )

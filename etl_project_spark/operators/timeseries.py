@@ -523,3 +523,90 @@ def ts8_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.select(
         "user_id", "n_obs", F.round(ewma, 6).alias("ewma_level")
     )
+
+
+@register(
+    "ts9_holt_forecast",
+    oracle="""
+    WITH folded AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               list_reduce(
+                   list_transform(LIST(value ORDER BY ts, event_id),
+                                  v -> [CAST(v AS DOUBLE), 0.0]),
+                   (acc, x) -> [
+                       0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                       0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2]))
+                              - acc[1])
+                       + 0.5 * acc[2]
+                   ]) AS st
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           ROUND(st[1], 6) AS holt_level,
+           ROUND(st[2], 6) AS holt_trend,
+           ROUND(st[1] + st[2], 6) AS forecast_1
+    FROM folded
+    """,
+)
+def ts9_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR METHOD (double exponential smoothing): ts8's
+    recursive level filter extended with a trend state —
+    level_t = a·x_t + (1-a)(level+trend), trend_t = b(level_t -
+    level_(t-1)) + (1-b)·trend — per user over the time-ordered value
+    series; the one-step forecast is level + trend (the first model
+    in the ladder that can FOLLOW a drifting series instead of
+    lagging it). a = b = 0.5 keeps every smoothing multiply an exact
+    IEEE halving (ts8's parity rule); level' appears twice in the
+    trend update and is spelled out identically in both engines, so
+    the duplicated sub-expression evaluates to the same double.
+
+    Shape: ts8's exactly — the two-component state rides ONE
+    F.aggregate fold whose accumulator is a 2-element double array
+    (the relational form of applyInPandasWithState's (level, trend)
+    tuple); single groupBy shuffle, no window, no Python. The oracle
+    replays the identical fold via DuckDB list_reduce over [v, 0.0]
+    pairs — its no-init form seeds acc = [x_1, 0.0], exactly the
+    level_1 = x_1, trend_1 = 0 textbook initialization."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    series = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        t_us.alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("vals"),
+    )
+
+    def step(acc, x):
+        level = acc[0]
+        trend = acc[1]
+        new_level = F.lit(0.5) * x + F.lit(0.5) * (level + trend)
+        return F.array(
+            new_level,
+            F.lit(0.5) * (new_level - level) + F.lit(0.5) * trend,
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.array(F.element_at(F.col("vals"), 1), F.lit(0.0)),
+        step,
+    )
+    return series.select(
+        "user_id",
+        "n_obs",
+        F.round(st[0], 6).alias("holt_level"),
+        F.round(st[1], 6).alias("holt_trend"),
+        F.round(st[0] + st[1], 6).alias("forecast_1"),
+    )

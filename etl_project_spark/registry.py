@@ -95,8 +95,13 @@ def register(
 # they are approximate/hash-bit by nature, so a driver row can only
 # ever read `err: no_oracle` (r03 showed exactly that) — their
 # evidence is the rtol compare every local sweep runs
-# (approx_oracle/rtol in this registry) plus the dd5b/dd5c pytest pin;
-# burning a window slot re-records nothing.
+# (approx_oracle/rtol in this registry) plus the dd5b/dd5c pytest pin,
+# and as of r7 the sketch family ALSO has driver-green deterministic
+# twins on the x14/x15 pattern: a12_hll_md5_reference (HLL replayed
+# from first principles — a5/a8's algorithm), a13_countmin_heavy_hitters
+# and a14_histogram_quantile_sketch (a7's quantile job, histogram
+# form). Burning a window slot on the rtol originals re-records
+# nothing.
 _FRONT_QUERIES = [
     # (a) first driver attestation: the 22 r6 ops that never fit r6's
     # cap (VERDICT r6 #1 list, verbatim). x9 is rows-only by nature
@@ -153,6 +158,7 @@ _MODULE_ORDER = [
     "etl_project_spark.operators.ranking",
     "etl_project_spark.operators.cdc",
     "etl_project_spark.operators.analytics",
+    "etl_project_spark.operators.sketches",
     "etl_project_spark.operators.clustering",
     "etl_project_spark.sources.tables",  # ly1 z-order layout key
 ]

@@ -696,3 +696,65 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def holt_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch ``ts9_holt_forecast``: Holt's double
+    exponential smoothing as O(1) per-user state — (level, trend,
+    n_obs) — updated one event at a time. Same associative-over-replay
+    argument as ewma_stream, with the two-component state standing in
+    for the batch fold's 2-element array accumulator; the update uses
+    the IDENTICAL arithmetic (a = b = 0.5, level' computed first and
+    reused) so the final per-user emission is bit-identical to the
+    batch fold before rounding (replay-pinned in
+    tests/test_ingest_streaming.py)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            level, trend, n = state.get[0], state.get[1], state.get[2]
+        else:
+            level, trend, n = None, 0.0, 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if n:
+                state.update((level, trend, n))
+            return
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            if pd.isna(v):
+                continue
+            v = float(v)
+            if level is None:
+                level, trend = v, 0.0
+            else:
+                new_level = 0.5 * v + 0.5 * (level + trend)
+                trend = 0.5 * (new_level - level) + 0.5 * trend
+                level = new_level
+            n += 1
+        if n == 0:
+            return
+        state.update((level, trend, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_obs": [n],
+                "holt_level": [round(level, 6)],
+                "holt_trend": [round(trend, 6)],
+                "forecast_1": [round(level + trend, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_obs long, holt_level double, "
+            "holt_trend double, forecast_1 double"
+        ),
+        stateStructType="level double, trend double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

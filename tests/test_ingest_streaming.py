@@ -1081,3 +1081,64 @@ def test_stateful_ewma_matches_batch_ts8(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert expected
+
+
+def test_stateful_holt_matches_batch_ts9(spark, sf_dir, tmp_path):
+    """Time-ordered 4-file replay of events through holt_stream: the
+    final (max n_obs) emission per user equals batch ts9_holt_forecast
+    exactly — the two-state recursive fold split across micro-batches
+    is the same fold."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import get
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_holt")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.select(
+        F.expr(
+            "percentile(unix_micros(cast(ts as timestamp)),"
+            " array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    slices = [tsu <= bounds[0]]
+    for lo, hi in zip(bounds, bounds[1:]):
+        slices.append((tsu > lo) & (tsu <= hi))
+    slices.append(tsu > bounds[-1])
+    for i, cond in enumerate(slices):
+        ev.filter(cond).coalesce(1).write.parquet(f"{src_dir}/slice={i}")
+    schema = spark.read.parquet(f"{src_dir}/slice=0").schema
+    import glob as globmod
+    import os
+    import shutil
+
+    files_dir = str(tmp_path / "ev_holt_files")
+    os.makedirs(files_dir)
+    for i in range(4):
+        (part,) = globmod.glob(f"{src_dir}/slice={i}/part-*.parquet")
+        dst = f"{files_dir}/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = sp.file_event_stream(
+        spark, files_dir, schema, max_files_per_trigger=1
+    )
+    out = stateful.holt_stream(stream)
+    sp.run_available_now(
+        out,
+        str(tmp_path / "ck_holt"),
+        output_mode="update",
+        queryName="holt_test",
+    )
+    final = spark.sql(
+        """SELECT user_id, n_obs, holt_level, holt_trend, forecast_1
+           FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_obs DESC) AS rn
+               FROM holt_test) WHERE rn = 1"""
+    )
+    got = {tuple(r) for r in final.collect()}
+    expected = {
+        tuple(r)
+        for r in get("ts9_holt_forecast").fn(spark, sf_dir).collect()
+    }
+    assert got == expected

@@ -1,0 +1,100 @@
+"""Property pins for the deterministic sketch twins (a12/a13/a14) and
+the embedding-drift monitor (dq10): beyond the differential hash check
+(which proves Spark == DuckDB), these assert the sketches' THEORETICAL
+guarantees against exact ground truth — the part a replayed-but-wrong
+implementation would still fail."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import pathlib
+
+from pyspark.sql import functions as F
+
+from etl_project_spark.catalog import load_table
+from etl_project_spark.registry import all_queries
+
+
+def test_a12_hll_estimate_within_error_budget(spark, sf_dir):
+    """HLL with m=1024 registers has rse ≈ 1.04/√1024 ≈ 3.3%; the
+    estimate must sit within 4 sigma of the exact distinct count (and
+    the relation itself publishes both, so this is also a self-check
+    of the published row)."""
+    row = all_queries()["a12_hll_md5_reference"](spark, sf_dir).collect()[0]
+    est, exact = row["n_users_est"], row["n_users_exact"]
+    assert exact > 0
+    assert abs(est - exact) / exact < 4 * 1.04 / math.sqrt(1024), row
+
+
+def test_a13_countmin_estimates_are_one_sided(spark, sf_dir):
+    """Count-Min never underestimates: est >= true for every published
+    key, and the inflation is bounded by the sketch guarantee
+    eps = e/w per unit of total mass at 3-row confidence."""
+    rows = all_queries()["a13_countmin_heavy_hitters"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    n_total = load_table(spark, sf_dir, "events").count()
+    from etl_project_spark.operators.sketches import CM_W
+
+    for r in rows:
+        assert r["est_count"] >= r["true_count"], r
+        # generous 3x the expected-collision bound — a wrong hash or a
+        # lost MIN would blow straight past it
+        assert r["est_count"] - r["true_count"] <= 3 * n_total / CM_W, r
+
+
+def test_a14_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """The interpolated estimate can be off by at most one bin width
+    from the exact quantile (equi-width histogram guarantee)."""
+    est = {
+        r["l_returnflag"]: r
+        for r in all_queries()["a14_histogram_quantile_sketch"](
+            spark, sf_dir
+        ).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    )
+    from etl_project_spark.operators.sketches import HQ_BINS
+
+    for r in exact:
+        width = (r["mx"] - r["mn"]) / HQ_BINS
+        e = est[r["l_returnflag"]]
+        for q in (50, 90, 99):
+            assert abs(e[f"p{q}_est"] - r[f"p{q}"]) <= 2 * width, (
+                r["l_returnflag"],
+                q,
+                e[f"p{q}_est"],
+                r[f"p{q}"],
+            )
+
+
+def test_dq10_drift_near_one_on_stationary_clustered_data(spark, tmp_path):
+    """On label-clustered embeddings whose even/odd halves come from
+    the SAME distribution (the planted fixture), per-label centroid
+    cosine must sit near 1.0 — the stationary baseline a drift alarm
+    thresholds against. (The uniform driver corpus gives noisy
+    centroids by construction; the hash check covers it there.)"""
+    tool = (
+        pathlib.Path(__file__).parent.parent / "tools" / "measure_recall.py"
+    )
+    spec = importlib.util.spec_from_file_location("measure_recall", tool)
+    mr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mr)
+    planted = mr.make_planted_fixture(str(tmp_path / "planted"), n=2000)
+    rows = all_queries()["dq10_embedding_drift"](spark, planted).collect()
+    assert len(rows) == 25  # one row per planted cluster label
+    for r in rows:
+        assert r["centroid_cosine"] > 0.95, r
+        assert r["n_ref"] + r["n_cur"] > 0
