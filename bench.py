@@ -115,6 +115,12 @@ EXTENDED_QUERIES = [
     # r7 additions
     "x14_ivf_reference_topk",
     "x15_pq_reference_topk",
+    "a12_hll_md5_reference",
+    "a13_countmin_heavy_hitters",
+    "a14_histogram_quantile_sketch",
+    "dq10_embedding_drift",
+    "ts9_holt_forecast",
+    "tx16_code_detection",
 ]
 
 

@@ -940,3 +940,56 @@ def an9_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_sec"),
     )
+
+
+@register(
+    "an10_new_vs_returning",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day FROM events
+    ), first_seen AS (
+        SELECT user_id, MIN(day) AS first_day FROM active GROUP BY user_id
+    )
+    SELECT a.day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY a.day
+    """,
+)
+def an10_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split NEW vs RETURNING — the activation-vs-
+    retention dashboard decomposition of a3's raw daily counts (a user
+    is new on their first-ever active day, returning after). Pairs
+    with a11's rolling WAU and an2's cohort matrix.
+
+    Shape: one (user, day) dedupe, a user-level MIN aggregate, and a
+    join back on user_id — all three share the user_id hash
+    partitioning so the plan reuses one exchange lineage; output is
+    O(days). No window, no self-join of raw events; at 100 TB the
+    (user, day) relation is the bounded activity spine every retention
+    metric here derives from."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").cast("timestamp").alias("day")
+    ).distinct()
+    first_seen = active.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("n_returning"),
+        )
+    )

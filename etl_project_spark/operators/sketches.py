@@ -365,3 +365,108 @@ def a14_histogram_quantile_sketch(
         ).alias(f"p{int(q * 100)}_est")
 
     return cum.groupBy("l_returnflag").agg(*[q_est(q) for q in HQ_QS])
+
+
+# --- persisted HLL rollup: the sketch as a TABLE ------------------------------
+
+
+def _hll_registers(ev: DataFrame) -> DataFrame:
+    """(day, bucket, rho) register relation for a batch of events —
+    a12's per-day state, factored out so build and append share the
+    exact rule."""
+    h = _h32(F.col("user_id").cast("string"))
+    w = h % (1 << HLL_WBITS)
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (h / (1 << HLL_WBITS)).cast("long").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def build_hll_rollup(
+    spark: SparkSession, sf_dir: str, table: str = "hll_user_rollup"
+) -> None:
+    """Materialize a12's per-day HLL register relations as a managed
+    parquet table PARTITIONED BY day — the distinct-count rollup a
+    100 TB warehouse keeps so any day-range distinct query is answered
+    by merging ~1024-row register sets instead of rescanning raw
+    events. Mergeability is the point: registers from disjoint days
+    (or disjoint shards of one day) combine by per-bucket MAX, so
+    appends never rewrite history and any subset of day partitions
+    yields a valid sketch. Rebuilds are idempotent (overwrite);
+    lifecycle pinned in tests/test_layout.py."""
+    from etl_project_spark.sources.tables import _drop_table_and_location
+
+    ev = load_table(spark, sf_dir, "events")
+    _drop_table_and_location(spark, table)
+    (
+        _hll_registers(ev)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def append_to_hll_rollup(
+    spark: SparkSession, ev: DataFrame, table: str = "hll_user_rollup"
+) -> None:
+    """Fold a new batch of events into the rollup: compute its register
+    relation and append — day partitions are additive because the
+    querier MAX-merges buckets across every stored row, so duplicate
+    (day, bucket) rows from multiple appends are harmless (idempotent
+    under replay at the estimate level). A compaction would MAX-merge
+    rows per (day, bucket); correctness never requires it.
+
+    insertInto is POSITIONAL and saveAsTable moved the partition
+    column last — reorder to the stored column order explicitly."""
+    cols = spark.table(table).columns
+    _hll_registers(ev).select(*cols).write.mode("append").format(
+        "parquet"
+    ).insertInto(table)
+
+
+def query_hll_rollup(
+    spark: SparkSession,
+    table: str = "hll_user_rollup",
+    days: "list | None" = None,
+) -> float:
+    """Distinct-user estimate over a day range, answered FROM THE
+    ROLLUP ONLY: an optional `day IN (...)` static filter prunes to
+    the requested day partitions (partition pruning pinned in
+    tests/test_layout.py), registers MAX-merge per bucket, and the
+    estimate replays a12's exact arithmetic. O(days × 1024) rows
+    touched regardless of raw event count."""
+    reg = spark.table(table)
+    if days is not None:
+        reg = reg.filter(F.col("day").isin(list(days)))
+    merged = reg.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    row = merged.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WBITS + 1} - rho)")
+        ).alias("z_scaled"),
+    ).collect()[0]
+    used, z_scaled = row["used"], row["z_scaled"]
+    if not used:
+        return 0.0
+    v = HLL_M - used
+    e_raw = (
+        HLL_ALPHA
+        * HLL_M
+        * HLL_M
+        * (1 << (HLL_WBITS + 1))
+        / (z_scaled + v * (1 << (HLL_WBITS + 1)))
+    )
+    import math
+
+    if v > 0 and e_raw <= 2.5 * HLL_M:
+        return float(HLL_M) * math.log(float(HLL_M) / v)
+    return e_raw

@@ -1105,3 +1105,56 @@ def tx16_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("code_score"),
         (score > 0.0).alias("is_code"),
     )
+
+
+@register(
+    "lm6_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               LEN(str_split(lower(text), ' ')) AS ws,
+               LEN(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe,
+               LENGTH(replace(lower(text), ' ', '')) AS chars
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6)
+               AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def lm6_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language (the mT5/XLM-R tokenizer-equity
+    audit): BPE-piece count over whitespace-word count and characters
+    per BPE piece, aggregated per lang — the numbers that reveal a
+    tokenizer taxing some languages 2-4x more pieces per word than
+    others, which silently skews any token-budgeted data mix (pp1/pp4
+    budgets) against them. Uses tx7's regex pre-tokenizer as the
+    engine-neutral stand-in for the trained segmenter (the bpe cache
+    variant is `clean_corpus(token_counter='bpe')`'s path).
+
+    Shape: scan-local counting (JVM regexp codegen) into one
+    O(languages) aggregate; sums are exact integers, the two ratios
+    are single divisions — hash-exact. At 100 TB this shares the pass
+    that computes every other per-doc gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    ws = F.size(F.split(low, " "))
+    bpe = F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), 0))
+    chars = F.length(F.replace(low, F.lit(" ")))
+    return (
+        docs.select("lang", ws.alias("ws"), bpe.alias("bpe"), chars.alias("chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_ws_tokens"),
+            F.sum("bpe").alias("n_bpe_tokens"),
+            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("fertility"),
+            F.round(F.sum("chars") / F.sum("bpe"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )

@@ -508,3 +508,58 @@ def test_text_index_incremental_append(spark, sf_dir):
     assert stats1["sum_dl"] == stats0["sum_dl"] + 4
     served = query_text_index(spark, ["spark"], k=5, table=table)
     assert 10_000_000 in {r["doc_id"] for r in served.collect()}
+
+
+def test_hll_rollup_prunes_merges_and_appends(spark, sf_dir):
+    """Persisted HLL rollup lifecycle (the sketch as a table): (1) the
+    full-range estimate from the rollup equals a12's in-session
+    estimate exactly (same registers, same arithmetic); (2) a
+    day-subset query reads ONLY the requested day partitions (static
+    partition filter) and its estimate tracks the exact distinct count
+    over those days within the sketch's error budget; (3) appending a
+    batch folds in by register MAX — appending the SAME batch twice
+    leaves every estimate unchanged (idempotent at the merge level)."""
+    import math
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.sketches import (
+        append_to_hll_rollup,
+        build_hll_rollup,
+        query_hll_rollup,
+    )
+    from etl_project_spark.registry import all_queries
+
+    table = "hll_rollup_test"
+    build_hll_rollup(spark, sf_dir, table=table)
+    est_all = query_hll_rollup(spark, table=table)
+    a12 = all_queries()["a12_hll_md5_reference"](spark, sf_dir).collect()[0]
+    assert round(est_all, 4) == a12["n_users_est"]
+
+    ev = load_table(spark, sf_dir, "events")
+    days = sorted(
+        r["day"]
+        for r in ev.select(F.to_date("ts").alias("day")).distinct().collect()
+    )[:7]
+    reg = spark.table(table).filter(F.col("day").isin(days))
+    plan = reg._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan, plan
+    est_week = query_hll_rollup(spark, table=table, days=days)
+    exact_week = (
+        ev.filter(F.to_date("ts").isin(days))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(est_week - exact_week) / exact_week < 4 * 1.04 / math.sqrt(
+        1024
+    ), (est_week, exact_week)
+
+    # idempotent append: re-folding an already-included batch is a no-op
+    batch = ev.filter(F.to_date("ts").isin(days))
+    append_to_hll_rollup(spark, batch, table=table)
+    assert round(query_hll_rollup(spark, table=table), 4) == round(
+        est_all, 4
+    )
+    assert round(
+        query_hll_rollup(spark, table=table, days=days), 4
+    ) == round(est_week, 4)
