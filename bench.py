@@ -121,6 +121,8 @@ EXTENDED_QUERIES = [
     "dq10_embedding_drift",
     "ts9_holt_forecast",
     "tx16_code_detection",
+    "lm6_tokenizer_fertility",
+    "an10_new_vs_returning",
 ]
 
 

@@ -758,3 +758,116 @@ def holt_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of a12's HLL register build: per-BUCKET state is
+    the single running max rho (1024 groups, one integer each — the
+    smallest aggregate state family alongside type_mix_stream).
+    Registers only ever grow, so the max-n emission per bucket equals
+    the batch register relation exactly and the estimate computed from
+    it replays a12 (replay-pinned in tests/test_ingest_streaming.py).
+    The md5 hash/bucket/rho rule is imported from the batch operator
+    so the two sides can never drift."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.operators.sketches import HLL_WBITS, _h32
+
+    h = _h32(F.col("user_id").cast("string"))
+    w = h % (1 << HLL_WBITS)
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    reg = events.select(
+        (h / (1 << HLL_WBITS)).cast("long").alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        best = state.get[0] if state.exists else 0
+        seen = False
+        for pdf in pdfs:
+            if len(pdf):
+                seen = True
+                m = int(pdf["rho"].max())
+                if m > best:
+                    best = m
+        if not seen:
+            if best:
+                state.update((best,))
+            return
+        state.update((best,))
+        yield pd.DataFrame(
+            {"bucket": [int(key[0])], "rho": [best]}
+        )
+
+    return reg.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket long, rho int",
+        stateStructType="rho int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cms_cell_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of a13's Count-Min sketch build: per-CELL state
+    is one running counter ({CM_D}×{CM_W} groups). Counters only grow;
+    the max-c emission per (row_, col_) equals the batch cell relation
+    exactly, so point estimates served from the streamed sketch match
+    a13 (replay-pinned in tests/test_ingest_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.operators.sketches import CM_D, CM_W, _h32
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias(
+        "row_"
+    )
+    coords = events.select(F.col("user_id"), rows).select(
+        "row_",
+        (
+            _h32(
+                F.concat(
+                    F.col("row_").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % CM_W
+        ).alias("col_"),
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        c = state.get[0] if state.exists else 0
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        if add == 0:
+            if c:
+                state.update((c,))
+            return
+        c += add
+        state.update((c,))
+        yield pd.DataFrame(
+            {
+                "row_": [int(key[0])],
+                "col_": [int(key[1])],
+                "c": [c],
+            }
+        )
+
+    return coords.groupBy("row_", "col_").applyInPandasWithState(
+        update,
+        outputStructType="row_ int, col_ long, c long",
+        stateStructType="c long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

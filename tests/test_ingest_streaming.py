@@ -1142,3 +1142,108 @@ def test_stateful_holt_matches_batch_ts9(spark, sf_dir, tmp_path):
         for r in get("ts9_holt_forecast").fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_stateful_sketches_match_batch(spark, sf_dir, tmp_path):
+    """Time-ordered 4-file replay of events through the sketch twins:
+    (1) hll_register_stream's final per-bucket emission equals the
+    batch merged register relation, so the estimate computed from the
+    streamed registers replays a12 exactly; (2) cms_cell_stream's
+    final per-cell emission equals a13's batch cell relation. Both
+    states are monotone (max / count), so the max-per-key emission IS
+    the converged sketch regardless of how the replay slices."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators import sketches as sk
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_sk")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.select(
+        F.expr(
+            "percentile(unix_micros(cast(ts as timestamp)),"
+            " array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    slices = [tsu <= bounds[0]]
+    for lo, hi in zip(bounds, bounds[1:]):
+        slices.append((tsu > lo) & (tsu <= hi))
+    slices.append(tsu > bounds[-1])
+    for i, cond in enumerate(slices):
+        ev.filter(cond).coalesce(1).write.parquet(f"{src_dir}/slice={i}")
+    schema = spark.read.parquet(f"{src_dir}/slice=0").schema
+    import glob as globmod
+    import os
+    import shutil
+
+    files_dir = str(tmp_path / "ev_sk_files")
+    os.makedirs(files_dir)
+    for i in range(4):
+        (part,) = globmod.glob(f"{src_dir}/slice={i}/part-*.parquet")
+        dst = f"{files_dir}/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    # HLL registers
+    stream = sp.file_event_stream(
+        spark, files_dir, schema, max_files_per_trigger=1
+    )
+    sp.run_available_now(
+        stateful.hll_register_stream(stream),
+        str(tmp_path / "ck_hll"),
+        output_mode="update",
+        queryName="hll_regs",
+    )
+    got_regs = {
+        (r["bucket"], r["rho"])
+        for r in spark.sql(
+            "SELECT bucket, MAX(rho) AS rho FROM hll_regs GROUP BY bucket"
+        ).collect()
+    }
+    batch_regs = {
+        (r["bucket"], r["rho"])
+        for r in sk._hll_registers(ev)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    assert got_regs == batch_regs
+
+    # CMS cells
+    stream2 = sp.file_event_stream(
+        spark, files_dir, schema, max_files_per_trigger=1
+    )
+    sp.run_available_now(
+        stateful.cms_cell_stream(stream2),
+        str(tmp_path / "ck_cms"),
+        output_mode="update",
+        queryName="cms_cells",
+    )
+    got_cells = {
+        (r["row_"], r["col_"], r["c"])
+        for r in spark.sql(
+            "SELECT row_, col_, MAX(c) AS c FROM cms_cells"
+            " GROUP BY row_, col_"
+        ).collect()
+    }
+    h = sk._h32(
+        F.concat(
+            F.col("row_").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    batch_cells = {
+        (r["row_"], r["col_"], r["c"])
+        for r in ev.select(
+            F.col("user_id"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(sk.CM_D)])
+            ).alias("row_"),
+        )
+        .select("row_", (h % sk.CM_W).alias("col_"))
+        .groupBy("row_", "col_")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got_cells == batch_cells
