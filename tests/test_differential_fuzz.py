@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -1226,3 +1228,93 @@ def test_random_plan_diversity_differential(
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), (conf, sql)
     assert _canon(spdf) == _canon(opdf), (conf, sql)
+
+
+# --- grammar 22: PIVOT (engine-specific syntax, same spec) -------------------
+# Spark's SQL PIVOT clause has no DuckDB twin the fuzzer can share
+# verbatim, so the grammar pairs each drawn spec (pivot values subset ×
+# aggregate × optional predicate) with a DuckDB conditional-aggregation
+# formulation of the SAME relation. Aggregates are chosen
+# order-independent (COUNT / MIN / MAX — never a float SUM) so the
+# comparison is exact. COUNT over an empty cell is 0 in both
+# formulations (Spark pivot-count and the CASE-filtered count agree).
+
+PIVOT_VALUES = [
+    ["click", "view"],
+    ["click", "error", "purchase"],
+    ["click", "error", "purchase", "signup", "view"],
+]
+# Spark PIVOT leaves an ABSENT (day, type) cell NULL even for COUNT
+# (the pivot is an aggregate-of-aggregates, not a filtered count), while
+# the conditional-aggregation form counts an empty set as 0 — so the
+# COUNT spec wraps Spark's pivot columns in COALESCE(…, 0). MIN/MAX
+# agree on NULL for empty cells in both formulations.
+PIVOT_AGGS = [
+    (
+        "COUNT(value)",
+        "COUNT(CASE WHEN event_type = '{v}' THEN value END)",
+        "CAST(COALESCE({v}, 0) AS BIGINT) AS {v}",
+    ),
+    (
+        "MIN(value)",
+        "MIN(CASE WHEN event_type = '{v}' THEN value END)",
+        "{v}",
+    ),
+    (
+        "MAX(value)",
+        "MAX(CASE WHEN event_type = '{v}' THEN value END)",
+        "{v}",
+    ),
+]
+PIVOT_PREDS = [None, "value > 0.0", "user_id % 3 = 0"]
+
+
+@pytest.fixture
+def event_engines(spark):
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events_pv"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events_pv AS SELECT * FROM"
+        f" '{SF_DIR}/events.parquet'"
+    )
+    yield spark, con
+    con.close()
+    spark.catalog.dropTempView("events_pv")
+
+
+@given(
+    values=st.sampled_from(PIVOT_VALUES),
+    agg=st.sampled_from(PIVOT_AGGS),
+    pred=st.sampled_from(PIVOT_PREDS),
+)
+@settings(
+    max_examples=18,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_pivot_differential(event_engines, values, agg, pred):
+    spark, con = event_engines
+    spark_agg, duck_tpl, outer_tpl = agg
+    where = f" WHERE {pred}" if pred else ""
+    in_list = ", ".join(f"'{v}' AS {v}" for v in values)
+    outer = ", ".join(outer_tpl.format(v=v) for v in values)
+    spark_sql = (
+        f"SELECT day, {outer} FROM ("
+        f"SELECT * FROM (SELECT CAST(ts AS DATE) AS day, event_type,"
+        f" value FROM events_pv{where})"
+        f" PIVOT ({spark_agg} FOR event_type IN ({in_list})))"
+    )
+    duck_cols = ", ".join(
+        duck_tpl.format(v=v) + f" AS {v}" for v in values
+    )
+    duck_sql = (
+        f"SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, {duck_cols}"
+        f" FROM events_pv{where} GROUP BY 1"
+    )
+    spdf = spark.sql(spark_sql).toPandas()
+    # Spark DATE → object date; align on timestamps like an4/an10
+    spdf["day"] = pd.to_datetime(spdf["day"])
+    opdf = con.sql(duck_sql).df()
+    assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
