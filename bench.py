@@ -123,6 +123,8 @@ EXTENDED_QUERIES = [
     "tx16_code_detection",
     "lm6_tokenizer_fertility",
     "an10_new_vs_returning",
+    "an11_engagement_gini",
+    "dq11_weekly_scorecard",
 ]
 
 

@@ -993,3 +993,118 @@ def an10_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_returning"),
         )
     )
+
+
+@register(
+    "an11_engagement_gini",
+    oracle="""
+    WITH pc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM pc GROUP BY c
+    ), w AS (
+        SELECT c, k,
+               CAST(SUM(k) OVER (ORDER BY c) - k AS BIGINT) AS prefix
+        FROM b
+    ), agg AS (
+        SELECT CAST(SUM(k) AS BIGINT) AS n,
+               CAST(SUM(c * k) AS BIGINT) AS t,
+               CAST(SUM(c * (k * prefix + (k * (k + 1)) // 2)) AS BIGINT)
+                   AS s
+        FROM w
+    )
+    SELECT n AS n_users, t AS n_events,
+           ROUND((2.0 * s - (n + 1) * t) / (1.0 * n * t), 6) AS gini
+    FROM agg
+    """,
+)
+def an11_engagement_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-user event counts — the engagement-
+    inequality number behind "x% of users generate y% of traffic"
+    (and, corpus-side, the doc-contribution skew a data mix audits).
+    Gini = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc) over counts sorted
+    ascending; ties contribute the same sum under any permutation, so
+    the statistic is deterministic without a tie-break rule.
+
+    Shape — the pp1 two-phase prefix-sum pattern, NOT a global sort:
+    the rank-weighted sum needs each count's global ascending position,
+    but equal counts are interchangeable, so bucket BY THE COUNT VALUE
+    (k_c users per distinct count c), run the one unbounded-ordered
+    window over the BUCKET relation (|distinct count values| rows —
+    hundreds, never users), and expand each bucket's rank range in
+    closed form: Σ ranks = k·prefix + k(k+1)/2. All accumulators exact
+    integers (s ≤ n²·max_c « 2^53 here; a 10^9-user deployment
+    switches s to DECIMAL(38) — same plan), final Gini two float ops
+    over identical operands."""
+    ev = load_table(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    b = pc.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.orderBy("c")
+    wb = b.select(
+        "c", "k", (F.sum("k").over(w) - F.col("k")).alias("prefix")
+    )
+    agg = wb.agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("c") * F.col("k")).alias("t"),
+        F.sum(
+            F.col("c")
+            * (F.col("k") * F.col("prefix") + F.expr("(k * (k + 1)) DIV 2"))
+        ).alias("s"),
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("t").alias("n_events"),
+        F.round(
+            (F.lit(2.0) * F.col("s") - (F.col("n") + 1) * F.col("t"))
+            / (F.lit(1.0) * F.col("n") * F.col("t")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "dq11_weekly_scorecard",
+    oracle="""
+    SELECT DATE_TRUNC('week', CAST(ts AS DATE))::TIMESTAMP AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_value,
+           ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS null_value_rate,
+           CAST(SUM(CASE WHEN props IS NULL OR props = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_props
+    FROM events
+    GROUP BY 1
+    """,
+)
+def dq11_weekly_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY DATA-HEALTH SCORECARD over the event stream: volumes,
+    distinct users/types, NULL-value and empty-props rates per week —
+    the first dashboard an on-call engineer reads when an upstream
+    producer breaks (a null-rate step or a vanished event type dates
+    the incident to a week before anyone bisects code). Complements
+    dq3/dq7 (distribution drift) with plain integrity accounting.
+
+    Shape: one scan into one O(weeks) aggregate; the two COUNT
+    DISTINCTs expand-partial-aggregate map-side. Every published
+    number is an exact integer except the one rate division."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).alias("week")
+    null_val = F.sum(
+        F.when(F.col("value").isNull(), 1).otherwise(0)
+    )
+    return ev.groupBy(week).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        null_val.cast("long").alias("n_null_value"),
+        F.round(null_val / F.count(F.lit(1)), 6).alias("null_value_rate"),
+        F.sum(
+            F.when(
+                F.col("props").isNull() | (F.col("props") == ""), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_empty_props"),
+    )
