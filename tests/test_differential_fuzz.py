@@ -1269,21 +1269,6 @@ PIVOT_AGGS = [
 PIVOT_PREDS = [None, "value > 0.0", "user_id % 3 = 0"]
 
 
-@pytest.fixture
-def event_engines(spark):
-    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
-        "events_pv"
-    )
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events_pv AS SELECT * FROM"
-        f" '{SF_DIR}/events.parquet'"
-    )
-    yield spark, con
-    con.close()
-    spark.catalog.dropTempView("events_pv")
-
-
 @given(
     values=st.sampled_from(PIVOT_VALUES),
     agg=st.sampled_from(PIVOT_AGGS),
@@ -1303,7 +1288,7 @@ def test_random_pivot_differential(event_engines, values, agg, pred):
     spark_sql = (
         f"SELECT day, {outer} FROM ("
         f"SELECT * FROM (SELECT CAST(ts AS DATE) AS day, event_type,"
-        f" value FROM events_pv{where})"
+        f" value FROM events{where})"
         f" PIVOT ({spark_agg} FOR event_type IN ({in_list})))"
     )
     duck_cols = ", ".join(
@@ -1311,7 +1296,7 @@ def test_random_pivot_differential(event_engines, values, agg, pred):
     )
     duck_sql = (
         f"SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, {duck_cols}"
-        f" FROM events_pv{where} GROUP BY 1"
+        f" FROM events{where} GROUP BY 1"
     )
     spdf = spark.sql(spark_sql).toPandas()
     # Spark DATE → object date; align on timestamps like an4/an10
