@@ -98,3 +98,32 @@ def test_dq10_drift_near_one_on_stationary_clustered_data(spark, tmp_path):
     for r in rows:
         assert r["centroid_cosine"] > 0.95, r
         assert r["n_ref"] + r["n_cur"] > 0
+
+
+def test_ann_twins_are_drop_in_compatible(spark, sf_dir):
+    """The deterministic reference twins must be drop-in interchangeable
+    with their production paths: same output schema (name, type,
+    nullability-insensitive) and same per-query row budget, so a
+    consumer can swap x4→x14 / x9→x15 (and x3→x6) for a replayable run
+    without touching downstream code."""
+    qs = all_queries()
+    for prod, twin in [
+        ("x4_ivf_topk", "x14_ivf_reference_topk"),
+        ("x9_pq_topk", "x15_pq_reference_topk"),
+        ("x3_lsh_bucketed_topk", "x6_rademacher_lsh_topk"),
+    ]:
+        p = qs[prod](spark, sf_dir)
+        t = qs[twin](spark, sf_dir)
+        assert [(f.name, f.dataType) for f in p.schema.fields] == [
+            (f.name, f.dataType) for f in t.schema.fields
+        ], (prod, twin)
+        from pyspark.sql import functions as F2
+
+        per_q = (
+            t.groupBy("query_id")
+            .agg(F2.count(F2.lit(1)).alias("n"))
+            .collect()
+        )
+        from etl_project_spark.operators.similarity import TOP_K
+
+        assert all(r["n"] <= TOP_K for r in per_q), (twin, per_q)
