@@ -125,6 +125,7 @@ EXTENDED_QUERIES = [
     "an10_new_vs_returning",
     "an11_engagement_gini",
     "dq11_weekly_scorecard",
+    "rk8_query_likelihood",
 ]
 
 

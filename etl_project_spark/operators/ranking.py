@@ -1364,3 +1364,82 @@ def rk7_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("long").alias("final_rank"),
         )
     )
+
+
+QL_MU = 2000.0  # Dirichlet smoothing mass (Zhai & Lafferty's standard)
+
+
+@register(
+    "rk8_query_likelihood",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, toks, LEN(toks) AS dl
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks
+              FROM documents)
+    ), stats AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS c_tokens FROM d
+    ), posting AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf
+        FROM d, UNNEST(toks) AS u(term)
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY term, doc_id, dl
+    ), cf AS (
+        SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+        FROM posting GROUP BY term
+    )
+    SELECT p.term, p.doc_id, p.tf, cf.cf,
+           ROUND(LN((p.tf + {QL_MU!r}::DOUBLE * (1.0 * cf.cf / c_tokens))
+                    / (p.dl + {QL_MU!r}::DOUBLE)), 4) AS log_prob
+    FROM posting p JOIN cf USING (term) CROSS JOIN stats
+    """,
+)
+def rk8_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRICHLET-SMOOTHED QUERY LIKELIHOOD (Zhai & Lafferty's LMIR.DIR)
+    — the language-modeling retrieval scorer completing the classical
+    trio with rk1's BM25 and rk2's TF-IDF: per matching (term, doc)
+    posting, log P(w|d) = ln((tf + μ·cf_w/|C|) / (dl + μ)) with
+    μ = {QL_MU}. Published per-POSTING (rk1's rule) rather than summed
+    per document: a float sum over query terms is combine-order-
+    dependent, and the per-term relation is also what an inverted
+    index stores — consumers fold the bounded per-query term set in a
+    fixed order (rk4's fusion shape). cf here is the query terms'
+    corpus frequency; a document missing a term contributes the
+    background-only score ln(μ·p_c/(dl+μ)), derivable from the same
+    published columns.
+
+    Shape: identical to rk1 — one corpus scan, the term filter kills
+    ~all rows before the (term, doc) shuffle, corpus-frequency and
+    total-token aggregates stay O(|terms|)/O(1) and broadcast back.
+    The only float ops are one division chain and one ln over operands
+    both engines derive from exact integers — hash-exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    d = docs.select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = d.agg(F.sum("dl").alias("c_tokens"))
+    posting = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = posting.groupBy("term").agg(F.sum("tf").alias("cf"))
+    log_prob = F.log(
+        (
+            F.col("tf")
+            + F.lit(QL_MU)
+            * (F.lit(1.0) * F.col("cf") / F.col("c_tokens"))
+        )
+        / (F.col("dl") + F.lit(QL_MU))
+    )
+    return (
+        posting.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "cf",
+            F.round(log_prob, 4).alias("log_prob"),
+        )
+    )
