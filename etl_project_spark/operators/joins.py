@@ -432,3 +432,76 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+J12_TOLERANCE_US = 3_600_000_000  # 1 hour, integer microseconds
+
+
+@register(
+    "j12_asof_tolerance_join",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+               CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                   AS click_us
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ), filled AS (
+        SELECT user_id, ts, event_id, value, is_p,
+               MAX(click_us) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_click_us
+        FROM tagged
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN epoch_us(ts) - last_click_us <= {J12_TOLERANCE_US}
+                THEN last_click_us END AS matched_click_us,
+           (last_click_us IS NOT NULL
+            AND epoch_us(ts) - last_click_us <= {J12_TOLERANCE_US})
+               AS within_tolerance
+    FROM filled WHERE is_p = 1
+    """,
+)
+def j12_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, kdb
+    wj's window): j6's most-recent-click-per-purchase, but a match
+    older than 1 hour is nulled out — the form feature pipelines
+    actually use ("the click that CAUSED this purchase", not "any
+    click ever"). Same union-tag + running-max plan as j6 (ONE shuffle
+    on user_id, O(1) state per row — never a range cross-join); the
+    tolerance is a post-window null-out on exact integer microsecond
+    arithmetic (the an9 lookback rule), so it adds zero plan cost at
+    any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.when(F.col("event_type") == "click", ts_us).alias("click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn("last_click_us", F.max("click_us").over(w))
+    gap = ts_us - F.col("last_click_us")
+    return filled.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap <= J12_TOLERANCE_US, F.col("last_click_us")).alias(
+            "matched_click_us"
+        ),
+        (
+            F.col("last_click_us").isNotNull()
+            & (gap <= J12_TOLERANCE_US)
+        ).alias("within_tolerance"),
+    )

@@ -231,3 +231,62 @@ def fn4_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("qty_band"),
     )
+
+
+@register(
+    "fn5_map_funcs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents
+    ), c AS (
+        SELECT doc_id, term, COUNT(*) AS cnt
+        FROM t, UNNEST(tk) AS u(term)
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_distinct,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS INT)
+               AS n_repeated,
+           CAST(COALESCE(MAX(CASE WHEN term = 'data' THEN cnt END), 0)
+                AS BIGINT) AS data_count,
+           CAST(MAX(cnt) AS BIGINT) AS max_count
+    FROM c GROUP BY doc_id
+    """,
+)
+def fn5_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType expression surface (the one complex type fn1-fn4 leave
+    untouched): each document's token→count MAP is built with
+    map_from_entries, then interrogated with size / map_filter /
+    element_at / map_values + array_max — the JVM map-expression
+    family a feature store leans on for sparse per-entity features.
+    Only SCALARS are published (map cells would crash the driver's
+    pandas canonicalizer — the round-2 dd5 lesson), and every scalar
+    is an exact integer; the oracle re-derives them relationally from
+    the token multiset, proving the map semantics rather than echoing
+    them.
+
+    Shape: one explode + (doc, term) count (map-side combine), one
+    per-doc map_from_entries aggregate — entry ORDER inside the map is
+    collection-order-dependent and deliberately never published. All
+    map interrogation is scan-local JVM expression work."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("term"), F.col("cnt")))
+    )
+    per_doc = counts.groupBy("doc_id").agg(m.alias("m"))
+    return per_doc.select(
+        "doc_id",
+        F.size("m").alias("n_distinct"),
+        F.size(
+            F.map_filter(F.col("m"), lambda k, v: v >= 2)
+        ).alias("n_repeated"),
+        F.coalesce(
+            F.element_at(F.col("m"), F.lit("data")), F.lit(0).cast("long")
+        ).alias("data_count"),
+        F.array_max(F.map_values("m")).alias("max_count"),
+    )
