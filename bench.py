@@ -126,6 +126,8 @@ EXTENDED_QUERIES = [
     "an11_engagement_gini",
     "dq11_weekly_scorecard",
     "rk8_query_likelihood",
+    "j12_asof_tolerance_join",
+    "fn5_map_funcs",
 ]
 
 
