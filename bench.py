@@ -128,6 +128,7 @@ EXTENDED_QUERIES = [
     "rk8_query_likelihood",
     "j12_asof_tolerance_join",
     "fn5_map_funcs",
+    "tx17_repetition_ratios",
 ]
 
 

@@ -1158,3 +1158,104 @@ def lm6_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _gram_list_sql(n: int) -> str:
+    """DuckDB n-gram OCCURRENCE list over tk, replicating the Spark
+    zip-trick's short-document edge (a doc with < n tokens yields its
+    one partial gram)."""
+    return (
+        f"list_transform(range(1, GREATEST(LEN(tk)-{n - 1}, 1) + 1), "
+        f"i -> array_to_string(tk[i:LEAST(i+{n - 1}, LEN(tk))], ' '))"
+    )
+
+
+@register(
+    "tx17_repetition_ratios",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents
+    ), g AS (
+        SELECT doc_id, 2 AS n, UNNEST({_gram_list_sql(2)}) AS gram FROM t
+        UNION ALL
+        SELECT doc_id, 3 AS n, UNNEST({_gram_list_sql(3)}) AS gram FROM t
+    ), c AS (
+        SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3
+    ), p AS (
+        SELECT doc_id, n,
+               CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(MAX(cnt) AS BIGINT) AS top,
+               CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS dup
+        FROM c GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           MAX(CASE WHEN n = 2 THEN total END) AS n_2grams,
+           ROUND(1.0 * MAX(CASE WHEN n = 2 THEN top END)
+                 / MAX(CASE WHEN n = 2 THEN total END), 6)
+               AS top_2gram_share,
+           MAX(CASE WHEN n = 3 THEN total END) AS n_3grams,
+           ROUND(1.0 * MAX(CASE WHEN n = 3 THEN dup END)
+                 / MAX(CASE WHEN n = 3 THEN total END), 6)
+               AS dup_3gram_frac
+    FROM p GROUP BY doc_id
+    """,
+)
+def tx17_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION SIGNALS (Rae et al. §A1.1 — the rules tx8's
+    length/alpha/stopword heuristics don't cover): per document, the
+    share of 2-gram occurrences taken by the single most frequent
+    2-gram (top_2gram_share; boilerplate headers blow this up) and the
+    fraction of 3-gram occurrences whose 3-gram repeats within the doc
+    (dup_3gram_frac; loops and template spam). Gopher gates at
+    top-2gram share > 0.20 and dup-3gram fraction > 0.18 — consumers
+    apply thresholds downstream; the published relation is the exact
+    integer counts plus the two ratios.
+
+    Shape: grams come from dd8's zip-of-shifted-slices trick (NOT
+    transform(sequence) — the tx10 O(n²) trap), tagged by gram size,
+    one (doc, n, gram) hash aggregate with map-side combine, one
+    per-doc conditional rollup. Linear in corpus tokens; no windows,
+    no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def grams(n: int):
+        width = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        zipped = F.arrays_zip(
+            *[F.slice(toks, k + 1, width).alias(f"w{k}") for k in range(n)]
+        )
+        return F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[f"w{k}"] for k in range(n)]),
+        )
+
+    e = docs.select(
+        "doc_id", F.lit(2).alias("n"), F.explode(grams(2)).alias("gram")
+    ).unionAll(
+        docs.select(
+            "doc_id", F.lit(3).alias("n"), F.explode(grams(3)).alias("gram")
+        )
+    )
+    c = e.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    p = c.groupBy("doc_id", "n").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup"
+        ),
+    )
+
+    def pick(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return p.groupBy("doc_id").agg(
+        pick(2, "total").alias("n_2grams"),
+        F.round(F.lit(1.0) * pick(2, "top") / pick(2, "total"), 6).alias(
+            "top_2gram_share"
+        ),
+        pick(3, "total").alias("n_3grams"),
+        F.round(F.lit(1.0) * pick(3, "dup") / pick(3, "total"), 6).alias(
+            "dup_3gram_frac"
+        ),
+    )
