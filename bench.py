@@ -129,6 +129,7 @@ EXTENDED_QUERIES = [
     "j12_asof_tolerance_join",
     "fn5_map_funcs",
     "tx17_repetition_ratios",
+    "mm13_container_sniff",
 ]
 
 

@@ -1296,3 +1296,117 @@ def mm12_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_media") > 1)
     )
+
+
+# --- mm13: container sniffing (ingestion routing) ----------------------------
+
+_SNIFF_BYTES = {
+    "image/ppm": len(_PPM_HEADER) + PPM_PIXBYTES,  # 396
+    "audio/wav": 44 + WAV_N,  # RIFF header + 8-bit samples = 556
+    "video/x-yuv4mpeg": len(_Y4M_HEADER)
+    + Y4M_FRAMES * (6 + Y4M_FSZ),  # 2376
+}
+
+
+@register(
+    "mm13_container_sniff",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4
+               WHEN 0 THEN 'image/ppm'
+               WHEN 1 THEN 'audio/wav'
+               WHEN 2 THEN 'video/x-yuv4mpeg'
+               ELSE 'audio/wav' END AS declared_mime,
+           CASE doc_id % 4
+               WHEN 0 THEN 'image/ppm'
+               WHEN 1 THEN 'audio/wav'
+               WHEN 2 THEN 'video/x-yuv4mpeg'
+               ELSE 'unknown' END AS sniffed_mime,
+           doc_id % 4 = 3 AS mime_mismatch,
+           CAST(CASE doc_id % 4
+               WHEN 0 THEN {_SNIFF_BYTES["image/ppm"]}
+               WHEN 2 THEN {_SNIFF_BYTES["video/x-yuv4mpeg"]}
+               ELSE {_SNIFF_BYTES["audio/wav"]} END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm13_container_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINER SNIFFING over a mixed binary column — the ingestion
+    router every multimodal lake needs before any decoder runs: trust
+    the BYTES, not the declared mime. The fixture builds a mixed table
+    (doc_id%4 routes each doc through the real PPM/WAV/Y4M encoders;
+    %4==3 rows are WAV payloads whose RIFF magic is overwritten with
+    junk but still DECLARE audio/wav — the mislabeled-upload case),
+    and the operator under test classifies purely from magic bytes:
+    'P6\\n' → ppm, 'RIFF'+'WAVE' → wav, 'YUV4MPEG2 ' → y4m, else
+    unknown, flagging declared-vs-sniffed mismatches.
+
+    The sniff itself is pure JVM expression work — hex(substring) over
+    the binary column, whole-stage codegen, scan-local, reads ≤ 16
+    bytes of each payload's prefix (a parquet reader with column-index
+    support never materializes payload tails for this plan). The
+    oracle derives the expected routing and byte counts from the
+    documented doc_id%4 rule + container-format arithmetic, so the
+    check proves encoders and sniffer compose end-to-end."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", "text")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                assert text.isascii(), f"non-ASCII doc {doc_id}"
+                raw = text.encode("utf-8")
+                kind = doc_id % 4
+                if kind == 0:
+                    reps = -(-PPM_PIXBYTES // max(len(raw), 1))
+                    payload = (
+                        _PPM_HEADER.encode() + (raw * reps)[:PPM_PIXBYTES]
+                    )
+                    mime = "image/ppm"
+                elif kind == 2:
+                    reps = -(-Y4M_STREAM // max(len(raw), 1))
+                    payload = encode_y4m((raw * reps)[:Y4M_STREAM])
+                    mime = "video/x-yuv4mpeg"
+                else:
+                    reps = -(-WAV_N // max(len(raw), 1))
+                    payload = encode_wav((raw * reps)[:WAV_N])
+                    mime = "audio/wav"
+                    if kind == 3:  # mislabeled: junk magic, wav claim
+                        payload = b"JUNK" + payload[4:]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "payload": payload,
+                        "declared_mime": mime,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    mixed = docs.mapInPandas(
+        build,
+        schema="media_id long, payload binary, declared_mime string",
+    )
+
+    def magic(n: int, lit: bytes):
+        return F.hex(F.expr(f"substring(payload, {n + 1}, {len(lit)})")) == lit.hex().upper()
+
+    sniffed = (
+        F.when(magic(0, b"P6\n"), F.lit("image/ppm"))
+        .when(
+            magic(0, b"RIFF") & magic(8, b"WAVE"), F.lit("audio/wav")
+        )
+        .when(magic(0, b"YUV4MPEG2 "), F.lit("video/x-yuv4mpeg"))
+        .otherwise(F.lit("unknown"))
+    )
+    return mixed.select(
+        "media_id",
+        "declared_mime",
+        sniffed.alias("sniffed_mime"),
+        (sniffed != F.col("declared_mime")).alias("mime_mismatch"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
