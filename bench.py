@@ -130,6 +130,8 @@ EXTENDED_QUERIES = [
     "fn5_map_funcs",
     "tx17_repetition_ratios",
     "mm13_container_sniff",
+    "x16_range_search",
+    "an12_time_to_convert",
 ]
 
 

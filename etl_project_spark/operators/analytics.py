@@ -1108,3 +1108,80 @@ def dq11_weekly_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_empty_props"),
     )
+
+
+@register(
+    "an12_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   AS first_click_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS first_purchase_us
+        FROM events GROUP BY user_id
+    ), gaps AS (
+        SELECT first_purchase_us - first_click_us AS gap_us
+        FROM firsts
+        WHERE first_click_us IS NOT NULL
+          AND first_purchase_us IS NOT NULL
+          AND first_purchase_us >= first_click_us
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(1.0 * COUNT(*)
+                 / (SELECT COUNT(*) FROM firsts), 6) AS conv_rate,
+           ROUND(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
+           ROUND(quantile_cont(gap_us, 0.9), 6) AS p90_gap_us
+    FROM gaps
+    """,
+)
+def an12_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT distribution: for every user whose first
+    purchase follows their first click, the exact microsecond gap
+    between the two — published as conversion rate + interpolated
+    p50/p90 latency. an1 counts funnel stages, an9 assigns credit;
+    this is the third product question ("HOW LONG does conversion
+    take") a growth dashboard pairs with them.
+
+    Shape: ONE conditional-MIN aggregate per user (no ordered window,
+    no self-join — first-click and first-purchase fall out of the
+    same groupBy), then a single global percentile aggregate over the
+    O(converted-users) gap relation. Gaps are exact integer
+    microseconds (the an4/j11 rule) and Spark's exact percentile()
+    equals DuckDB's quantile_cont at 6dp on integer inputs (the lm3
+    precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", us)).alias(
+            "first_click_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "first_purchase_us"
+        ),
+    )
+    n_users = firsts.agg(F.count(F.lit(1)).alias("n_users"))
+    gaps = firsts.filter(
+        F.col("first_click_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_click_us"))
+    ).select(
+        (F.col("first_purchase_us") - F.col("first_click_us")).alias(
+            "gap_us"
+        )
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50"),
+        F.expr("percentile(gap_us, 0.9)").alias("p90"),
+    )
+    return agg.crossJoin(F.broadcast(n_users)).select(
+        "n_users",
+        "n_converted",
+        F.round(F.lit(1.0) * F.col("n_converted") / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+        F.round(F.col("p50"), 6).alias("p50_gap_us"),
+        F.round(F.col("p90"), 6).alias("p90_gap_us"),
+    )

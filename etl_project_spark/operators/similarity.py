@@ -1938,3 +1938,62 @@ def dq10_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+X16_TAU = 0.25  # cosine radius: ~2 sigma on this corpus so the
+# relation is populated at every sf (a 0-row hash-match proves nothing
+# - the ly2 lesson); real embedding spaces use a domain bar like sd1's
+
+
+@register(
+    "x16_range_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id,
+           ROUND(list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))), 6) AS sim
+    FROM q CROSS JOIN c
+    WHERE list_dot_product(qv, cv)
+          / (sqrt(list_dot_product(qv, qv))
+             * sqrt(list_dot_product(cv, cv))) >= {X16_TAU}
+    """,
+)
+def x16_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) SEARCH — the vector API's other half: top-k (x1)
+    answers "the 5 closest", range answers "EVERYTHING within cosine
+    ≥ {X16_TAU}" (dedup candidate pulls, recall-safe retrieval, near-
+    duplicate audits want the radius form — k truncates exactly the
+    crowded neighborhoods they care about). Output size is data-
+    dependent, which is the point.
+
+    The threshold filter runs on cosines both engines compute through
+    the identical sequential fold, so even a pair exactly AT the
+    threshold classifies identically — no tie rule needed (sd1's
+    boundary argument, stronger here because the compared doubles are
+    bit-equal by construction). Shape: x1's intended bounded brute
+    force (broadcast query set, linear scan per query); at 100 TB the
+    scan runs inside IVF probe cells (x4/the persisted index) with
+    this same filter as the rerank predicate."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv")
+    )
+    sim = cosine_sim(F.col("qv"), F.col("cv"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(sim >= X16_TAU)
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
+    )

@@ -154,3 +154,31 @@ def test_front_window_passes_driver_gate_at_sf0_01(spark):
         elif cc.canon_frame(spdf) != cc.canon_frame(opdf):
             failures[name] = "values differ (exact %.9g canon)"
     assert not failures, failures
+
+
+def test_every_query_is_oracle_paired_or_documented_rows_only():
+    """Guardrail: a new registry query must ship with an exact oracle,
+    an approx_oracle+rtol, or be added HERE with a reason — silent
+    rows-only additions (which weaken the differential gate) fail this
+    test. The allowlist is the complete by-design set: outputs defined
+    by RNG (smp1) or by non-SQL-expressible index math (trained
+    codebooks / numpy-GEMM hyperplanes / xxhash64 bit patterns), each
+    with a deterministic hash-green twin or rtol/recall evidence."""
+    from etl_project_spark import registry
+
+    rows_only_by_design = {
+        "smp1_stratified_sample",  # seeded RNG; rate pinned in tests
+        "x3_lsh_bucketed_topk",  # gaussian-GEMM LSH; twin x6, RECALL.json
+        "x4_ivf_topk",  # trained centroids; twin x14, RECALL.json
+        "x9_pq_topk",  # trained PQ codebooks; twin x15, RECALL.json
+        "dd5_simhash_buckets",  # xxhash64 bits; twin dd5c
+        "dd5b_simhash_multiprobe",  # xxhash64 bits; twin dd5c + pytest pin
+    }
+    undocumented = [
+        name
+        for name, fn in entrymod.queries().items()
+        if registry.get(name).oracle is None
+        and registry.get(name).approx_oracle is None
+        and name not in rows_only_by_design
+    ]
+    assert not undocumented, undocumented
