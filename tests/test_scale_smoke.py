@@ -431,3 +431,57 @@ def test_media_corpus_stream_smoke_at_20k(spark, tmp_path):
         assert r["b"] <= SHARD_BYTES + r["mx"], r
     assert wall < 120, f"20k-payload stream build took {wall:.0f}s"
     _drop_table_and_location(spark, table)
+
+
+def test_hll_registers_bounded_and_accurate_at_10m(spark):
+    """a12's HLL kernel on 10M synthetic events with EXACTLY 1M
+    distinct users (user_id = i % 1_000_000): the register relation
+    must stay ≤ 1024 rows no matter the input (the size-invariance
+    that makes the sketch a rollup-table citizen), and the estimate
+    must land within the 4-sigma error budget of the known truth —
+    at a cardinality 4 orders of magnitude past the sf-corpus tests,
+    where a broken register rule or a lost MAX would be loud. Also
+    hard-bounds the wall clock: the plan is one scan + a ≤1024-row
+    shuffle, so 10M rows must clear in seconds."""
+    import math
+
+    from etl_project_spark.operators.sketches import (
+        HLL_M,
+        HLL_WBITS,
+        _h32,
+    )
+
+    n, distinct = 10_000_000, 1_000_000
+    ev = spark.range(n).select(
+        (F.col("id") % distinct).alias("user_id")
+    )
+    h = _h32(F.col("user_id").cast("string"))
+    w = h % (1 << HLL_WBITS)
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    t0 = time.time()
+    reg = (
+        ev.select(
+            (h / (1 << HLL_WBITS)).cast("long").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    rows = reg.collect()
+    wall = time.time() - t0
+    assert len(rows) <= HLL_M
+    z_scaled = sum(1 << (HLL_WBITS + 1 - r["rho"]) for r in rows)
+    v = HLL_M - len(rows)
+    z_scaled += v * (1 << (HLL_WBITS + 1))
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    est = alpha * HLL_M * HLL_M * (1 << (HLL_WBITS + 1)) / z_scaled
+    # NOTE: with a 32-bit hash and 1M distinct keys, hash collisions
+    # bias the raw estimate low by ~n²/2^33 ≈ 0.01% — negligible next
+    # to the 3.3% rse, so the plain 4-sigma budget still applies.
+    assert abs(est - distinct) / distinct < 4 * 1.04 / math.sqrt(HLL_M), (
+        est,
+        distinct,
+    )
+    assert wall < 120, wall
