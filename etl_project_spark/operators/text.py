@@ -1058,12 +1058,14 @@ def _tx16_oracle() -> str:
         FROM f
     )
     SELECT doc_id, n_symbols, n_keywords,
-           ROUND({CD_BIAS!r}::DOUBLE
+           ROUND(CASE WHEN n > 0 THEN {CD_BIAS!r}::DOUBLE
                  + {CD_W_SYMBOL!r}::DOUBLE * n_symbols / n
-                 + {CD_W_KEYWORD!r}::DOUBLE * n_keywords, 6) AS code_score,
-           ({CD_BIAS!r}::DOUBLE
+                 + {CD_W_KEYWORD!r}::DOUBLE * n_keywords
+                 ELSE 0.0 END, 6) AS code_score,
+           (CASE WHEN n > 0 THEN {CD_BIAS!r}::DOUBLE
             + {CD_W_SYMBOL!r}::DOUBLE * n_symbols / n
-            + {CD_W_KEYWORD!r}::DOUBLE * n_keywords) > 0.0 AS is_code
+            + {CD_W_KEYWORD!r}::DOUBLE * n_keywords
+            ELSE 0.0 END) > 0.0 AS is_code
     FROM g
     """
 
@@ -1093,11 +1095,15 @@ def tx16_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(lt) - F.length(F.replace(lt, F.lit(k)))) / len(k)
         )
         n_keywords = term if n_keywords is None else n_keywords + term
-    score = (
+    # empty documents: n=0 would make the logit NaN (and NaN > 0 is
+    # true in both Spark and DuckDB, silently classifying empties as
+    # code) — gate them to score 0.0 / is_code=false in both engines
+    score = F.when(
+        F.length("text") > 0,
         F.lit(CD_BIAS)
         + F.lit(CD_W_SYMBOL) * n_symbols / F.length("text")
-        + F.lit(CD_W_KEYWORD) * n_keywords.cast("long")
-    )
+        + F.lit(CD_W_KEYWORD) * n_keywords.cast("long"),
+    ).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
         n_symbols.alias("n_symbols"),

@@ -71,70 +71,86 @@ def register(
 # The correctness driver evaluates queries in dict order and caps how
 # many it checks per round (~50), so export order — not Python import
 # order, which pytest collection or any direct operator import can
-# scramble — decides who gets driver rows. Attestation history (union
-# of CORRECTNESS_r01–r06): every oracle-bearing registry row has >= 1
-# green driver row EXCEPT the 22 ops added across round 6's three
-# sessions that never fit the r6 cap — VERDICT r6 #1 names them the
-# single highest-leverage rotation target, so they take the first
-# slots this round. Then, per VERDICT r6 #2, the two NEW deterministic
-# ANN twins (x14/x15) earn first attestation — they exist precisely so
-# the window stops carrying x3/x4-style `no_oracle` burn rows (x3, x4,
-# dd5b stay OUT of the window; their recall evidence lives in
-# RECALL.json and their deterministic twins x6/dd5c/x14/x15 carry the
-# hash signal). Then the 13 rows displaced by r6's session-3 additions
-# minus a7/a8/dd5 (see below), then the 11 trivial r03 rows deferred
-# since r6, then 5 of the 12 r03-retired rows. Exactly 50 names.
+# scramble — decides who gets driver rows.
 #
-# Rotation schedule (published per VERDICT r6 #3; also SURVEY §16):
-# the registry (201 queries) is ~4× the driver cap, so the steady-state
-# rotation period is 4 rounds. Queued for r08's window: the remaining
-# r03-retired rows ly1_zorder_key, mm2-mm5, pp2_contamination_check,
-# pp5_repeated_ngrams (last attested r03), any ops new in r7, then the
-# oldest r04 block. a7_approx_percentile, a8_hll_daily_merge and
-# dd5_simhash_buckets are EXCLUDED from driver windows permanently:
-# they are approximate/hash-bit by nature, so a driver row can only
-# ever read `err: no_oracle` (r03 showed exactly that) — their
-# evidence is the rtol compare every local sweep runs
-# (approx_oracle/rtol in this registry) plus the dd5b/dd5c pytest pin,
-# and as of r7 the sketch family ALSO has driver-green deterministic
-# twins on the x14/x15 pattern: a12_hll_md5_reference (HLL replayed
-# from first principles — a5/a8's algorithm), a13_countmin_heavy_hitters
-# and a14_histogram_quantile_sketch (a7's quantile job, histogram
-# form). Burning a window slot on the rtol originals re-records
-# nothing.
+# As of round 8 this list is GENERATED, not hand-curated: it is the
+# greedy oldest-first rotation computed by tools/rotation.py from the
+# committed CORRECTNESS_r*.json artifacts (never-attested oracle-able
+# queries first, then ascending last-driver-green round). Regenerate
+# with `python tools/rotation.py --write` (also refreshes ROTATION.md,
+# the published query → last-green-round staleness table);
+# tests/test_entry_contract.py::test_front_load_is_the_generated_rotation
+# pins this literal equal to the computed schedule, so a new query or a
+# new CORRECTNESS artifact forces a regeneration. The list stays a
+# static literal so importing the package never reads artifact files.
+#
+# Oracle-less queries are EXCLUDED from driver windows permanently
+# (tools/rotation.py:excluded_from_window — currently a5, a7, a8, dd5,
+# dd5b, smp1, x3, x4, x9): approximate/RNG/hash-bit by nature, a driver
+# row for them can only ever read `err: no_oracle` (r3 and r7 each
+# burned a slot proving it). Their evidence is the rtol compare every
+# local sweep runs (approx_oracle/rtol in this registry), the recall
+# measurements in RECALL.json, and deterministic hash-green twins
+# (x6/dd5c/x14/x15, a12/a13/a14) that the rotation DOES schedule.
+#
+# Rotation math: 209 oracle-able queries over a 50-row cap means a full
+# rotation takes ceil(209/50) = 5 rounds — the provable steady-state
+# staleness bound, pinned by test_staleness_bound_holds_after_planned_window.
+#
+# r8 window: the 17 never-attested r7 additions (VERDICT r7 #1 list),
+# the 7 rows last attested r3, and the oldest 26 of the 41 rows last
+# attested r4; the remaining 15 r4 rows and the r5 block queue for r9.
 _FRONT_QUERIES = [
-    # (a) first driver attestation: the 22 r6 ops that never fit r6's
-    # cap (VERDICT r6 #1 list, verbatim). x9 is rows-only by nature
-    # (trained PQ codebooks); its recall@5 is 1.0/1.0/1.0 at
-    # sf0.01/sf0.1/planted in RECALL.json and its deterministic twin
-    # x15 (below) carries the hash-checkable pipeline.
-    "a11_rolling_active_users", "an7_rfm_segmentation",
-    "an8_copurchase_pairs", "dq4_corpus_report", "dq7_categorical_drift",
-    "dq8_split_leakage_audit", "lm5_bigram_eval", "mm10_shot_keyframes",
-    "mm12_audio_neardup", "pp8_sequence_packing", "pp13_curriculum_phases",
-    "rk7_prf_expansion", "smp5_dsir_resample", "smp6_temperature_mixture",
-    "smp7_leakage_safe_split", "ts8_ewma_forecast", "tx13_shared_span_index",
-    "tx15_tfidf_keywords", "w7_running_drawdown", "x12_ann_recall_eval",
-    "x13_dim_truncation_eval", "x9_pq_topk",
-    # (b) NEW in r7: hash-checkable IVF/PQ reference twins (the
-    # x6/dd5c pattern extended to the remaining two ANN families).
-    "x14_ivf_reference_topk", "x15_pq_reference_topk",
-    # (c) the oracle-bearing rows displaced by r6's session-3
-    # additions (VERDICT r6 #3 backfill list minus a7/a8/dd5 — see
-    # schedule note above).
-    "p5_json_extract", "a10_bivariate_stats", "an4_twap",
-    "dq2_iqr_outliers", "dd5c_simhash_md5_reference", "an1_event_funnel",
-    "an2_cohort_retention", "an3_session_paths", "cdc2_scd2_history",
-    "cdc3_exactly_once_ingest",
-    # (d) the 11 trivial r03 rows deferred since the r6 rotation.
-    "p2_projection", "p3_timestamp_parse", "p4_derived_date",
-    "f1_eq_date_filter", "f2_date_arith_filter", "f3_categorical_filter",
-    "a1_count_yesterday", "a9_value_histogram", "fn3_array_funcs",
-    "x7_int8_quantize", "smp2_hash_stratified_sample",
-    # (e) 5 of the 12 r03-retired rows (the rest queue for r08 — see
-    # schedule note above).
-    "smp3_train_val_test", "tx11_rabin_winnowing", "rk1_bm25_score",
-    "rk2_tfidf_postings", "rk3_doc_chunking",
+    "j12_asof_tolerance_join",
+    "dq10_embedding_drift",
+    "x16_range_search",
+    "tx16_code_detection",
+    "lm6_tokenizer_fertility",
+    "tx17_repetition_ratios",
+    "ts9_holt_forecast",
+    "fn5_map_funcs",
+    "mm13_container_sniff",
+    "rk8_query_likelihood",
+    "an10_new_vs_returning",
+    "an11_engagement_gini",
+    "dq11_weekly_scorecard",
+    "an12_time_to_convert",
+    "a12_hll_md5_reference",
+    "a13_countmin_heavy_hitters",
+    "a14_histogram_quantile_sketch",
+    "mm2_media_features",
+    "mm3_frame_sample",
+    "mm5_perceptual_hash_dedup",
+    "mm4_media_resize",
+    "pp2_contamination_check",
+    "pp5_repeated_ngrams",
+    "ly1_zorder_key",
+    "p1_select_all",
+    "a2_global_minmax",
+    "a3_daily_stats",
+    "a3g_keyed_daily_stats",
+    "t1_top1_by_value",
+    "t2_topk_by_value",
+    "t3_ordered_series",
+    "dq1_constraint_audit",
+    "smp4_weighted_sample",
+    "dd6_embedding_neardup",
+    "x2_vector_norms",
+    "x5_centroid_per_label",
+    "x8_hard_negative_mining",
+    "tx12_heavy_hitters",
+    "w1_topn_per_key",
+    "w2_lag_delta",
+    "w3_running_sum",
+    "w4_rank_in_group",
+    "w6_distribution",
+    "w5_moving_avg",
+    "ts2_sliding_10min",
+    "ts3_session_window",
+    "ts5_gap_fill_calendar",
+    "s4_rollup",
+    "s6_grouping_sets",
+    "s7_pivot",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
@@ -209,12 +225,11 @@ _loaded = False
 
 def _ensure_loaded() -> None:
     """Import every operator module so its @register calls run. Export
-    order is decided by _canonical_names(), not by these imports —
-    slot math (cap ~50): the len(_FRONT_QUERIES) front entries occupy
-    the first slots, the remaining slack falls to core's r01-proven
-    entries (cheap, harmless to re-attest). Pinned in
-    tests/test_entry_contract.py. New queries in round 5+: put them at
-    the TOP of _FRONT_QUERIES and retire proven names from it."""
+    order is decided by _canonical_names(), not by these imports.
+    After adding a query (or when a new CORRECTNESS artifact lands),
+    regenerate the window: `python tools/rotation.py --write` and paste
+    the printed list over _FRONT_QUERIES — the contract tests fail
+    until the literal matches the computed schedule."""
     global _loaded
     if _loaded:
         return

@@ -60,6 +60,77 @@ def test_all_queries_run(spark, sf_dir):
     assert not failures, failures
 
 
+def _rotation_tool():
+    import importlib.util
+    import pathlib
+
+    tool = pathlib.Path(__file__).parent.parent / "tools" / "rotation.py"
+    spec = importlib.util.spec_from_file_location("rotation", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_front_load_is_the_generated_rotation():
+    """_FRONT_QUERIES is a static literal (imports never read artifact
+    files) but must equal the greedy oldest-first schedule computed
+    from CORRECTNESS_r*.json (VERDICT r7 #1/#5). Adding a query or
+    landing a new CORRECTNESS artifact changes the computed window —
+    this test then fails until `python tools/rotation.py --write` is
+    re-run and the printed list pasted into registry.py."""
+    from etl_project_spark.registry import _FRONT_QUERIES
+
+    rot = _rotation_tool()
+    assert list(_FRONT_QUERIES) == rot.compute_window(50)
+
+
+def test_no_oracle_less_query_in_driver_window():
+    """Oracle-less queries burn driver slots on `err: no_oracle`
+    (VERDICT r7 #2: x9 did exactly that in the r7 window). They are
+    permanently excluded: none may appear in the driver's top-50."""
+    from etl_project_spark import registry
+
+    window = list(entrymod.queries())[:50]
+    oracle_less = {n for n in window if registry.get(n).oracle is None}
+    assert not oracle_less, oracle_less
+
+
+def test_staleness_bound_holds_after_planned_window():
+    """Publishes-and-pins the rotation guarantee (VERDICT r7 #5): with
+    the planned window assumed green in the upcoming round, no
+    oracle-able query's staleness may exceed the provable bound
+    ceil(oracle_able / 50) = 5 rounds. The greedy policy attains the
+    bound; a hand edit that parks a stale query outside the window
+    fails here."""
+    from etl_project_spark.registry import _FRONT_QUERIES
+
+    rot = _rotation_tool()
+    hist = rot.attestation_history()
+    upcoming = rot.latest_round() + 1
+    reg = rot._registry()
+    oracle_able = [
+        n for n in rot.base_order(reg) if n not in rot.excluded_from_window(reg)
+    ]
+    bound = -(-len(oracle_able) // 50)
+    window = set(_FRONT_QUERIES)
+    stale = {}
+    for n in oracle_able:
+        last = upcoming if n in window else max(hist.get(n, [0]))
+        if upcoming - last > bound:
+            stale[n] = f"last green r{last or 'never'}, staleness {upcoming - last}"
+    assert not stale, stale
+
+
+def test_rotation_table_is_fresh():
+    """ROTATION.md (the published staleness table) must match what
+    tools/rotation.py generates from the current artifacts."""
+    import pathlib
+
+    rot = _rotation_tool()
+    path = pathlib.Path(__file__).parent.parent / "ROTATION.md"
+    assert path.read_text() == rot.staleness_table()
+
+
 def test_driver_window_covers_front_load_queries():
     """The correctness driver evaluates queries in registry order and
     caps at ~50 rows. The per-round _FRONT_QUERIES rotation decides who
@@ -125,7 +196,9 @@ def test_front_window_passes_driver_gate_at_sf0_01(spark):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    rows_only_ok = {"x9_pq_topk"}
+    # no rows-only names may sit in the window anymore (VERDICT r7 #2);
+    # test_no_oracle_less_query_in_driver_window pins the exclusion
+    rows_only_ok = set()
     failures = {}
     for name in _FRONT_QUERIES:
         try:

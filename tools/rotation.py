@@ -1,0 +1,200 @@
+"""Driver-window rotation scheduler (VERDICT r7 items 1/2/5).
+
+The correctness driver checks the first ~50 registry queries per round
+(``CORRECTNESS_r{N}.json``). With 200+ oracle-able queries, who sits in
+that window is a scheduling problem: every oracle-able query must be
+re-attested often enough that its last driver-green row never goes
+stale, and oracle-less queries (approximate/RNG/hash-bit by nature)
+must never burn a slot — a driver row for them can only ever read
+``err: no_oracle`` (r3 and r7 showed exactly that).
+
+This module derives the schedule mechanically from the committed
+artifacts instead of hand-curated lists:
+
+- ``attestation_history()`` reads every ``CORRECTNESS_r*.json`` and
+  records, per query, the rounds with a fully green (hash_match) row.
+- ``compute_window(cap)`` is the greedy oldest-first policy: oracle-able
+  never-attested queries first, then ascending last-green round,
+  ties broken by stable registry base order. Oracle-less queries are
+  excluded permanently (``excluded_from_window()``).
+- ``staleness_table()`` renders the published query → last-green-round
+  table (ROTATION.md) with the upcoming window marked.
+
+``registry._FRONT_QUERIES`` stays a static literal so importing the
+package never depends on artifact files, but
+``tests/test_entry_contract.py::test_front_load_is_the_generated_rotation``
+pins it equal to ``compute_window(50)`` — regenerate with::
+
+    python tools/rotation.py --write   # rewrites ROTATION.md, prints list
+
+Rotation math: 209 oracle-able queries / 50 slots per round means a
+full rotation takes 5 rounds, so the best achievable steady-state
+staleness bound is ceil(209/50) = 5 rounds; the greedy policy attains
+it (pinned by test_staleness_bound_holds_after_planned_window).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CAP = 50  # observed driver window size (CORRECTNESS_r0{3..7}.json all have 50 rows)
+
+
+def attestation_history(repo: str = REPO) -> dict[str, list[int]]:
+    """query -> sorted rounds with a fully green driver row."""
+    hist: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if (
+                row.get("hash_match") is True
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+            ):
+                hist.setdefault(name, []).append(rnd)
+    return {n: sorted(rs) for n, rs in hist.items()}
+
+
+def latest_round(repo: str = REPO) -> int:
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    return max(rounds) if rounds else 0
+
+
+def _registry():
+    sys.path.insert(0, REPO)
+    from etl_project_spark import registry
+
+    registry._ensure_loaded()
+    return registry
+
+
+def base_order(registry=None) -> list[str]:
+    """Stable registry order independent of the current front list:
+    (module rank, within-module registration order). Used as the
+    greedy tie-break so regenerating the window is reproducible."""
+    reg = registry or _registry()
+    rank = {m: i for i, m in enumerate(reg._MODULE_ORDER)}
+    seq = {name: i for i, name in enumerate(reg._REGISTRY)}
+    return sorted(
+        reg._REGISTRY,
+        key=lambda n: (rank.get(reg._SOURCE_MODULE[n], len(rank)), seq[n]),
+    )
+
+
+def excluded_from_window(registry=None) -> set[str]:
+    """Oracle-less queries: permanently out of the driver window.
+    Their evidence is the rtol compare / recall measurement every local
+    sweep runs plus deterministic hash-green twins (x6/dd5c/x14/x15,
+    a12/a13/a14)."""
+    reg = registry or _registry()
+    return {n for n, spec in reg._REGISTRY.items() if spec.oracle is None}
+
+
+def compute_window(cap: int = CAP, repo: str = REPO) -> list[str]:
+    """Greedy oldest-first window: never-attested oracle-able queries
+    first (base order), then ascending last-green round (base order
+    tie-break), truncated to ``cap``."""
+    reg = _registry()
+    hist = attestation_history(repo)
+    excluded = excluded_from_window(reg)
+    order = [n for n in base_order(reg) if n not in excluded]
+    pos = {n: i for i, n in enumerate(order)}
+    ranked = sorted(order, key=lambda n: (max(hist.get(n, [0])), pos[n]))
+    return ranked[:cap]
+
+
+def staleness(repo: str = REPO) -> dict[str, int]:
+    """query -> rounds since last driver-green row, as of the latest
+    recorded round (never-attested = latest_round, i.e. 'all of them')."""
+    hist = attestation_history(repo)
+    latest = latest_round(repo)
+    reg = _registry()
+    excluded = excluded_from_window(reg)
+    return {
+        n: latest - max(hist.get(n, [0])) if hist.get(n) else latest
+        for n in base_order(reg)
+        if n not in excluded
+    }
+
+
+def staleness_table(repo: str = REPO) -> str:
+    reg = _registry()
+    hist = attestation_history(repo)
+    latest = latest_round(repo)
+    excluded = excluded_from_window(reg)
+    window = set(compute_window(CAP, repo))
+    lines = [
+        "# ROTATION — driver-window schedule and attestation staleness",
+        "",
+        "Generated by `python tools/rotation.py --write` from the committed",
+        f"`CORRECTNESS_r*.json` artifacts (latest: round {latest}). The",
+        f"driver checks the first {CAP} registry queries per round; the",
+        "window below is the greedy oldest-first schedule",
+        "(`tools/rotation.py:compute_window`), pinned equal to",
+        "`registry._FRONT_QUERIES` by",
+        "`tests/test_entry_contract.py::test_front_load_is_the_generated_rotation`.",
+        "",
+        f"- oracle-able queries: {len(base_order(reg)) - len(excluded)}",
+        f"- permanently window-excluded (oracle-less by nature): "
+        f"{len(excluded)} — {', '.join(sorted(excluded))}",
+        f"- rotation period: ceil(oracle-able / {CAP}) = "
+        f"{-(-(len(base_order(reg)) - len(excluded)) // CAP)} rounds "
+        "(the provable steady-state staleness bound)",
+        "",
+        "| query | last driver-green | staleness (rounds) | in next window |",
+        "|---|---|---|---|",
+    ]
+    rows = []
+    for n in base_order(reg):
+        if n in excluded:
+            continue
+        last = max(hist[n]) if hist.get(n) else None
+        stale = latest - last if last else latest
+        rows.append((stale, n, last))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    for stale, n, last in rows:
+        lines.append(
+            f"| {n} | {'r' + str(last) if last else 'never'} | {stale} | "
+            f"{'yes' if n in window else ''} |"
+        )
+    lines.append("")
+    lines.append(
+        "Oracle-less queries (excluded above) are checked every local sweep "
+        "via approx_oracle/rtol or recall measurement (RECALL.json) and each "
+        "has a deterministic hash-green twin in the registry — see "
+        "registry.py and VERDICT r6/r7."
+    )
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> int:
+    write = "--write" in sys.argv
+    window = compute_window()
+    table = staleness_table()
+    if write:
+        with open(os.path.join(REPO, "ROTATION.md"), "w") as f:
+            f.write(table)
+        print(f"wrote ROTATION.md ({len(table.splitlines())} lines)")
+    print("# generated _FRONT_QUERIES (paste into registry.py):")
+    print("_FRONT_QUERIES = [")
+    for n in window:
+        print(f'    "{n}",')
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
