@@ -178,6 +178,27 @@ def main() -> None:
     # for queries not yet re-baselined under this protocol.
     stats: dict[str, dict] = {}
 
+    def merge_stats(name: str, s: dict) -> None:
+        """Fold one pass's stats in. median/spread describe the BEST
+        (lowest-median) pass — the number that scales — but max_spread
+        aggregates across ALL passes so the committed noise figure
+        isn't survivorship-biased toward the luckiest pass (ADVICE r7:
+        the old keep-lowest-median-entry dropped the noisy passes'
+        spread entirely); n counts every timed run."""
+        prev = stats.get(name)
+        if prev is None:
+            s["max_spread"] = s["spread"]
+            stats[name] = s
+            return
+        best = s if s["median"] < prev["median"] else prev
+        stats[name] = {
+            "median": best["median"],
+            "spread": best["spread"],
+            "max_spread": max(prev.get("max_spread", prev["spread"]),
+                              s["spread"]),
+            "n": prev["n"] + s["n"],
+        }
+
     def bench_query(name: str, n_timed: int) -> float:
         run_query(qs, name, spark, sf_dir)  # warmup (compile)
         runs = sorted(
@@ -186,15 +207,58 @@ def main() -> None:
         med = runs[len(runs) // 2] if len(runs) % 2 else (
             runs[len(runs) // 2 - 1] + runs[len(runs) // 2]
         ) / 2
-        s = {
+        merge_stats(name, {
             "median": round(med, 3),
             "spread": round(runs[-1] - runs[0], 3),
             "n": n_timed,
-        }
-        prev = stats.get(name)
-        if prev is None or s["median"] < prev["median"]:
-            stats[name] = s
+        })
         return round(runs[0], 3)
+
+    def retime_in_subprocess(n: str) -> tuple[float, dict | None] | None:
+        """Re-time one query in a FRESH subprocess (the isolation
+        protocol): a ~55-query process accumulates JVM state that can
+        keep one query 40% over its fresh-process floor; the fresh
+        floor is the number that scales. Returns (min_time, stats) or
+        None if the subprocess run failed."""
+        import subprocess
+        import tempfile
+
+        fd, tfp = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_QUERIES=n,
+            SPARK_GRAFT_DETAIL_PATH=tfp,
+            SPARK_GRAFT_NO_RECHECK="1",
+        )
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                timeout=600,
+                check=False,
+            )
+            det = json.load(open(tfp))
+            t2 = det.get("queries", {}).get(n) or det.get(
+                "extended", {}
+            ).get(n)
+            if t2 is not None:
+                return t2, det.get("stats", {}).get(n)
+            return None
+        except Exception:
+            return None  # keep the in-process figure
+        finally:
+            os.unlink(tfp)
+
+    # bench-environment guard (VERDICT r7 #8): ambient load on this
+    # shared host is the dominant noise source — record it with the run
+    env_guard = {
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "n_procs_start": len(
+            [p for p in os.listdir("/proc") if p.isdigit()]
+        ),
+    }
 
     # optional subset (comma-separated names) — used by the contract
     # smoke test and for quick per-query iteration
@@ -298,45 +362,17 @@ def main() -> None:
                     timings[n] = min(timings[n], t2)
                 else:
                     extended[n] = min(extended[n], t2)
-                if s2 and s2["median"] < stats.get(n, s2)["median"]:
-                    stats[n] = s2
-                elif s2 and n not in stats:
-                    stats[n] = s2
+                if s2:
+                    merge_stats(n, s2)
 
             for n in list(regressions):
                 fold_in(n, bench_query(n, 3))
             regressions = find_regressions()
             if regressions and not os.environ.get("SPARK_GRAFT_NO_RECHECK"):
-                import subprocess
-                import tempfile
-
                 for n in list(regressions):
-                    fd, tfp = tempfile.mkstemp(suffix=".json")
-                    os.close(fd)
-                    env = dict(
-                        os.environ,
-                        SPARK_GRAFT_BENCH_QUERIES=n,
-                        SPARK_GRAFT_DETAIL_PATH=tfp,
-                        SPARK_GRAFT_NO_RECHECK="1",
-                    )
-                    try:
-                        subprocess.run(
-                            [sys.executable, os.path.abspath(__file__)],
-                            env=env,
-                            capture_output=True,
-                            timeout=600,
-                            check=False,
-                        )
-                        det = json.load(open(tfp))
-                        t2 = det.get("queries", {}).get(n) or det.get(
-                            "extended", {}
-                        ).get(n)
-                        if t2 is not None:
-                            fold_in(n, t2, det.get("stats", {}).get(n))
-                    except Exception:
-                        pass  # keep the in-process figure
-                    finally:
-                        os.unlink(tfp)
+                    r = retime_in_subprocess(n)
+                    if r is not None:
+                        fold_in(n, r[0], r[1])
             total = round(sum(timings.values()), 3)
             out["value"] = total
             out["queries"] = timings
@@ -344,12 +380,73 @@ def main() -> None:
             regressions = find_regressions()
             out["baseline_total"] = base["total"]
             out["regressions"] = regressions
+    # --- bench-environment guard (VERDICT r7 #8) -------------------------
+    # A headline query whose BEST pass still has spread/median > 0.3
+    # (and > 0.1 s absolute — sub-0.1 s spreads are bare timer jitter)
+    # never produced a stable reading. If >= 3 headline queries are in
+    # that state the run was taken under ambient load (r7's q1 0.421 s
+    # and q3 0.51 s spreads would have tripped this): re-time each in a
+    # fresh subprocess; if still noisy, mark the artifact unreliable
+    # and leave the last good BENCH_DETAIL.json in place.
+    def noisy_headline() -> list[str]:
+        bad = []
+        for n in timings:
+            s = stats.get(n)
+            if (
+                s
+                and s["median"] > 0
+                and s["spread"] > 0.1
+                and s["spread"] / s["median"] > 0.3
+            ):
+                bad.append(n)
+        return bad
+
+    noisy = noisy_headline()
+    if len(noisy) >= 3 and not os.environ.get("SPARK_GRAFT_NO_RECHECK"):
+        for n in noisy:
+            r = retime_in_subprocess(n)
+            if r is not None:
+                timings[n] = min(timings[n], r[0])
+                if r[1]:
+                    # a clean isolated pass REPLACES the noisy spread for
+                    # the guard (merge_stats would keep max_spread, which
+                    # a re-run could then never clear); max_spread still
+                    # records the noise seen in-process
+                    prev = stats.get(n, {})
+                    r[1]["max_spread"] = max(
+                        prev.get("max_spread", prev.get("spread", 0)),
+                        r[1]["spread"],
+                    )
+                    r[1]["n"] = prev.get("n", 0) + r[1]["n"]
+                    if r[1]["median"] <= prev.get("median", float("inf")):
+                        stats[n] = r[1]
+                    else:
+                        stats[n]["max_spread"] = r[1]["max_spread"]
+                        stats[n]["n"] = r[1]["n"]
+        out["value"] = round(sum(timings.values()), 3)
+        noisy = noisy_headline()
+    env_guard["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    env_guard["n_procs_end"] = len(
+        [p for p in os.listdir("/proc") if p.isdigit()]
+    )
+    out["env"] = env_guard
+    out["noisy_queries"] = noisy
+    unreliable = len(noisy) >= 3
+    out["unreliable"] = unreliable
+
     # full record (extended + regressions) to a sidecar file; stdout gets
     # ONLY the compact contract line so the driver's bounded tail capture
     # can never clip it mid-JSON (the round-3 parsed:null failure mode)
     detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    default_detail = "SPARK_GRAFT_DETAIL_PATH" not in os.environ
+    if unreliable and default_detail:
+        # refuse to overwrite the committed detail artifact with a run
+        # taken under ambient load; the tripped run is inspectable here
+        detail_path = detail_path.replace(
+            "BENCH_DETAIL.json", "BENCH_DETAIL_UNRELIABLE.json"
+        )
     with open(detail_path, "w") as f:
         json.dump(out, f, indent=1)
     compact = {
@@ -361,6 +458,10 @@ def main() -> None:
     }
     if "baseline_total" in out:
         compact["baseline_total"] = out["baseline_total"]
+    if unreliable:
+        # self-describing BENCH_r{N}.json: the driver records stdout
+        compact["unreliable"] = True
+        compact["noisy_queries"] = noisy
     sys.stdout.flush()
     print(json.dumps(compact))
     sys.stdout.flush()
