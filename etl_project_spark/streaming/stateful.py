@@ -698,6 +698,49 @@ def ewma_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def _holt_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """holt_stream's kernel, module-level so the 1M-updates-per-key
+    state-bound smoke (tests/test_scale_smoke.py) can drive it without
+    the streaming harness."""
+    if state.exists:
+        level, trend, n = state.get[0], state.get[1], state.get[2]
+    else:
+        level, trend, n = None, 0.0, 0
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        if n:
+            state.update((level, trend, n))
+        return
+    batch = pd.concat(frames).sort_values(["ts", "event_id"])
+    for v in batch["value"]:
+        if pd.isna(v):
+            continue
+        v = float(v)
+        if level is None:
+            level, trend = v, 0.0
+        else:
+            new_level = 0.5 * v + 0.5 * (level + trend)
+            trend = 0.5 * (new_level - level) + 0.5 * trend
+            level = new_level
+        n += 1
+    if n == 0:
+        return
+    state.update((level, trend, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_obs": [n],
+            "holt_level": [round(level, 6)],
+            "holt_trend": [round(trend, 6)],
+            "forecast_1": [round(level + trend, 6)],
+        }
+    )
+
+
 def holt_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of batch ``ts9_holt_forecast``: Holt's double
     exponential smoothing as O(1) per-user state — (level, trend,
@@ -708,48 +751,8 @@ def holt_stream(events: DataFrame) -> DataFrame:
     reused) so the final per-user emission is bit-identical to the
     batch fold before rounding (replay-pinned in
     tests/test_ingest_streaming.py)."""
-
-    def update(
-        key: tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterable[pd.DataFrame]:
-        if state.exists:
-            level, trend, n = state.get[0], state.get[1], state.get[2]
-        else:
-            level, trend, n = None, 0.0, 0
-        frames = [pdf for pdf in pdfs if len(pdf)]
-        if not frames:
-            if n:
-                state.update((level, trend, n))
-            return
-        batch = pd.concat(frames).sort_values(["ts", "event_id"])
-        for v in batch["value"]:
-            if pd.isna(v):
-                continue
-            v = float(v)
-            if level is None:
-                level, trend = v, 0.0
-            else:
-                new_level = 0.5 * v + 0.5 * (level + trend)
-                trend = 0.5 * (new_level - level) + 0.5 * trend
-                level = new_level
-            n += 1
-        if n == 0:
-            return
-        state.update((level, trend, n))
-        yield pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_obs": [n],
-                "holt_level": [round(level, 6)],
-                "holt_trend": [round(trend, 6)],
-                "forecast_1": [round(level + trend, 6)],
-            }
-        )
-
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
+        _holt_update,
         outputStructType=(
             "user_id long, n_obs long, holt_level double, "
             "holt_trend double, forecast_1 double"
@@ -757,6 +760,51 @@ def holt_stream(events: DataFrame) -> DataFrame:
         stateStructType="level double, trend double, n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _hll_register_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """hll_register_stream's kernel (module-level for the scale smoke):
+    per-bucket state is the single running max rho."""
+    best = state.get[0] if state.exists else 0
+    seen = False
+    for pdf in pdfs:
+        if len(pdf):
+            seen = True
+            m = int(pdf["rho"].max())
+            if m > best:
+                best = m
+    if not seen:
+        if best:
+            state.update((best,))
+        return
+    state.update((best,))
+    yield pd.DataFrame({"bucket": [int(key[0])], "rho": [best]})
+
+
+def _cms_cell_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """cms_cell_stream's kernel (module-level for the scale smoke):
+    per-cell state is one running counter."""
+    c = state.get[0] if state.exists else 0
+    add = 0
+    for pdf in pdfs:
+        add += len(pdf)
+    if add == 0:
+        if c:
+            state.update((c,))
+        return
+    c += add
+    state.update((c,))
+    yield pd.DataFrame(
+        {"row_": [int(key[0])], "col_": [int(key[1])], "c": [c]}
     )
 
 
@@ -782,31 +830,8 @@ def hll_register_stream(events: DataFrame) -> DataFrame:
         (h / (1 << HLL_WBITS)).cast("long").alias("bucket"),
         rho.cast("int").alias("rho"),
     )
-
-    def update(
-        key: tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterable[pd.DataFrame]:
-        best = state.get[0] if state.exists else 0
-        seen = False
-        for pdf in pdfs:
-            if len(pdf):
-                seen = True
-                m = int(pdf["rho"].max())
-                if m > best:
-                    best = m
-        if not seen:
-            if best:
-                state.update((best,))
-            return
-        state.update((best,))
-        yield pd.DataFrame(
-            {"bucket": [int(key[0])], "rho": [best]}
-        )
-
     return reg.groupBy("bucket").applyInPandasWithState(
-        update,
+        _hll_register_update,
         outputStructType="bucket long, rho int",
         stateStructType="rho int",
         outputMode="update",
@@ -841,31 +866,8 @@ def cms_cell_stream(events: DataFrame) -> DataFrame:
         ).alias("col_"),
     )
 
-    def update(
-        key: tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterable[pd.DataFrame]:
-        c = state.get[0] if state.exists else 0
-        add = 0
-        for pdf in pdfs:
-            add += len(pdf)
-        if add == 0:
-            if c:
-                state.update((c,))
-            return
-        c += add
-        state.update((c,))
-        yield pd.DataFrame(
-            {
-                "row_": [int(key[0])],
-                "col_": [int(key[1])],
-                "c": [c],
-            }
-        )
-
     return coords.groupBy("row_", "col_").applyInPandasWithState(
-        update,
+        _cms_cell_update,
         outputStructType="row_ int, col_ long, c long",
         stateStructType="c long",
         outputMode="update",

@@ -433,6 +433,226 @@ def test_media_corpus_stream_smoke_at_20k(spark, tmp_path):
     _drop_table_and_location(spark, table)
 
 
+def test_countmin_cells_bounded_and_onesided_at_10m(spark, tmp_path):
+    """a13's Count-Min sketch on 10M synthetic events: 3 planted hot
+    keys (1M hits each, closed form) over a ~1M-key uniform tail. The
+    cell relation must stay ≤ d·w rows no matter the key cardinality
+    (the size-invariance that makes CMS mergeable), each hash row must
+    partition ALL updates exactly (per-row cell sums == N), estimates
+    must be one-sided (est ≥ true, the CMS guarantee), and the planted
+    keys must surface with exact true counts and collision inflation
+    inside the n/w-scale budget."""
+    from etl_project_spark.operators.sketches import CM_D, CM_W, _h32
+    from etl_project_spark.registry import get
+
+    hot_base = 1_000_000_000
+    ev = spark.range(N).select(
+        F.when(F.col("id") % 10 < 3, F.col("id") % 10 + hot_base)
+        .otherwise(F.col("id") % 1_000_000)
+        .alias("user_id")
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+
+    t0 = time.time()
+    # the sketch itself (mirrors the operator's cell build): bounded
+    # rows, and every hash row partitions the full update stream
+    coords = (
+        spark.read.parquet(str(tmp_path / "events.parquet"))
+        .select(
+            "user_id",
+            F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias(
+                "row_"
+            ),
+        )
+        .select(
+            "row_",
+            (
+                _h32(
+                    F.concat(
+                        F.col("row_").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % CM_W
+            ).alias("col_"),
+        )
+    )
+    cells = coords.groupBy("row_", "col_").agg(F.count(F.lit(1)).alias("c"))
+    per_row = cells.groupBy("row_").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n_cells")
+    ).collect()
+    assert len(per_row) == CM_D
+    for r in per_row:
+        assert r["s"] == N, r  # each row partitions all N updates
+        assert r["n_cells"] <= CM_W, r
+
+    rows = get("a13_countmin_heavy_hitters").fn(spark, str(tmp_path)).collect()
+    wall = time.time() - t0
+    assert len(rows) == 20
+    by_key = {r["user_id"]: r for r in rows}
+    for j in range(3):
+        r = by_key[hot_base + j]  # planted keys must surface
+        assert r["true_count"] == N // 10, r
+    for r in rows:
+        assert r["est_count"] >= r["true_count"], r  # one-sided error
+        # collision inflation ~ tail_mass/w expected; 3·N/w is generous
+        assert r["est_count"] - r["true_count"] < 3 * N // CM_W, r
+    assert wall < 180, f"10M-row Count-Min took {wall:.0f}s"
+
+
+def test_histogram_quantile_sketch_exact_at_10m(spark, tmp_path):
+    """a14's equi-width histogram quantiles on 10M rows with value = id
+    (one group): the bin relation stays ≤ HQ_BINS rows no matter the
+    input size, and the p50/p90/p99 estimates equal an independent
+    numpy replay of the identical IEEE arithmetic (bin rule +
+    interpolation) to 1e-6 — at this density the estimates also sit
+    within one bin width of the true uniform quantiles."""
+    import numpy as np
+
+    from etl_project_spark.operators.sketches import HQ_BINS, HQ_QS
+    from etl_project_spark.registry import get
+
+    li = spark.range(N).select(
+        F.lit("A").alias("l_returnflag"),
+        F.col("id").cast("double").alias("l_extendedprice"),
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    t0 = time.time()
+    out = get("a14_histogram_quantile_sketch").fn(spark, str(tmp_path))
+    row = out.collect()
+    wall = time.time() - t0
+    assert len(row) == 1 and row[0]["l_returnflag"] == "A"
+
+    # independent replay: same doubles, same operation order
+    x = np.arange(N, dtype=np.float64)
+    mn, mx, n = 0.0, float(N - 1), N
+    bins = np.minimum(
+        np.floor((x - mn) / (mx - mn) * HQ_BINS), HQ_BINS - 1
+    ).astype(np.int64)
+    c = np.bincount(bins, minlength=HQ_BINS)
+    assert (c > 0).sum() <= HQ_BINS  # bounded sketch state
+    cum = np.cumsum(c)
+    for q in HQ_QS:
+        qn = q * n
+        b = int(np.searchsorted(cum, qn, side="left"))
+        cum_before = float(cum[b] - c[b])
+        expect = mn + (mx - mn) * (b + (qn - cum_before) / float(c[b])) / HQ_BINS
+        got = row[0][f"p{int(q * 100)}_est"]
+        assert abs(got - expect) < 1e-6, (q, got, expect)
+        # and the estimate is within one bin width of the true quantile
+        assert abs(got - q * (N - 1)) <= (mx - mn) / HQ_BINS + 1, (q, got)
+    assert wall < 120, f"10M-row histogram sketch took {wall:.0f}s"
+
+
+def test_holt_constant_series_exact_at_10m(spark, tmp_path):
+    """ts9's Holt fold on 10M rows (100k users × 100 observations): a
+    constant series per user is a fixed point of the a=b=0.5 update in
+    exact IEEE arithmetic (0.5·v + 0.5·(v+0) == v), so every user must
+    emit level == its value, trend == 0, n_obs == 100 — checked via
+    aggregates, never a driver collect of the users."""
+    from etl_project_spark.registry import get
+
+    n_users = 100_000
+    ev = spark.range(N).select(
+        (F.col("id") % n_users).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.col("id") / n_users).cast("long") * 1_000_000
+        ).alias("ts"),
+        (F.col("id") % n_users).cast("double").alias("value"),
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+
+    t0 = time.time()
+    out = get("ts9_holt_forecast").fn(spark, str(tmp_path))
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.max(F.abs(F.col("holt_level") - F.col("user_id"))).alias("dl"),
+        F.max(F.abs("holt_trend")).alias("dt"),
+        F.min("n_obs").alias("mn_o"),
+        F.max("n_obs").alias("mx_o"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["n"] == n_users
+    assert agg["dl"] == 0.0 and agg["dt"] == 0.0
+    assert agg["mn_o"] == agg["mx_o"] == 100
+    assert wall < 180, f"10M-row Holt fold took {wall:.0f}s"
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState stand-in for driving
+    the stateful kernels directly (state shape + arithmetic, no
+    streaming harness)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        assert isinstance(v, tuple)
+        self._v = v
+
+
+def test_stream_kernels_hold_scalar_state_at_1m_updates_per_key():
+    """The streaming sketch/forecast twins must carry O(1) state per
+    key no matter how many updates flow through: drive each REAL
+    kernel (module-level in streaming/stateful.py) with 1M
+    observations for one key across 100 micro-batches and assert the
+    state stays a fixed-width scalar tuple with the closed-form final
+    value (holt: a constant series is a fixed point of the a=b=0.5
+    update; cms: the counter equals total updates; hll: running max
+    rho)."""
+    import pandas as pd
+
+    from etl_project_spark.streaming.stateful import (
+        _cms_cell_update,
+        _hll_register_update,
+        _holt_update,
+    )
+
+    chunk_n, n_chunks = 10_000, 100
+
+    # holt: constant series 7.5 -> state exactly (7.5, 0.0, n) forever
+    state = _FakeGroupState()
+    chunk = pd.DataFrame(
+        {
+            "ts": range(chunk_n),
+            "event_id": range(chunk_n),
+            "value": [7.5] * chunk_n,
+        }
+    )
+    for i in range(n_chunks):
+        list(_holt_update((42,), iter([chunk]), state))
+        assert len(state.get) == 3  # O(1): (level, trend, n) scalars
+        assert state.get[0] == 7.5 and state.get[1] == 0.0
+    assert state.get == (7.5, 0.0, chunk_n * n_chunks)
+
+    # cms: per-cell counter equals the exact number of updates seen
+    state = _FakeGroupState()
+    cell_chunk = pd.DataFrame({"row_": [1] * chunk_n, "col_": [7] * chunk_n})
+    for i in range(n_chunks):
+        list(_cms_cell_update((1, 7), iter([cell_chunk]), state))
+        assert len(state.get) == 1
+    assert state.get == (chunk_n * n_chunks,)
+
+    # hll: per-bucket running max rho, insensitive to update volume
+    state = _FakeGroupState()
+    for i in range(n_chunks):
+        rho_chunk = pd.DataFrame({"rho": [1 + (i % 13)] * chunk_n})
+        list(_hll_register_update((3,), iter([rho_chunk]), state))
+        assert len(state.get) == 1
+    assert state.get == (13,)
+
+
 def test_hll_registers_bounded_and_accurate_at_10m(spark):
     """a12's HLL kernel on 10M synthetic events with EXACTLY 1M
     distinct users (user_id = i % 1_000_000): the register relation
