@@ -132,6 +132,10 @@ EXTENDED_QUERIES = [
     "mm13_container_sniff",
     "x16_range_search",
     "an12_time_to_convert",
+    # r8 additions
+    "tx18_lexical_diversity",
+    "smp8_systematic_pps_sample",
+    "pp14_context_window_audit",
 ]
 
 

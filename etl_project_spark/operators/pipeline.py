@@ -1734,3 +1734,155 @@ def pp13_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .alias("phase"),
     )
+
+
+# --- smp8: systematic PPS sample ----------------------------------------------
+
+SMP8_K = 64  # grid points (expected sample size)
+
+
+@register(
+    "smp8_systematic_pps_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, n_chars AS wt,
+               SUM(n_chars) OVER (ORDER BY doc_id) AS cum,
+               SUM(n_chars) OVER () AS total
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(wt AS BIGINT) AS weight,
+           CAST(cum AS BIGINT) AS cum_weight,
+           CAST((cum * {SMP8_K}) // total
+                - ((cum - wt) * {SMP8_K}) // total AS BIGINT) AS n_picks
+    FROM w
+    WHERE (cum * {SMP8_K}) // total - ((cum - wt) * {SMP8_K}) // total > 0
+    """,
+)
+def smp8_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC PPS SAMPLING (Madow): lay {SMP8_K} equally-spaced
+    grid points over the cumulative weight axis and pick each document
+    whose weight interval covers >= 1 point — inclusion probability
+    exactly proportional to weight (n_chars here), zero variance in
+    sample size, no RNG at all. The classic survey-sampling
+    counterpart to smp4's A-ES draw: smp4 randomizes via hash keys,
+    this derandomizes completely (useful for audit samples that must
+    be reproducible AND defensible — the picks are a pure function of
+    the corpus order). n_picks carries the with-replacement
+    multiplicity for weights above one grid step.
+
+    Shape: the global cumulative sum uses pp1's two-phase bucketed
+    prefix sum (per-bucket window + bounded bucket-offset relation
+    broadcast back) — no corpus-sized unpartitioned window ever runs.
+    Weights are integers, so bucketed partial sums equal the oracle's
+    single-window sums EXACTLY (no float reassociation), and the grid
+    test ((cum*K) DIV total) is all-integer — bit-identical across
+    engines and partitionings. At 100 TB: one scan, one bucket-window
+    shuffle, one broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("wt"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    local = d.withColumn("local_cum", F.sum("wt").over(in_bucket))
+    totals = local.groupBy("bucket").agg(
+        F.max("local_cum").alias("bucket_total")
+    )
+    # bounded bucket relation (corpus/{PACK_BUCKET} rows) — the
+    # "No Partition Defined" window below never sees the corpus
+    over_buckets = Window.orderBy("bucket")
+    offsets = totals.select(
+        "bucket",
+        (
+            F.sum("bucket_total").over(over_buckets) - F.col("bucket_total")
+        ).alias("offset"),
+        F.sum("bucket_total").over(Window.partitionBy()).alias("total"),
+    )
+    cum = (F.col("offset") + F.col("local_cum")).alias("cum_weight")
+    picks = F.expr(
+        f"(offset + local_cum) * {SMP8_K} DIV total"
+        f" - (offset + local_cum - wt) * {SMP8_K} DIV total"
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            F.col("wt").alias("weight"),
+            cum,
+            picks.cast("long").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") > 0)
+    )
+
+
+# --- pp14: context-window utilization audit -----------------------------------
+
+PP14_SEQ_LEN = 512  # model context length in whitespace tokens
+
+
+@register(
+    "pp14_context_window_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, LEN(str_split(lower(text), ' ')) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n <= {PP14_SEQ_LEN} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fit,
+           CAST(SUM(CASE WHEN n > {PP14_SEQ_LEN}
+                    THEN n - {PP14_SEQ_LEN} ELSE 0 END) AS BIGINT)
+               AS overflow_tokens,
+           CAST(SUM((n + {PP14_SEQ_LEN - 1}) // {PP14_SEQ_LEN}) AS BIGINT)
+               AS n_contexts_split,
+           ROUND(1.0 * SUM(CASE WHEN n <= {PP14_SEQ_LEN}
+                           THEN n ELSE {PP14_SEQ_LEN} END)
+                 / (COUNT(*) * {PP14_SEQ_LEN}), 6) AS truncate_utilization,
+           ROUND(1.0 - 1.0 * SUM(n)
+                 / (SUM((n + {PP14_SEQ_LEN - 1}) // {PP14_SEQ_LEN})
+                    * {PP14_SEQ_LEN}), 6) AS split_pad_frac
+    FROM d GROUP BY source
+    """,
+)
+def pp14_context_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW UTILIZATION AUDIT per source, for a
+    {PP14_SEQ_LEN}-token model: how many documents fit outright, how
+    many tokens a truncate-at-L policy throws away (overflow_tokens /
+    truncate_utilization), and how much padding a split-into-chunks
+    policy wastes (n_contexts_split / split_pad_frac). These two
+    numbers against each other are the decision input for choosing
+    pp8's sequence packing over naive truncation — the audit a data
+    team runs BEFORE committing a 100 TB corpus to a layout. All
+    counters exact integers; ceil is the all-integer
+    (n + L - 1) DIV L so both engines agree bit-for-bit.
+
+    Shape: one scan, token counts scan-local, one groupBy(source)
+    with map-side partial aggregation and a |sources|-row output."""
+    L = PP14_SEQ_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.size(_tokens()).alias("n"))
+    n = F.col("n")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("n_tokens"),
+        F.sum(F.when(n <= L, 1).otherwise(0)).alias("n_fit"),
+        F.sum(F.when(n > L, n - L).otherwise(0)).alias("overflow_tokens"),
+        F.sum(F.expr(f"(n + {L - 1}) DIV {L}")).alias("n_contexts_split"),
+        F.round(
+            F.lit(1.0)
+            * F.sum(F.when(n <= L, n).otherwise(L))
+            / (F.count(F.lit(1)) * L),
+            6,
+        ).alias("truncate_utilization"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(1.0)
+            * F.sum(n)
+            / (F.sum(F.expr(f"(n + {L - 1}) DIV {L}")) * L),
+            6,
+        ).alias("split_pad_frac"),
+    )

@@ -1265,3 +1265,86 @@ def tx17_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_3gram_frac"
         ),
     )
+
+
+# --- tx18: lexical diversity ---------------------------------------------------
+
+
+@register(
+    "tx18_lexical_diversity",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_sort(str_split(lower(text), ' ')) AS s
+        FROM documents
+    ), m AS (
+        SELECT doc_id, LEN(s) AS n_tokens,
+               LEN(list_filter(generate_series(1, LEN(s)), i ->
+                   i = 1 OR s[i] != s[GREATEST(i - 1, 1)])) AS n_types,
+               LEN(list_filter(generate_series(1, LEN(s)), i ->
+                   (i = 1 OR s[i] != s[GREATEST(i - 1, 1)])
+                   AND (i = LEN(s)
+                        OR s[i] != s[LEAST(i + 1, LEN(s))]))) AS n_hapax
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_hapax AS BIGINT) AS n_hapax,
+           ROUND(1.0 * n_types / n_tokens, 6) AS type_token_ratio,
+           ROUND(1.0 * n_hapax / n_types, 6) AS hapax_frac
+    FROM m
+    """,
+)
+def tx18_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY per document: type-token ratio (distinct
+    tokens / tokens) and hapax fraction (share of types occurring
+    exactly once) — the vocabulary-richness signals quality pipelines
+    use alongside tx8/tx17's repetition gates: machine-generated spam
+    and keyword-stuffed SEO pages sit at the extremes of both, while
+    the repetition ratios only catch the low-TTR half. Published as
+    exact integer counts plus the two ratios (thresholds downstream,
+    tx14's rule).
+
+    Shape: ZERO shuffle — the token list is sorted per row
+    (sort_array) and types/hapax fall out of counting run boundaries
+    in the sorted list (element i starts a run iff s[i] != s[i-1]; a
+    run has length 1 iff it starts at i and another starts at i+1),
+    all inside one projection over the scan. Neighbor probes clamp
+    the index with greatest/least instead of relying on OR
+    short-circuit, since element_at(s, 0) raises in Spark and both
+    engines evaluate vectorized. At 100 TB this rides the same
+    single-pass per-doc gate stage as tx4/tx8/tx16/tx17."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.col("s")
+    n = F.size(s)
+    idx = F.sequence(F.lit(1), n)  # split() never yields an empty list
+
+    def el(i):
+        return F.element_at(s, i.cast("int"))
+
+    def starts_run(i):
+        return (i == 1) | (el(i) != el(F.greatest(i - 1, F.lit(1))))
+
+    def ends_run(i):
+        return (i == n) | (el(i) != el(F.least(i + 1, n)))
+
+    sorted_docs = docs.select("doc_id", F.sort_array(_tokens()).alias("s"))
+    return sorted_docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.filter(idx, starts_run)).cast("long").alias("n_types"),
+        F.size(
+            F.filter(idx, lambda i: starts_run(i) & ends_run(i))
+        ).cast("long").alias("n_hapax"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.lit(1.0) * F.col("n_types") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.lit(1.0) * F.col("n_hapax") / F.col("n_types"), 6).alias(
+            "hapax_frac"
+        ),
+    )

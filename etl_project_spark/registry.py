@@ -97,9 +97,10 @@ def register(
 # rotation takes ceil(209/50) = 5 rounds — the provable steady-state
 # staleness bound, pinned by test_staleness_bound_holds_after_planned_window.
 #
-# r8 window: the 17 never-attested r7 additions (VERDICT r7 #1 list),
-# the 7 rows last attested r3, and the oldest 26 of the 41 rows last
-# attested r4; the remaining 15 r4 rows and the r5 block queue for r9.
+# r8 window: the 17 never-attested r7 additions (VERDICT r7 #1 list)
+# plus the 3 ops new in r8 (tx18/smp8/pp14), the 7 rows last attested
+# r3, and the oldest 23 of the 41 rows last attested r4; the remaining
+# 18 r4 rows and the r5 block queue for r9.
 _FRONT_QUERIES = [
     "j12_asof_tolerance_join",
     "dq10_embedding_drift",
@@ -107,9 +108,12 @@ _FRONT_QUERIES = [
     "tx16_code_detection",
     "lm6_tokenizer_fertility",
     "tx17_repetition_ratios",
+    "tx18_lexical_diversity",
     "ts9_holt_forecast",
     "fn5_map_funcs",
     "mm13_container_sniff",
+    "smp8_systematic_pps_sample",
+    "pp14_context_window_audit",
     "rk8_query_likelihood",
     "an10_new_vs_returning",
     "an11_engagement_gini",
@@ -148,9 +152,6 @@ _FRONT_QUERIES = [
     "ts2_sliding_10min",
     "ts3_session_window",
     "ts5_gap_fill_calendar",
-    "s4_rollup",
-    "s6_grouping_sets",
-    "s7_pivot",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
