@@ -136,6 +136,7 @@ EXTENDED_QUERIES = [
     "tx18_lexical_diversity",
     "smp8_systematic_pps_sample",
     "pp14_context_window_audit",
+    "lm7_zipf_slope",
 ]
 
 

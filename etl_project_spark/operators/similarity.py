@@ -1574,29 +1574,37 @@ def x14_ivf_reference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (a candidate has ONE cell, so a pair can match at most
     once — no dedup stage), exact cosine reranks inside the probed
     cells. Identical join shape to x4 and the persisted IVF index;
-    only the centroid source differs."""
+    only the centroid source differs.
+
+    The centroid matrix is a single constant nested array gathered with
+    element_at inside a higher-order transform (x15's r8 rewrite — one
+    folded Literal instead of {IVF_REF_CELLS} separately-inlined 64-lit
+    dot expansions that the q/c branches then each re-evaluate); the
+    dot fold is the same sequential zip_with+aggregate, so results are
+    bit-identical."""
     from etl_project_spark.functions.vectors import dot
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    cen = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in _ivf_ref_centroid(c)])
+            for c in range(IVF_REF_CELLS)
+        ]
+    )
     # (dp desc, cell asc) ranking, scan-local: sort desc on
     # struct(dp, -cell) — float negation is exact, so ties on dp fall
     # to the lowest cell id exactly like the oracle's ORDER BY.
     ranked = F.sort_array(
-        F.array(
-            *[
-                F.struct(
-                    dot(
-                        F.col("e"),
-                        F.array(
-                            *[F.lit(float(x)) for x in _ivf_ref_centroid(c)]
-                        ),
-                    ).alias("dp"),
-                    F.lit(-c).alias("negcell"),
-                )
-                for c in range(IVF_REF_CELLS)
-            ]
+        F.transform(
+            F.sequence(F.lit(0), F.lit(IVF_REF_CELLS - 1)),
+            lambda c: F.struct(
+                dot(
+                    F.col("e"), F.element_at(cen, (c + 1).cast("int"))
+                ).alias("dp"),
+                (-c).alias("negcell"),
+            ),
         ),
         asc=False,
     )

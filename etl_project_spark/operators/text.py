@@ -1348,3 +1348,98 @@ def tx18_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_frac"
         ),
     )
+
+
+# --- lm7: Zipf slope ------------------------------------------------------------
+
+LM7_V = 500  # top-V ranks fitted per language
+
+
+@register(
+    "lm7_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, UNNEST(str_split(lower(text), ' ')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT lang, w, COUNT(*) AS f FROM tok GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, f,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY f DESC, w ASC
+               ) AS r
+        FROM freq
+    ), pts AS (
+        SELECT lang, LN(CAST(r AS DOUBLE)) AS x, LN(CAST(f AS DOUBLE)) AS y
+        FROM ranked WHERE r <= {LM7_V}
+    ), s AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_ranks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS zipf_intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def lm7_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT per language: OLS slope/intercept/r² of
+    ln(frequency) against ln(rank) over the top-{LM7_V} token ranks —
+    the corpus-health diagnostic that separates natural language
+    (slope ≈ -1, high r²) from template spam, boilerplate floods and
+    synthetic filler, and the sanity check on any source mix change
+    (a pp4/smp6 rebalance shouldn't move a language's slope). The
+    closed-form OLS keeps it one aggregate — no iterative fitting.
+
+    Shape: explode → (lang, token) hash agg with map-side combine
+    (the tx3 vocabulary-build stage), a per-lang rank Spark plans as a
+    group-limit (never a corpus sort), then a |langs|-row moment
+    aggregate. The ln() points and OLS moments are identical operand
+    streams in both engines (smp4/lm2's libm-parity precedent); sums
+    reassociate at ulp scale only, absorbed by ROUND(·, 6)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(_tokens()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    rw = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("w"))
+    pts = (
+        freq.select("lang", "f", "w", F.row_number().over(rw).alias("r"))
+        .filter(F.col("r") <= LM7_V)
+        .select(
+            "lang",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "lang",
+        n.cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -98,9 +98,9 @@ def register(
 # staleness bound, pinned by test_staleness_bound_holds_after_planned_window.
 #
 # r8 window: the 17 never-attested r7 additions (VERDICT r7 #1 list)
-# plus the 3 ops new in r8 (tx18/smp8/pp14), the 7 rows last attested
-# r3, and the oldest 23 of the 41 rows last attested r4; the remaining
-# 18 r4 rows and the r5 block queue for r9.
+# plus the 4 ops new in r8 (tx18/lm7/smp8/pp14), the 7 rows last
+# attested r3, and the oldest 22 of the 41 rows last attested r4; the
+# remaining 19 r4 rows and the r5 block queue for r9.
 _FRONT_QUERIES = [
     "j12_asof_tolerance_join",
     "dq10_embedding_drift",
@@ -109,6 +109,7 @@ _FRONT_QUERIES = [
     "lm6_tokenizer_fertility",
     "tx17_repetition_ratios",
     "tx18_lexical_diversity",
+    "lm7_zipf_slope",
     "ts9_holt_forecast",
     "fn5_map_funcs",
     "mm13_container_sniff",
@@ -151,7 +152,6 @@ _FRONT_QUERIES = [
     "w5_moving_avg",
     "ts2_sliding_10min",
     "ts3_session_window",
-    "ts5_gap_fill_calendar",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is

@@ -1303,3 +1303,83 @@ def test_random_pivot_differential(event_engines, values, agg, pred):
     spdf["day"] = pd.to_datetime(spdf["day"])
     opdf = con.sql(duck_sql).df()
     assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
+
+
+# Grammar 22 (r8, SURVEY §20 handoff): PIVOT. Spark's SQL PIVOT clause
+# has no DuckDB-syntax twin (DuckDB's PIVOT ... ON ... USING differs),
+# so the oracle side is the conditional-aggregation formulation of the
+# SAME spec — which also pins that Spark's PIVOT rewrite (groupBy +
+# pivot-first) equals plain CASE aggregation. Dialect guardrails:
+# COUNT is excluded (Spark PIVOT yields NULL for an absent
+# (group, value) pair where conditional COUNT yields 0 — a real
+# semantic difference between the forms, not an engine bug); SUM is
+# CAST on the DuckDB side against the HUGEINT hazard.
+_PIVOT_SPECS = [
+    # (pivot col, its complete value domain, group col)
+    ("o_orderstatus", ["O", "F", "P"], "o_orderpriority"),
+    (
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        "o_orderstatus",
+    ),
+]
+
+_PIVOT_AGGS = [
+    # (spark PIVOT aggregate, duckdb conditional-agg template)
+    ("MIN(o_totalprice)", "MIN(CASE WHEN {c} THEN o_totalprice END)"),
+    ("MAX(o_totalprice)", "MAX(CASE WHEN {c} THEN o_totalprice END)"),
+    (
+        "SUM(o_orderkey)",
+        "CAST(SUM(CASE WHEN {c} THEN o_orderkey END) AS BIGINT)",
+    ),
+    ("MAX(o_orderdate)", "MAX(CASE WHEN {c} THEN o_orderdate END)"),
+]
+
+
+@given(
+    spec=st.sampled_from(_PIVOT_SPECS),
+    agg=st.sampled_from(_PIVOT_AGGS),
+    vals=st.data(),
+    pred=st.sampled_from(PREDS),
+)
+@settings(
+    max_examples=24,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_pivot_differential(engines, spec, agg, vals, pred):
+    """Spark SQL PIVOT vs the equivalent DuckDB conditional
+    aggregation: random pivot column / value subset / aggregate /
+    predicate, compared exactly (column names included — Spark names
+    pivoted columns by their IN-list literal)."""
+    spark, con = engines
+    pivot_col, domain, group_col = spec
+    chosen = vals.draw(
+        st.lists(
+            st.sampled_from(domain), min_size=1, max_size=3, unique=True
+        )
+    )
+    spark_agg, duck_tpl = agg
+    where = f" WHERE {pred}" if pred else ""
+    val_col = (
+        "o_totalprice" if "totalprice" in spark_agg
+        else "o_orderdate" if "orderdate" in spark_agg
+        else "o_orderkey"
+    )
+    spark_sql = (
+        f"SELECT * FROM (SELECT {group_col}, {pivot_col}, {val_col} "
+        f"FROM orders{where}) "
+        f"PIVOT ({spark_agg} FOR {pivot_col} IN "
+        f"({', '.join(repr(v) for v in chosen)}))"
+    )
+    duck_cols = ", ".join(
+        duck_tpl.format(c=f"{pivot_col} = {v!r}") + f' AS "{v}"'
+        for v in chosen
+    )
+    duck_sql = (
+        f"SELECT {group_col}, {duck_cols} FROM orders{where} "
+        f"GROUP BY {group_col}"
+    )
+    spdf = spark.sql(spark_sql).toPandas()
+    opdf = con.sql(duck_sql).df()
+    assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
