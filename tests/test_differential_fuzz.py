@@ -1305,15 +1305,15 @@ def test_random_pivot_differential(event_engines, values, agg, pred):
     assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
 
 
-# Grammar 22 (r8, SURVEY §20 handoff): PIVOT. Spark's SQL PIVOT clause
-# has no DuckDB-syntax twin (DuckDB's PIVOT ... ON ... USING differs),
-# so the oracle side is the conditional-aggregation formulation of the
-# SAME spec — which also pins that Spark's PIVOT rewrite (groupBy +
-# pivot-first) equals plain CASE aggregation. Dialect guardrails:
-# COUNT is excluded (Spark PIVOT yields NULL for an absent
-# (group, value) pair where conditional COUNT yields 0 — a real
-# semantic difference between the forms, not an engine bug); SUM is
-# CAST on the DuckDB side against the HUGEINT hazard.
+# Grammar 23 (r8): PIVOT over ORDERS — widens grammar 22 (events
+# PIVOT, above) to a second table, two pivot-column domains (status and
+# priority, incl. values with spaces/dashes as column names), SUM and
+# date-typed aggregates, and the shared PRED pool. Same oracle
+# strategy: Spark's PIVOT clause vs the DuckDB conditional-aggregation
+# formulation of the SAME spec. Dialect guardrails: COUNT is excluded
+# here (grammar 22 covers it with the COALESCE pinning of Spark's
+# NULL-for-absent-cell semantics); SUM is CAST on the DuckDB side
+# against the HUGEINT hazard.
 _PIVOT_SPECS = [
     # (pivot col, its complete value domain, group col)
     ("o_orderstatus", ["O", "F", "P"], "o_orderpriority"),
@@ -1347,7 +1347,7 @@ _PIVOT_AGGS = [
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_random_pivot_differential(engines, spec, agg, vals, pred):
+def test_random_pivot_orders_differential(engines, spec, agg, vals, pred):
     """Spark SQL PIVOT vs the equivalent DuckDB conditional
     aggregation: random pivot column / value subset / aggregate /
     predicate, compared exactly (column names included — Spark names
