@@ -1383,3 +1383,87 @@ def test_random_pivot_orders_differential(engines, spec, agg, vals, pred):
     spdf = spark.sql(spark_sql).toPandas()
     opdf = con.sql(duck_sql).df()
     assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
+
+
+# Grammar 24 (r8): UNPIVOT — the inverse reshape of grammars 22/23.
+# Spark's SQL UNPIVOT clause vs the UNION-ALL formulation of the same
+# relation. Dialect guardrails: Spark UNPIVOT drops NULL measure
+# values by default, so the UNION-ALL side filters val IS NOT NULL
+# (lineitem measures are non-null, but the rule is load-bearing for
+# any nullable column); measures must share one type (all four
+# lineitem measures are DOUBLE).
+_UNPIVOT_MEASURES = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+_UNPIVOT_PREDS = [
+    None,
+    "l_orderkey % 5 = 0",
+    "l_quantity > 25.0",
+    "l_returnflag = 'R'",
+]
+
+
+@pytest.fixture(scope="module")
+def lineitem_engines(engines):
+    spark, con = engines
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
+    )
+    yield spark, con
+    spark.catalog.dropTempView("lineitem")
+
+
+@given(
+    measures=st.lists(
+        st.sampled_from(_UNPIVOT_MEASURES),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    pred=st.sampled_from(_UNPIVOT_PREDS),
+    grouped=st.booleans(),
+)
+@settings(
+    max_examples=24,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_unpivot_differential(
+    lineitem_engines, measures, pred, grouped
+):
+    """Spark SQL UNPIVOT vs the equivalent UNION ALL: random measure
+    subset / predicate, compared exactly both as the raw long relation
+    and re-aggregated per metric."""
+    spark, con = lineitem_engines
+    where = f" WHERE {pred}" if pred else ""
+    spark_sql = (
+        f"SELECT l_orderkey, l_linenumber, metric, val "
+        f"FROM (SELECT * FROM lineitem{where}) "
+        f"UNPIVOT (val FOR metric IN ({', '.join(measures)}))"
+    )
+    duck_sql = " UNION ALL ".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS metric, {m} AS val "
+        f"FROM lineitem{where} AND {m} IS NOT NULL"
+        if pred
+        else f"SELECT l_orderkey, l_linenumber, '{m}' AS metric, {m} AS val "
+        f"FROM lineitem WHERE {m} IS NOT NULL"
+        for m in measures
+    )
+    if grouped:
+        spark_sql = (
+            f"SELECT metric, COUNT(*) AS n, MIN(val) AS mn, MAX(val) AS mx "
+            f"FROM ({spark_sql}) GROUP BY metric"
+        )
+        duck_sql = (
+            f"SELECT metric, COUNT(*) AS n, MIN(val) AS mn, MAX(val) AS mx "
+            f"FROM ({duck_sql}) GROUP BY metric"
+        )
+    spdf = spark.sql(spark_sql).toPandas()
+    opdf = con.sql(duck_sql).df()
+    assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)

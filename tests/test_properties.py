@@ -410,3 +410,143 @@ def test_bpe_replace_semantics_identical_across_engines(spark, syms, li, ri):
         "SELECT REPLACE(?, ?, ?) AS o", [s, pat, rep]
     ).fetchone()[0]
     assert py == sp == dk, (s, pat, py, sp, dk)
+
+
+def test_systematic_pps_invariants(spark, sf_dir):
+    """smp8's grid identities, checked against the registry query
+    itself: Σ n_picks == SMP8_K exactly (every grid point lands in
+    exactly one weight interval), every picked doc's interval really
+    covers a grid point, and a doc heavier than one grid step is
+    always picked (the PPS inclusion guarantee πᵢ = min(1, K·wᵢ/W))."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.operators.pipeline import SMP8_K
+    from etl_project_spark.registry import get
+
+    out = get("smp8_systematic_pps_sample").fn(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_picks").alias("total_picks"),
+        F.min("n_picks").alias("mn"),
+    ).collect()[0]
+    assert agg["total_picks"] == SMP8_K
+    assert agg["mn"] >= 1
+    # independent replay over the full corpus (small at test sf)
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    total = sum(w for _, w in rows)
+    cum, expect = 0, {}
+    for doc_id, w in rows:
+        before, cum = cum, cum + w
+        n = (cum * SMP8_K) // total - (before * SMP8_K) // total
+        if n > 0:
+            expect[doc_id] = n
+        if w * SMP8_K >= total:  # heavier than a grid step → must pick
+            assert n >= 1
+    got = {r["doc_id"]: r["n_picks"] for r in out.collect()}
+    assert got == expect
+
+
+def test_lexical_diversity_count_orderings(spark, sf_dir):
+    """tx18 invariants on the real corpus: 1 <= hapax <= types <=
+    tokens for every doc, ratios in (0, 1], and n_tokens equals tx1's
+    independent token count for every doc."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.registry import get
+
+    out = get("tx18_lexical_diversity").fn(spark, sf_dir)
+    bad = out.filter(
+        ~(
+            (F.col("n_hapax") >= 0)
+            & (F.col("n_hapax") <= F.col("n_types"))
+            & (F.col("n_types") <= F.col("n_tokens"))
+            & (F.col("type_token_ratio") > 0)
+            & (F.col("type_token_ratio") <= 1.0)
+            & (F.col("hapax_frac") <= 1.0)
+        )
+    ).count()
+    assert bad == 0
+    tx1 = get("tx1_doc_stats").fn(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("n_unique_tokens").alias("u")
+    )
+    mismatch = (
+        out.select("doc_id", F.col("n_tokens").alias("t18"), "n_types")
+        .join(tx1, "doc_id")
+        .filter(
+            (F.col("t18") != F.col("n_tokens"))
+            | (F.col("n_types") != F.col("u"))
+        )
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_context_audit_identities(spark, sf_dir):
+    """pp14 accounting identities per source: n_fit <= n_docs,
+    overflow_tokens == 0 iff all docs fit, n_contexts_split >= n_docs,
+    and kept+overflow == total tokens (truncation conserves mass)."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.operators.pipeline import PP14_SEQ_LEN
+    from etl_project_spark.registry import get
+
+    rows = get("pp14_context_window_audit").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_fit"] <= r["n_docs"]
+        assert r["n_contexts_split"] >= r["n_docs"]
+        kept = round(
+            r["truncate_utilization"] * r["n_docs"] * PP14_SEQ_LEN
+        )
+        # kept tokens + overflow == corpus tokens (up to the 1e-6 round)
+        assert abs(kept + r["overflow_tokens"] - r["n_tokens"]) <= max(
+            1, r["n_docs"] * PP14_SEQ_LEN // 1_000_000
+        )
+        assert (r["overflow_tokens"] == 0) == (r["n_fit"] == r["n_docs"])
+
+
+def test_zipf_slope_detects_powerlaw(spark, tmp_path):
+    """lm7 on a PLANTED power-law corpus: token t_r appears with
+    frequency proportional to 1/r across the corpus, so the fitted
+    slope must be ≈ -1 with r² ≈ 1 — and on a planted UNIFORM corpus
+    (every token equally frequent) the slope must be ≈ 0. The
+    discriminative property the diagnostic exists for."""
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.registry import get
+
+    # power law: doc r (r = 1..300) holds ceil(600/r) copies of token
+    # w{r} — freq(w_r) = ceil(600/r), rank order = r
+    docs = spark.range(1, 301).select(
+        F.col("id").alias("doc_id"),
+        F.lit("pl").alias("lang"),
+        F.array_join(
+            F.array_repeat(
+                F.concat(F.lit("w"), F.col("id")),
+                F.ceil(F.lit(600) / F.col("id")).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    uni = spark.range(301, 601).select(
+        F.col("id").alias("doc_id"),
+        F.lit("un").alias("lang"),
+        F.array_join(
+            F.array_repeat(F.concat(F.lit("u"), F.col("id")), 7), " "
+        ).alias("text"),
+    )
+    docs.unionAll(uni).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["lang"]: r
+        for r in get("lm7_zipf_slope").fn(spark, str(tmp_path)).collect()
+    }
+    # ceil() quantization of the planted counts flattens the tail a
+    # touch (measured slope -0.926), so the band is [-1.1, -0.85] —
+    # still an order of magnitude away from the uniform corpus's 0
+    assert -1.1 < got["pl"]["zipf_slope"] < -0.85, got["pl"]
+    assert got["pl"]["r2"] > 0.98
+    assert abs(got["un"]["zipf_slope"]) < 0.01, got["un"]

@@ -705,3 +705,39 @@ def test_hll_registers_bounded_and_accurate_at_10m(spark):
         distinct,
     )
     assert wall < 120, wall
+
+
+def test_systematic_pps_exact_at_10m(spark, tmp_path):
+    """smp8's two-phase prefix-sum + grid selection at 10M docs with
+    weights w(i) = (i % 97) + 1: Σ n_picks must equal SMP8_K exactly
+    (grid completeness survives the bucketed cumsum), and every picked
+    doc must match the closed-form replay of the grid rule — the
+    cumulative sum has the same closed form as the pp1 smoke, so no
+    10M-row driver-side loop is needed."""
+    from etl_project_spark.operators.pipeline import SMP8_K
+    from etl_project_spark.registry import get
+
+    docs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 97) + 1).alias("n_chars"),
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    def cum(i: int) -> int:
+        # Σ_{j<=i} (j % 97) + 1, closed form over full cycles
+        full, rem = divmod(i + 1, 97)
+        return full * (97 * 98 // 2) + rem * (rem - 1) // 2 + rem
+
+    total = cum(N - 1)
+    t0 = time.time()
+    out = get("smp8_systematic_pps_sample").fn(spark, str(tmp_path))
+    rows = out.collect()  # ≤ SMP8_K rows — bounded by construction
+    wall = time.time() - t0
+    assert sum(r["n_picks"] for r in rows) == SMP8_K
+    for r in rows:
+        i = r["doc_id"]
+        c, w = cum(i), (i % 97) + 1
+        assert r["cum_weight"] == c, (i, r["cum_weight"], c)
+        picks = (c * SMP8_K) // total - ((c - w) * SMP8_K) // total
+        assert r["n_picks"] == picks > 0, (i, r["n_picks"], picks)
+    assert wall < 120, f"10M-row systematic PPS took {wall:.0f}s"
