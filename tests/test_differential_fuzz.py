@@ -1467,3 +1467,66 @@ def test_random_unpivot_differential(
     spdf = spark.sql(spark_sql).toPandas()
     opdf = con.sql(duck_sql).df()
     assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
+
+
+# Grammar 25 (r8): EXPLODE / UNNEST — the reshape every text operator
+# rides (tx3's vocabulary build, tx12's heavy hitters, lm1's bigrams).
+# Spark's LATERAL VIEW explode vs DuckDB's UNNEST over the same
+# str_split, raw and re-aggregated. Dialect guardrails: the token
+# expression is shared verbatim (split semantics already pinned by the
+# documents grammar); COUNT/MIN/MAX only, SUM of LENGTH CAST BIGINT.
+_EXPLODE_PREDS = [
+    None,
+    "lang = 'en'",
+    "n_chars > 200",
+    "doc_id % 3 = 1",
+]
+_EXPLODE_AGGS = [
+    ("COUNT(*) AS n", "COUNT(*) AS n"),
+    ("COUNT(DISTINCT tok) AS n_types", "COUNT(DISTINCT tok) AS n_types"),
+    ("MIN(tok) AS mn_tok", "MIN(tok) AS mn_tok"),
+    ("MAX(tok) AS mx_tok", "MAX(tok) AS mx_tok"),
+    (
+        "CAST(SUM(LENGTH(tok)) AS BIGINT) AS n_tok_chars",
+        "CAST(SUM(LENGTH(tok)) AS BIGINT) AS n_tok_chars",
+    ),
+]
+
+
+@given(
+    aggs=st.lists(
+        st.sampled_from(_EXPLODE_AGGS), min_size=1, max_size=3, unique=True
+    ),
+    pred=st.sampled_from(_EXPLODE_PREDS),
+    group=st.sampled_from([None, "doc_id", "lang"]),
+)
+@settings(
+    max_examples=24,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_explode_unnest_differential(doc_engines, aggs, pred, group):
+    """Spark LATERAL VIEW explode vs DuckDB UNNEST over the same
+    tokenization, compared exactly after aggregation (the raw long
+    relation is corpus-token-sized; the aggregate pins the same rows
+    without a 100k-row pandas compare per example)."""
+    spark, con = doc_engines
+    where = f" WHERE {pred}" if pred else ""
+    gcols = f"{group}, " if group else ""
+    gby = f" GROUP BY {group}" if group else ""
+    sel = ", ".join(a[0] for a in aggs)
+    spark_sql = (
+        f"SELECT {gcols}{sel} FROM (SELECT doc_id, lang, tok FROM "
+        f"(SELECT * FROM documents{where}) "
+        f"LATERAL VIEW explode(split(lower(text), ' ')) t AS tok)"
+        f"{gby}"
+    )
+    duck_sel = ", ".join(a[1] for a in aggs)
+    duck_sql = (
+        f"SELECT {gcols}{duck_sel} FROM (SELECT doc_id, lang, "
+        f"UNNEST(str_split(lower(text), ' ')) AS tok "
+        f"FROM documents{where}){gby}"
+    )
+    spdf = spark.sql(spark_sql).toPandas()
+    opdf = con.sql(duck_sql).df()
+    assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
