@@ -137,6 +137,8 @@ EXTENDED_QUERIES = [
     "smp8_systematic_pps_sample",
     "pp14_context_window_audit",
     "lm7_zipf_slope",
+    "dd12_containment_pairs",
+    "dq12_corpus_diff",
 ]
 
 

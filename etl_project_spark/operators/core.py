@@ -1301,3 +1301,122 @@ def a11_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("active_users")
         )
     )
+
+
+# --- dq12: corpus version diff --------------------------------------------------
+
+
+@register(
+    "dq12_corpus_diff",
+    oracle="""
+    WITH ref AS (
+        SELECT doc_id, source, md5(text) AS h,
+               LEN(str_split(lower(text), ' ')) AS n
+        FROM documents
+    ), cur AS (
+        -- the next corpus build, derived deterministically (dq3/dq10's
+        -- ref/cur convention): every 19th doc dropped, every 13th
+        -- surviving doc re-crawled with changed text, every 17th doc
+        -- re-ingested under a new id
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END) AS h,
+               LEN(str_split(lower(CASE WHEN doc_id % 13 = 0
+                                        THEN text || ' v2'
+                                        ELSE text END), ' ')) AS n
+        FROM documents WHERE doc_id % 19 != 0
+        UNION ALL
+        SELECT doc_id + 10000000, source, md5(text),
+               LEN(str_split(lower(text), ' '))
+        FROM documents WHERE doc_id % 17 = 0
+    ), j AS (
+        SELECT COALESCE(r.source, c.source) AS source,
+               CASE WHEN r.doc_id IS NULL THEN 'added'
+                    WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN r.h != c.h THEN 'modified'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(c.n, 0) - COALESCE(r.n, 0) AS tok_delta
+        FROM ref r FULL OUTER JOIN cur c USING (doc_id)
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_modified,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unchanged,
+           CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+    FROM j GROUP BY source
+    """,
+)
+def dq12_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS VERSION DIFF — the release audit run between two corpus
+    builds before swapping a training mix onto the new one: per
+    source, how many documents were added, removed, or modified
+    (content hash changed) and the net token delta. The "cur" build is
+    derived deterministically from the same table (dq3/dq10's ref/cur
+    convention): every 19th doc dropped, every 13th survivor
+    re-crawled with changed text, every 17th doc re-ingested under a
+    new id — so both engines construct identical versions and every
+    count is exact.
+
+    Shape: the diff is ONE full-outer join on the primary key (at
+    100 TB: co-located if both builds are bucketed by doc_id — the
+    reason to bucket corpus tables by key) followed by a
+    |sources|-row aggregate; content comparison rides the join as a
+    128-bit md5 equality, never a text compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.col("text")), " "))
+    ref = docs.select(
+        "doc_id", "source", F.md5("text").alias("h"), toks.alias("n")
+    )
+    mutated = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    cur = (
+        docs.filter(F.col("doc_id") % 19 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(mutated).alias("h"),
+            F.size(F.split(F.lower(mutated), " ")).alias("n"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "source",
+                F.md5("text").alias("h"),
+                toks.alias("n"),
+            )
+        )
+    )
+    r, c = ref.alias("r"), cur.alias("c")
+    j = r.join(c, "doc_id", "full_outer").select(
+        F.coalesce(F.col("r.source"), F.col("c.source")).alias("source"),
+        F.when(F.col("r.h").isNull(), "added")
+        .when(F.col("c.h").isNull(), "removed")
+        .when(F.col("r.h") != F.col("c.h"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce(F.col("c.n"), F.lit(0))
+            - F.coalesce(F.col("r.n"), F.lit(0))
+        ).alias("tok_delta"),
+    )
+    return j.groupBy("source").agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias(
+            "n_added"
+        ),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+        F.sum(F.when(F.col("status") == "modified", 1).otherwise(0)).alias(
+            "n_modified"
+        ),
+        F.sum(
+            F.when(F.col("status") == "unchanged", 1).otherwise(0)
+        ).alias("n_unchanged"),
+        F.sum("tok_delta").alias("token_delta"),
+    )

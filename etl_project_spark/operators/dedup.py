@@ -1712,3 +1712,111 @@ def dq9_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_source", F.col("source_a") == F.col("source_b")
         )
     )
+
+
+# --- dd12: containment pairs (asymmetric near-dup) -----------------------------
+
+DD12_TAU = 0.8  # containment threshold |A∩B| / |A|
+
+
+@register(
+    "dd12_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, list_distinct(
+            [array_to_string(t[i+1:i+3], ' ')
+             FOR i IN generate_series(0, GREATEST(LEN(t)-3, 0))]
+        ) AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+           CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) / LEN(a.s)
+               AS containment
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) / LEN(a.s)
+          >= {DD12_TAU}
+    """,
+)
+def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-containment pairs C(src→dst) = |src∩dst| / |src|
+    ≥ {DD12_TAU} — the ASYMMETRIC near-dup relation Jaccard can't see:
+    a short document quoted whole inside a much longer one has
+    containment ≈ 1 while its Jaccard is tiny (the
+    quote-aggregator / boilerplate-wrapper / subset-shard cases dedup
+    pipelines handle separately from dd8's symmetric pairs). Output is
+    DIRECTIONAL: (doc_src, doc_dst) means src is covered by dst; exact
+    duplicates appear in both directions by design.
+
+    Candidate rule (the asymmetric half of dd8's Vernica/PPJoin form):
+    order shingles by (global frequency asc, shingle) and index only
+    each SOURCE's first |A| - ceil(tau·|A|) + 1 rarest shingles — an
+    overlap of ceil(tau·|A|) can't avoid that prefix — joined against
+    the DESTINATION side's full postings (containment puts no upper
+    bound on |dst|, so dst can't be prefix-pruned; frequent shingles
+    still contribute ~nothing because they sit in almost no source
+    prefix). A one-sided size filter |dst| ≥ tau·|src| prunes at hash
+    time. Verification is reduce-side exact array_intersect over the
+    candidate pairs — pairs × 1 rows, never all pairs. The containment
+    value is a ratio of exact integers (bit-identical across engines,
+    dd3/dd8 precedent)."""
+    tau = DD12_TAU
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", _shingles(3).alias("sh"))
+    )
+    # one materialization feeds the prefix build, the full-postings
+    # side, and both verify-side array lookups (dd8's checkpoint rule:
+    # HOF lambdas defeat ReuseExchange, so pay the shingling once)
+    sizes = docs.select(
+        "doc_id", "sh", F.size("sh").alias("sz")
+    ).localCheckpoint()
+    post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
+    freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    src_prefix = (
+        post.join(F.broadcast(freq), "s")
+        .withColumn("rn", F.row_number().over(by_rarity))
+        .filter(F.col("rn") <= prefix_len)
+        .select(
+            F.col("doc_id").alias("doc_src"),
+            F.col("sz").alias("sz_src"),
+            "s",
+        )
+        .repartition(par, "s")
+    )
+    dst_full = post.select(
+        F.col("doc_id").alias("doc_dst"),
+        F.col("sz").alias("sz_dst"),
+        "s",
+    ).repartition(par, "s")
+    cand = (
+        src_prefix.join(dst_full, "s")
+        .filter(
+            (F.col("doc_src") != F.col("doc_dst"))
+            & (F.col("sz_dst") * F.lit(1.0) >= F.col("sz_src") * tau)
+        )
+        .select("doc_src", "doc_dst")
+        .repartition(par, "doc_src")
+        .dropDuplicates(["doc_src", "doc_dst"])
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_src"),
+        F.col("sh").alias("sh_src"),
+        F.col("sz").alias("sz_src"),
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_dst"), F.col("sh").alias("sh_dst")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_src"), F.col("sh_dst")))
+    containment = inter.cast("double") / F.col("sz_src")
+    return (
+        cand.join(sa, "doc_src")
+        .join(sb, "doc_dst")
+        .select("doc_src", "doc_dst", containment.alias("containment"))
+        .filter(F.col("containment") >= tau)
+    )

@@ -98,11 +98,13 @@ def register(
 # staleness bound, pinned by test_staleness_bound_holds_after_planned_window.
 #
 # r8 window: the 17 never-attested r7 additions (VERDICT r7 #1 list)
-# plus the 4 ops new in r8 (tx18/lm7/smp8/pp14), the 7 rows last
-# attested r3, and the oldest 22 of the 41 rows last attested r4; the
-# remaining 19 r4 rows and the r5 block queue for r9.
+# plus the 6 ops new in r8 (tx18/lm7/dd12/smp8/pp14/dq12), the 7 rows
+# last attested r3, and the oldest 20 of the 41 rows last attested r4;
+# the remaining 21 r4 rows and the r5 block queue for r9.
 _FRONT_QUERIES = [
+    "dq12_corpus_diff",
     "j12_asof_tolerance_join",
+    "dd12_containment_pairs",
     "dq10_embedding_drift",
     "x16_range_search",
     "tx16_code_detection",
@@ -150,8 +152,6 @@ _FRONT_QUERIES = [
     "w4_rank_in_group",
     "w6_distribution",
     "w5_moving_avg",
-    "ts2_sliding_10min",
-    "ts3_session_window",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
