@@ -741,3 +741,41 @@ def test_systematic_pps_exact_at_10m(spark, tmp_path):
         picks = (c * SMP8_K) // total - ((c - w) * SMP8_K) // total
         assert r["n_picks"] == picks > 0, (i, r["n_picks"], picks)
     assert wall < 120, f"10M-row systematic PPS took {wall:.0f}s"
+
+
+def test_containment_prefix_join_at_200k_docs(spark, tmp_path):
+    """dd12's asymmetric containment join on a 200k-doc corpus with
+    closed-form ground truth: doc 2g+1 is the 21-token PREFIX of doc
+    2g's 30 tokens (group-unique vocabularies), so the small doc's 19
+    3-shingles are all contained in the big doc's 28 —
+    C(small→big) = 1.0 — while the reverse direction is 19/28 ≈ 0.68
+    < 0.8 and nothing is shared across groups. The exact output is ONE
+    directional pair per group; catches candidate blowups in the
+    full-postings destination side and any symmetry bug in the
+    source-prefix rule."""
+    n_docs = 200_000
+    g = (F.col("id") / 2).cast("long")
+    n_toks = F.when(F.col("id") % 2 == 0, F.lit(30)).otherwise(F.lit(21))
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_toks),
+            lambda k: F.concat(F.lit("w"), g, F.lit("_"), k),
+        ),
+        " ",
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from etl_project_spark.registry import get
+
+    t0 = time.time()
+    rows = get("dd12_containment_pairs").fn(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 150, f"containment join took {elapsed:.0f}s at 200k docs"
+    assert len(rows) == n_docs // 2
+    for r in rows:
+        # direction: odd (small, 21 tokens) contained in even (big)
+        assert r["doc_src"] % 2 == 1 and r["doc_dst"] == r["doc_src"] - 1
+        assert r["containment"] == 1.0
