@@ -139,6 +139,7 @@ EXTENDED_QUERIES = [
     "lm7_zipf_slope",
     "dd12_containment_pairs",
     "dq12_corpus_diff",
+    "w8_range_frame_trailing_hour",
 ]
 
 

@@ -206,3 +206,55 @@ def w7_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drawdown"),
     )
+
+
+@register(
+    "w8_range_frame_trailing_hour",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us, value
+        FROM events
+    )
+    SELECT user_id, event_id, t_us,
+           CAST(COUNT(value) OVER w AS BIGINT) AS trailing_1h_n,
+           ROUND(SUM(value) OVER w, 6) AS trailing_1h_sum
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w8_range_frame_trailing_hour(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIME-based trailing window via a RANGE frame — the window-frame
+    surface w1-w7 don't touch (they are all ROWS frames): per user,
+    the count and sum of values in the trailing hour of EVENT TIME,
+    however many rows that is. ROWS frames answer "last k events";
+    RANGE frames answer "last hour" — rate limiting, rolling exposure,
+    trailing-volume features all need the latter, and Spark plans it
+    as a RangeFrame inside the same WindowExec (no self-join, no
+    explode-per-event). Ordering is epoch MICROSECONDS (long), so the
+    frame bound is the exact integer 3.6e9 in both engines and RANGE
+    peer semantics (all rows with equal order value join the frame)
+    agree by the SQL standard.
+
+    Shape: one hash shuffle on user_id + per-partition sort — w3's
+    exact plan class with a RangeFrame instead of a RowFrame. The sum
+    is ROUND(·, 6): the frame's value SET is identical in both
+    engines, so only ulp-scale addition-order noise is absorbed."""
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", t_us.alias("t_us"), "value"
+    ).select(
+        "user_id",
+        "event_id",
+        "t_us",
+        F.count("value").over(w).alias("trailing_1h_n"),
+        F.round(F.sum("value").over(w), 6).alias("trailing_1h_sum"),
+    )

@@ -98,9 +98,9 @@ def register(
 # staleness bound, pinned by test_staleness_bound_holds_after_planned_window.
 #
 # r8 window: the 17 never-attested r7 additions (VERDICT r7 #1 list)
-# plus the 6 ops new in r8 (tx18/lm7/dd12/smp8/pp14/dq12), the 7 rows
-# last attested r3, and the oldest 20 of the 41 rows last attested r4;
-# the remaining 21 r4 rows and the r5 block queue for r9.
+# plus the 7 ops new in r8 (tx18/lm7/dd12/w8/smp8/pp14/dq12), the 7
+# rows last attested r3, and the oldest 19 of the 41 rows last
+# attested r4; the remaining 22 r4 rows and the r5 block queue for r9.
 _FRONT_QUERIES = [
     "dq12_corpus_diff",
     "j12_asof_tolerance_join",
@@ -112,6 +112,7 @@ _FRONT_QUERIES = [
     "tx17_repetition_ratios",
     "tx18_lexical_diversity",
     "lm7_zipf_slope",
+    "w8_range_frame_trailing_hour",
     "ts9_holt_forecast",
     "fn5_map_funcs",
     "mm13_container_sniff",
@@ -151,7 +152,6 @@ _FRONT_QUERIES = [
     "w3_running_sum",
     "w4_rank_in_group",
     "w6_distribution",
-    "w5_moving_avg",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
