@@ -93,65 +93,69 @@ def register(
 # measurements in RECALL.json, and deterministic hash-green twins
 # (x6/dd5c/x14/x15, a12/a13/a14) that the rotation DOES schedule.
 #
-# Rotation math: 209 oracle-able queries over a 50-row cap means a full
-# rotation takes ceil(209/50) = 5 rounds — the provable steady-state
-# staleness bound, pinned by test_staleness_bound_holds_after_planned_window.
+# Rotation math: the oracle-able count over a 50-row cap gives the
+# provable steady-state staleness bound ceil(oracle_able / 50) — see
+# ROTATION.md for the current generated figures; pinned by
+# test_staleness_bound_holds_after_planned_window.
 #
-# r8 window: the 17 never-attested r7 additions (VERDICT r7 #1 list)
-# plus the 7 ops new in r8 (tx18/lm7/dd12/w8/smp8/pp14/dq12), the 7
-# rows last attested r3, and the oldest 19 of the 41 rows last
-# attested r4; the remaining 22 r4 rows and the r5 block queue for r9.
+# r9 window (generated from artifacts through round 8): the 18
+# remaining rows last attested r4 (w5, ts2/3/5, rollup/cube/grouping
+# sets/pivot, salted agg/join, scalar-fn suites, mm6/mm7, pp1/3/4/6,
+# lm1, rk4, an6, a4, a6, dq3) plus the oldest 32 of the 48-row r5
+# block — the TPC-H anchors q1–q22, sq1, and joins j1–j3; the rest of
+# the r5 block (j4–j9, dd1–dd8 core, bpe1/2, lm2, pp7, sd1, ts6,
+# tx4/6/9) queues for r10.
 _FRONT_QUERIES = [
-    "dq12_corpus_diff",
-    "j12_asof_tolerance_join",
-    "dd12_containment_pairs",
-    "dq10_embedding_drift",
-    "x16_range_search",
-    "tx16_code_detection",
-    "lm6_tokenizer_fertility",
-    "tx17_repetition_ratios",
-    "tx18_lexical_diversity",
-    "lm7_zipf_slope",
-    "w8_range_frame_trailing_hour",
-    "ts9_holt_forecast",
-    "fn5_map_funcs",
-    "mm13_container_sniff",
-    "smp8_systematic_pps_sample",
-    "pp14_context_window_audit",
-    "rk8_query_likelihood",
-    "an10_new_vs_returning",
-    "an11_engagement_gini",
-    "dq11_weekly_scorecard",
-    "an12_time_to_convert",
-    "a12_hll_md5_reference",
-    "a13_countmin_heavy_hitters",
-    "a14_histogram_quantile_sketch",
-    "mm2_media_features",
-    "mm3_frame_sample",
-    "mm5_perceptual_hash_dedup",
-    "mm4_media_resize",
-    "pp2_contamination_check",
-    "pp5_repeated_ngrams",
-    "ly1_zorder_key",
-    "p1_select_all",
-    "a2_global_minmax",
-    "a3_daily_stats",
-    "a3g_keyed_daily_stats",
-    "t1_top1_by_value",
-    "t2_topk_by_value",
-    "t3_ordered_series",
-    "dq1_constraint_audit",
-    "smp4_weighted_sample",
-    "dd6_embedding_neardup",
-    "x2_vector_norms",
-    "x5_centroid_per_label",
-    "x8_hard_negative_mining",
-    "tx12_heavy_hitters",
-    "w1_topn_per_key",
-    "w2_lag_delta",
-    "w3_running_sum",
-    "w4_rank_in_group",
-    "w6_distribution",
+    "w5_moving_avg",
+    "ts2_sliding_10min",
+    "ts3_session_window",
+    "ts5_gap_fill_calendar",
+    "s4_rollup",
+    "s6_grouping_sets",
+    "s7_pivot",
+    "s5_cube",
+    "sk1_salted_agg",
+    "sk2_salted_join",
+    "fn1_string_funcs",
+    "fn2_datetime_funcs",
+    "fn4_math_conditional",
+    "mm6_audio_features",
+    "mm7_video_frame_stats",
+    "pp1_token_shard_packing",
+    "pp3_quality_funnel",
+    "pp4_source_mixture",
+    "pp6_epoch_shuffle",
+    "lm1_bigram_model",
+    "rk4_reciprocal_rank_fusion",
+    "an6_markov_transitions",
+    "a4_distinct_agg",
+    "a6_stat_moments",
+    "dq3_psi_drift",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q13_custdist",
+    "q18_large_orders",
+    "sq1_scalar_subquery",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q17_small_qty_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "j1_broadcast_dim_join",
+    "j2_fact_fact_join",
+    "j3_semi_join",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
