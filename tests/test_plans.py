@@ -180,6 +180,30 @@ def test_dd8_corpus_scanned_once(spark, sf_dir):
     assert "Scan ExistingRDD" in stats.plan, stats.plan
 
 
+def test_shingle_relation_shared_across_prefix_join_family(spark, sf_dir):
+    """dd8/dd11/dd12 each consumed their own shingled+checkpointed
+    relation — three corpus scans + shinglings where one suffices at
+    100 TB (VERDICT r8 #5). Pin that the memoized relation is ONE
+    object across the family (same checkpoint, so one shingling job),
+    that a different sf_dir misses the memo, and that every family
+    member's final plan still reads the checkpoint, never the parquet."""
+    from etl_project_spark.operators.dedup import _shingle_sizes
+
+    s1 = _shingle_sizes(spark, sf_dir)
+    s2 = _shingle_sizes(spark, sf_dir)
+    assert s1 is s2
+    assert _shingle_sizes(spark, "/root/testdata/sf0.01") is not s1
+    for name in (
+        "dd8_jaccard_prefix_join",
+        "dd11_containment_join",
+        "dd12_containment_pairs",
+    ):
+        df = all_queries()[name](spark, sf_dir)
+        stats = assert_scalable(df)
+        assert stats.scans == 0, (name, stats.plan)
+        assert "Scan ExistingRDD" in stats.plan, (name, stats.plan)
+
+
 def test_pp7_corpus_scanned_once(spark, sf_dir):
     """pp7: the exploded token stream is materialized before feeding
     the vocab aggregate and the scoring join (lm2's pin, same reason) —
