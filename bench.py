@@ -5,8 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Headline set: the scan/join/agg/window/timeseries core (the shapes that
 dominate a 100 TB warehouse) plus one representative from each extension
-family (dedup, similarity, text). Each query runs once warm (after a JVM
-warmup pass on sf0.001) and is timed end-to-end including the action.
+family (dedup, similarity, text). Per query: one untimed warmup then N
+timed back-to-back runs; "value" is the SUM OF PER-QUERY MEDIANS (the
+single headline since r9 — self-described by "headline":
+"sum_of_per_query_medians"; min-of-N floors stay in queries_min/
+extended_min inside BENCH_DETAIL.json for r1–r8 continuity).
 """
 
 from __future__ import annotations
@@ -161,6 +164,22 @@ def main() -> None:
     spark = get_spark(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
+    # Silence CacheManager's re-persist warnings (VERDICT r8 #4): each
+    # timed pass rebuilds an identical logical plan, and its persist()
+    # matches the previous pass's still-cached entry — a benign no-op
+    # that logs "Asked to cache already cached data" into the stdout
+    # tail the driver parses. No Python-side guard can prevent it
+    # (DataFrame.is_cached is object-local, it can't see a prior
+    # pass's entry for a freshly-built plan), so drop that one logger
+    # to ERROR for the bench process only.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.CacheManager",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     qs = all_queries()
     # Per-query protocol: one untimed warmup then min of N timed runs,
     # all CONSECUTIVE. Warmup eats Janino/C2 compilation of the
@@ -248,8 +267,8 @@ def main() -> None:
                 check=False,
             )
             det = json.load(open(tfp))
-            t2 = det.get("queries", {}).get(n) or det.get(
-                "extended", {}
+            t2 = det.get("queries_min", {}).get(n) or det.get(
+                "extended_min", {}
             ).get(n)
             if t2 is not None:
                 return t2, det.get("stats", {}).get(n)
@@ -278,116 +297,120 @@ def main() -> None:
     ]
     timings = {name: bench_query(name, 3) for name in headline}
     extended = {name: bench_query(name, 3) for name in ext_names}
-    total = round(sum(timings.values()), 3)
+
+    def med_map(names) -> dict[str, float]:
+        return {n: stats[n]["median"] for n in names if n in stats}
+
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        # ONE headline number (VERDICT r8 #3): the sum of per-query
+        # medians-of-N — the robust estimator under the ambient noise
+        # that dominated r7/r8's min-based readings (6.068 vs 6.842 vs
+        # 6.075 from one tree). "queries" carries the per-query medians
+        # so sum(queries) == value; the min-of-N floors (the r1–r8
+        # contract figure) stay in queries_min/extended_min for
+        # history. value/queries/regressions are all finalized AFTER
+        # every retiming pass below (ADVICE r8: the old flow froze
+        # regressions before the noisy-guard retiming).
+        "headline": "sum_of_per_query_medians",
+        "value": 0.0,
         "unit": "sec",
-        "queries": timings,
+        "queries": {},
         "sf": sf,
-        "extended": extended,
-        "stats": stats,  # per-query median-of-N + spread (§14.3 protocol)
     }
-    # round-over-round tracking: compare per query against the committed
-    # baseline (BENCH_BASELINE.json, recorded from round 1 at sf0.1) and
-    # surface >=1.3x slowdowns so a plan regression is visible per query,
-    # not hidden inside the total.
+    # round-over-round tracking: compare per-query medians against the
+    # committed baseline medians (BENCH_BASELINE.json) and surface
+    # >=1.3x slowdowns so a plan regression is visible per query, not
+    # hidden inside the total.
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
+    base = None
+    base_med: dict = {}
+    base_ext_med: dict = {}
     if os.path.exists(base_path):
-        base = json.load(open(base_path))
-        if base.get("sf") == sf:
-            base_ext = base.get("extended", {})
+        b = json.load(open(base_path))
+        if b.get("sf") == sf:
+            base = b
+            base_med = b.get("medians", {})
+            base_ext_med = b.get("extended_medians", {})
 
-            # Flag only when BOTH the ratio (>1.3x) and the absolute
-            # delta (>0.15 s) exceed their floors: sub-second queries
-            # are job-overhead-dominated at sf0.1, and measured
-            # run-to-run spread on this host is ~±0.08 s even for a
-            # byte-identical plan (cdc1 read 0.123–0.32 s across
-            # sessions in round 5 with zero code change) — a pure-ratio
-            # bar turns that timer noise into phantom regressions for
-            # every query under ~0.5 s while real plan regressions on
-            # them still clear 0.15 s.
-            def regressed(now: float, b: float) -> bool:
-                return now > 1.3 * b and now - b > 0.15
+    # Flag only when BOTH the ratio (>1.3x) and the absolute
+    # delta (>0.15 s) exceed their floors: sub-second queries
+    # are job-overhead-dominated at sf0.1, and measured
+    # run-to-run spread on this host is ~±0.08 s even for a
+    # byte-identical plan (cdc1 read 0.123–0.32 s across
+    # sessions in round 5 with zero code change) — a pure-ratio
+    # bar turns that timer noise into phantom regressions for
+    # every query under ~0.5 s while real plan regressions on
+    # them still clear 0.15 s.
+    def regressed(now: float, b: float) -> bool:
+        return now > 1.3 * b and now - b > 0.15
 
-            base_med = base.get("medians", {})
-            base_ext_med = base.get("extended_medians", {})
+    def check(n: str, bmed: dict) -> dict | None:
+        """Median-vs-baseline-median ONLY (r9: the min-vs-min fallback
+        is dropped — every baselined query carries a median, and a
+        query with no baseline entry is new: it gets a baseline
+        recorded, not a flag)."""
+        bm = bmed.get(n)
+        cm = stats.get(n, {}).get("median")
+        if bm is None or cm is None:
+            return None
+        if regressed(cm, bm):
+            return {
+                "median": cm,
+                "baseline_median": bm,
+                "min": timings.get(n, extended.get(n)),
+            }
+        return None
 
-            def check(n: str, t: float, b: float, bmed: dict) -> dict | None:
-                """Median-vs-median when the baseline carries a median
-                for this query (the robust estimator under ambient
-                noise); min-vs-min fallback otherwise."""
-                bm = bmed.get(n)
-                cm = stats.get(n, {}).get("median")
-                if bm is not None and cm is not None:
-                    if regressed(cm, bm):
-                        return {
-                            "now": t,
-                            "baseline": b,
-                            "median": cm,
-                            "baseline_median": bm,
-                        }
-                    return None
-                return {"now": t, "baseline": b} if regressed(t, b) else None
+    def find_regressions() -> dict:
+        found = {}
+        for n in timings:
+            r = check(n, base_med)
+            if r:
+                found[n] = r
+        # the LLM-pipeline representatives regress too: track them
+        # against the baseline's extended_medians map so a scale
+        # hazard (e.g. round 2's j10) is visible round-over-round
+        for n in extended:
+            r = check(n, base_ext_med)
+            if r:
+                found[n] = r
+        return found
 
-            def find_regressions() -> dict:
-                out = {}
-                for n, t in timings.items():
-                    if n in base["queries"]:
-                        r = check(n, t, base["queries"][n], base_med)
-                        if r:
-                            out[n] = r
-                # the LLM-pipeline representatives regress too: track
-                # them against the baseline's extended map so a scale
-                # hazard (e.g. round 2's j10) is visible round-over-round
-                for n, t in extended.items():
-                    if n in base_ext:
-                        r = check(n, t, base_ext[n], base_ext_med)
-                        if r:
-                            out[n] = r
-                return out
+    if base is not None:
+        # RE-CHECK every flagged query, twice if needed, at the end
+        # of the run: transient JVM phases (GC, code-cache churn
+        # kicked off by a neighboring heavyweight) can inflate one
+        # query's entire warmup+timed turn 2x — measured: two
+        # consecutive full runs flagged two DISJOINT sets of sub-2s
+        # queries, every one clean in isolation. Pass 1 re-times
+        # in-process (clears phase spikes). Pass 2, for queries
+        # still flagged, re-times in a FRESH subprocess — measured:
+        # a ~55-query process accumulates state (full code cache,
+        # reused Python workers) that can keep one query 40% over
+        # its fresh-process floor for the rest of the process
+        # lifetime, and the fresh floor is the number that scales.
+        # A genuine plan regression stays slow through both passes.
+        # Both passes keep the per-query protocol (warmup + min of
+        # consecutive timed runs) so floors stay comparable.
+        def fold_in(n: str, t2: float, s2: dict | None = None) -> None:
+            if n in timings:
+                timings[n] = min(timings[n], t2)
+            else:
+                extended[n] = min(extended[n], t2)
+            if s2:
+                merge_stats(n, s2)
 
-            regressions = find_regressions()
-            # RE-CHECK every flagged query, twice if needed, at the end
-            # of the run: transient JVM phases (GC, code-cache churn
-            # kicked off by a neighboring heavyweight) can inflate one
-            # query's entire warmup+timed turn 2x — measured: two
-            # consecutive full runs flagged two DISJOINT sets of sub-2s
-            # queries, every one clean in isolation. Pass 1 re-times
-            # in-process (clears phase spikes). Pass 2, for queries
-            # still flagged, re-times in a FRESH subprocess — measured:
-            # a ~55-query process accumulates state (full code cache,
-            # reused Python workers) that can keep one query 40% over
-            # its fresh-process floor for the rest of the process
-            # lifetime, and the fresh floor is the number that scales.
-            # A genuine plan regression stays slow through both passes.
-            # Both passes keep the per-query protocol (warmup + min of
-            # consecutive timed runs) so floors stay comparable.
-            def fold_in(n: str, t2: float, s2: dict | None = None) -> None:
-                if n in timings:
-                    timings[n] = min(timings[n], t2)
-                else:
-                    extended[n] = min(extended[n], t2)
-                if s2:
-                    merge_stats(n, s2)
-
-            for n in list(regressions):
-                fold_in(n, bench_query(n, 3))
-            regressions = find_regressions()
-            if regressions and not os.environ.get("SPARK_GRAFT_NO_RECHECK"):
-                for n in list(regressions):
-                    r = retime_in_subprocess(n)
-                    if r is not None:
-                        fold_in(n, r[0], r[1])
-            total = round(sum(timings.values()), 3)
-            out["value"] = total
-            out["queries"] = timings
-            out["extended"] = extended
-            regressions = find_regressions()
-            out["baseline_total"] = base["total"]
-            out["regressions"] = regressions
+        for n in list(find_regressions()):
+            fold_in(n, bench_query(n, 3))
+        still = find_regressions()
+        if still and not os.environ.get("SPARK_GRAFT_NO_RECHECK"):
+            for n in list(still):
+                r = retime_in_subprocess(n)
+                if r is not None:
+                    fold_in(n, r[0], r[1])
     # --- bench-environment guard (VERDICT r7 #8) -------------------------
     # A headline query whose BEST pass still has spread/median > 0.3
     # (and > 0.1 s absolute — sub-0.1 s spreads are bare timer jitter)
@@ -431,12 +454,28 @@ def main() -> None:
                     else:
                         stats[n]["max_spread"] = r[1]["max_spread"]
                         stats[n]["n"] = r[1]["n"]
-        out["value"] = round(sum(timings.values()), 3)
         noisy = noisy_headline()
     env_guard["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     env_guard["n_procs_end"] = len(
         [p for p in os.listdir("/proc") if p.isdigit()]
     )
+    # finalize — AFTER every retiming pass (regression re-check, noisy
+    # guard), so the committed value/queries/regressions are consistent
+    # with the final timings (ADVICE r8 #3)
+    out["queries"] = med_map(timings)
+    out["value"] = round(sum(out["queries"].values()), 3)
+    out["extended"] = med_map(extended)
+    out["queries_min"] = timings
+    out["extended_min"] = extended
+    out["stats"] = stats  # per-query median-of-N + spread (§14.3 protocol)
+    if base is not None:
+        out["regressions"] = find_regressions()
+        # baseline total over the same query set and the same estimator
+        # (sum of baseline medians), so value/baseline_total is a
+        # like-for-like ratio even on subset runs
+        out["baseline_total"] = round(
+            sum(base_med[n] for n in timings if n in base_med), 3
+        )
     out["env"] = env_guard
     out["noisy_queries"] = noisy
     unreliable = len(noisy) >= 3
@@ -459,6 +498,7 @@ def main() -> None:
         json.dump(out, f, indent=1)
     compact = {
         "metric": out["metric"],
+        "headline": out["headline"],
         "value": out["value"],
         "unit": out["unit"],
         "queries": out["queries"],
