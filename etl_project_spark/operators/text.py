@@ -1379,11 +1379,17 @@ LM7_V = 500  # top-V ranks fitted per language
         FROM pts GROUP BY lang
     )
     SELECT lang, CAST(n AS BIGINT) AS n_ranks,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-               AS zipf_intercept,
-           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+           CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6)
+           END AS zipf_intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0 THEN
+               ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
     FROM s
     """,
 )
@@ -1430,16 +1436,25 @@ def lm7_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Degenerate-fit guard (ADVICE r8): a language whose top-V holds a
+    # single rank (den_x = 0) or constant frequencies (den_y = 0) has no
+    # OLS fit — Spark's double/0 yields NaN/±Infinity while DuckDB may
+    # differ, so BOTH engines emit NULL (the CASE in the oracle above).
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    # slope is NULL when den_x = 0, and NULL propagates through the
+    # intercept arithmetic, matching the oracle's paired CASE arms
+    slope = F.when(den_x != 0, (n * sxy - sx * sy) / den_x)
     return s.select(
         "lang",
         n.cast("long").alias("n_ranks"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
         F.round(
-            (n * sxy - sx * sy)
-            * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            F.when(
+                den_x * den_y != 0,
+                (n * sxy - sx * sy) * (n * sxy - sx * sy) / (den_x * den_y),
+            ),
             6,
         ).alias("r2"),
     )

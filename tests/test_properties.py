@@ -539,7 +539,17 @@ def test_zipf_slope_detects_powerlaw(spark, tmp_path):
             F.array_repeat(F.concat(F.lit("u"), F.col("id")), 7), " "
         ).alias("text"),
     )
-    docs.unionAll(uni).write.parquet(str(tmp_path / "documents.parquet"))
+    # degenerate: one token TYPE in the whole language → a single rank,
+    # so the OLS denominator n·sxx − sx² is exactly 0 (x = ln(1) = 0)
+    # and the fit must be NULL in both engines (ADVICE r8 guard)
+    dg = spark.range(601, 611).select(
+        F.col("id").alias("doc_id"),
+        F.lit("dg").alias("lang"),
+        F.lit("same same same").alias("text"),
+    )
+    docs.unionAll(uni).unionAll(dg).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
     got = {
         r["lang"]: r
         for r in get("lm7_zipf_slope").fn(spark, str(tmp_path)).collect()
@@ -550,3 +560,7 @@ def test_zipf_slope_detects_powerlaw(spark, tmp_path):
     assert -1.1 < got["pl"]["zipf_slope"] < -0.85, got["pl"]
     assert got["pl"]["r2"] > 0.98
     assert abs(got["un"]["zipf_slope"]) < 0.01, got["un"]
+    assert got["dg"]["n_ranks"] == 1
+    assert got["dg"]["zipf_slope"] is None
+    assert got["dg"]["zipf_intercept"] is None
+    assert got["dg"]["r2"] is None
