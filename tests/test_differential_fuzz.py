@@ -1530,3 +1530,102 @@ def test_random_explode_unnest_differential(doc_engines, aggs, pred, group):
     spdf = spark.sql(spark_sql).toPandas()
     opdf = con.sql(duck_sql).df()
     assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
+
+# Grammar 26 (r9): LATERAL VIEW OUTER / posexplode — the null-padding
+# and position semantics grammar 25 can't see (its explode is inner and
+# positionless). A filter() lambda over the token array makes EMPTY
+# arrays genuinely common (every token shorter than the drawn cutoff),
+# so the OUTER branch actually pads: Spark's LATERAL VIEW OUTER
+# posexplode emits one (NULL pos, NULL tok) row per empty array, which
+# DuckDB reproduces as LEFT JOIN LATERAL over the lockstep
+# UNNEST + generate_subscripts pair (verified: pads NULL/NULL the same
+# way; CROSS JOIN LATERAL is the inner twin). Dialect guardrails:
+# position aggregates are CAST AS BIGINT in the shared text (Spark pos
+# is INT, DuckDB's subscripts are BIGINT, and DuckDB SUM would go
+# HUGEINT); COUNT(tok) vs COUNT(*) is deliberately in the pool — the
+# pad rows make them differ, which is exactly the OUTER semantics
+# under test.
+_G26_ARRS = [
+    # (spark array expr, duckdb array expr) — same semantics
+    (
+        "split(lower(text), ' ')",
+        "str_split(lower(text), ' ')",
+    ),
+] + [
+    (
+        f"filter(split(lower(text), ' '), x -> length(x) > {k})",
+        f"list_filter(str_split(lower(text), ' '), x -> length(x) > {k})",
+    )
+    for k in (3, 5, 7)
+]
+_G26_COMMON_AGGS = [
+    "COUNT(*) AS n_rows",
+    "COUNT(tok) AS n_toks",
+    "COUNT(DISTINCT tok) AS n_types",
+    "MIN(tok) AS mn_tok",
+    "MAX(tok) AS mx_tok",
+]
+_G26_POS_AGGS = [
+    "CAST(MAX(pos) AS BIGINT) AS mx_pos",
+    "CAST(SUM(pos) AS BIGINT) AS sum_pos",
+    "COUNT(pos) AS n_pos",
+]
+
+
+@given(
+    arr=st.sampled_from(_G26_ARRS),
+    outer=st.booleans(),
+    use_pos=st.booleans(),
+    aggs=st.data(),
+    pred=st.sampled_from(_EXPLODE_PREDS),
+    group=st.sampled_from([None, "lang", "doc_id"]),
+)
+@settings(
+    max_examples=32,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_lateral_outer_posexplode_differential(
+    doc_engines, arr, outer, use_pos, aggs, pred, group
+):
+    """Spark LATERAL VIEW [OUTER] explode/posexplode vs DuckDB
+    [LEFT|CROSS] JOIN LATERAL UNNEST with lockstep subscripts: random
+    array expression (incl. lambda filters that empty out), outer-ness,
+    position-ness, aggregate subset, predicate and grouping — compared
+    exactly after aggregation."""
+    spark, con = doc_engines
+    arr_s, arr_d = arr
+    pool = _G26_COMMON_AGGS + (_G26_POS_AGGS if use_pos else [])
+    sel = ", ".join(
+        aggs.draw(
+            st.lists(st.sampled_from(pool), min_size=1, max_size=3,
+                     unique=True)
+        )
+    )
+    where = f" WHERE {pred}" if pred else ""
+    gcols = f"{group}, " if group else ""
+    gby = f" GROUP BY {group}" if group else ""
+    lv = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
+    gen = (
+        f"posexplode(arr) t AS pos, tok" if use_pos
+        else "explode(arr) t AS tok"
+    )
+    inner_cols = "doc_id, lang, pos, tok" if use_pos else "doc_id, lang, tok"
+    spark_sql = (
+        f"SELECT {gcols}{sel} FROM (SELECT {inner_cols} FROM "
+        f"(SELECT doc_id, lang, {arr_s} AS arr FROM documents{where}) "
+        f"{lv} {gen}){gby}"
+    )
+    join = (
+        "LEFT JOIN LATERAL" if outer else "CROSS JOIN LATERAL"
+    )
+    on = " ON true" if outer else ""
+    duck_sql = (
+        f"SELECT {gcols}{sel} FROM (SELECT d.doc_id, d.lang, u.pos, u.tok "
+        f"FROM (SELECT doc_id, lang, {arr_d} AS arr FROM documents{where}) d "
+        f"{join} (SELECT UNNEST(d.arr) AS tok, "
+        f"generate_subscripts(d.arr, 1) - 1 AS pos) u{on}){gby}"
+    )
+    spdf = spark.sql(spark_sql).toPandas()
+    opdf = con.sql(duck_sql).df()
+    assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
