@@ -204,6 +204,26 @@ def test_shingle_relation_shared_across_prefix_join_family(spark, sf_dir):
         assert "Scan ExistingRDD" in stats.plan, (name, stats.plan)
 
 
+def test_lsh_pair_relation_shared_across_consumers(spark, sf_dir):
+    """Eight operators consume the verified LSH pair relation; each
+    used to re-derive and re-persist its own copy, so an operator's
+    wall-time depended on whether a neighbor's cached plan fragments
+    were live (dd10: 0.62 s warm vs 1.7 s solo — r8's 'noise-shaped'
+    drift was cache-hit luck). Pin the deterministic form: one memoized
+    materialized relation per (application, sf_dir, fingerprint), and
+    the graph consumers' final plans read the checkpoint, never the
+    parquet, for the edge side."""
+    from etl_project_spark.operators.dedup import _lsh_pairs_memo
+
+    p1 = _lsh_pairs_memo(spark, sf_dir)
+    p2 = _lsh_pairs_memo(spark, sf_dir)
+    assert p1 is p2
+    for name in ("dd10_dup_graph_stats", "dd7_dup_clusters"):
+        df = all_queries()[name](spark, sf_dir)
+        stats = assert_scalable(df)
+        assert "Scan ExistingRDD" in stats.plan, (name, stats.plan)
+
+
 def test_pp7_corpus_scanned_once(spark, sf_dir):
     """pp7: the exploded token stream is materialized before feeding
     the vocab aggregate and the scoring join (lm2's pin, same reason) —
