@@ -1886,3 +1886,107 @@ def pp14_context_window_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("split_pad_frac"),
     )
+
+
+# --- pp15: dedup-aware source mixture -----------------------------------------
+
+
+def _pp15_oracle() -> str:
+    from etl_project_spark.operators.dedup import _CC_CLUSTERS_SQL
+
+    return f"""
+    WITH clusters AS ({_CC_CLUSTERS_SQL}),
+    m AS (
+        SELECT d.source,
+               LEN(str_split(lower(d.text), ' ')) AS n_toks,
+               CASE WHEN d.doc_id = c.cluster_id THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN clusters c USING (doc_id)
+    ), per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(kept * n_toks) AS BIGINT) AS kept_tokens
+        FROM m GROUP BY source
+    ), tot AS (SELECT SUM(kept_tokens) AS total_kept FROM per)
+    SELECT source, n_docs, n_kept, n_tokens, kept_tokens,
+           CAST(kept_tokens AS DOUBLE) / total_kept AS kept_token_share,
+           CASE WHEN kept_tokens > 0
+                THEN CAST(n_tokens AS DOUBLE) / kept_tokens
+           END AS dup_inflation
+    FROM per, tot
+    """
+
+
+@register("pp15_dedup_weighted_mixture", oracle=_pp15_oracle())
+def pp15_dedup_weighted_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE MIXTURE ON POST-DEDUP MASS — pp4's report recomputed on
+    what SURVIVES near-dup collapse: per source, raw vs canonical doc
+    and token counts, the source's share of the DEDUPED corpus (the
+    number a mixture planner must weight by — a feed that is 40%
+    internal duplicates contributes far less unique mass than its raw
+    row count claims), and its dup_inflation factor (raw/kept tokens —
+    how much raw accounting overstates the feed). Complements dq5
+    (which reports removability RATES for QA): this emits the
+    mixture-planning weights themselves. Canonical choice is dd7's
+    min-doc_id convention, so the kept set is exactly dd7's cluster
+    representatives.
+
+    Shape: the memoized verified pair relation (shared with
+    dd7/dd9/dd10/dq5 — computed once per session) feeds
+    connected-components; ONE corpus scan projects (source, n_toks),
+    joins the bounded component labels, and aggregates per source; the
+    global total is an unpartitioned window over the O(sources)
+    relation. Divisions are single IEEE ops over exact integers —
+    bit-identical across engines; dup_inflation is NULL-guarded in both
+    engines for a source with no canonical docs (lm7's degenerate-fit
+    rule)."""
+    from etl_project_spark.operators.dedup import (
+        _lsh_pairs_memo,
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _lsh_pairs_memo(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    comp = connected_components(edges)
+    m = (
+        docs.select("doc_id", "source", F.size(_tokens()).alias("n_toks"))
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "source",
+            "n_toks",
+            (
+                F.col("doc_id")
+                == F.coalesce(F.col("component"), F.col("doc_id"))
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+    per = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum(F.col("kept") * F.col("n_toks"))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "n_tokens",
+        "kept_tokens",
+        (
+            F.col("kept_tokens")
+            / F.sum("kept_tokens").over(tot)
+        ).alias("kept_token_share"),
+        F.when(
+            F.col("kept_tokens") > 0,
+            F.col("n_tokens") / F.col("kept_tokens"),
+        ).alias("dup_inflation"),
+    )

@@ -2024,3 +2024,102 @@ def x16_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= X16_TAU)
         .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
     )
+
+
+# --- x17: binary (sign) quantization + Hamming top-k -------------------------
+
+X17_BITS = 48  # sign bits packed per vector (< 63: the packed BIGINT
+# stays positive, so <<'s sign bit is never touched in either engine)
+X17_K = 5
+
+
+@register(
+    "x17_hamming_topk",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                              THEN (CAST(1 AS BIGINT) << i)
+                              ELSE CAST(0 AS BIGINT) END
+                              FOR i IN generate_series(0, {X17_BITS - 1})])
+                    AS BIGINT) AS sig
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, sig AS qs FROM sig
+        WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT vec_id AS neighbor_id, sig AS cs FROM sig
+        WHERE vec_id >= {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, hamming, nn_rank FROM (
+        SELECT query_id, neighbor_id,
+               CAST(bit_count(xor(qs, cs)) AS BIGINT) AS hamming,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY bit_count(xor(qs, cs)), neighbor_id
+               ) AS nn_rank
+        FROM q CROSS JOIN c
+    ) WHERE nn_rank <= {X17_K}
+    """,
+)
+def x17_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED top-k — the third point on the ANN
+    compression spectrum after int8 (x7) and PQ (x9): each vector
+    collapses to {X17_BITS} sign bits packed into ONE BIGINT, and
+    similarity becomes popcount(xor) — the binary-quantization trick
+    serving stacks use to cut a 100 TB float corpus to ~0.4% of its
+    bytes and scan it at memory bandwidth (Hamming distance lower-
+    bounds angular distance for sign vectors, so the binary pass is
+    the shortlist stage and exact cosine reranks — x1's role here is
+    played by the integer scan itself). Everything is integer
+    arithmetic: the packed signature, the xor, the popcount and the
+    rank are bit-identical across engines, so unlike x3/x4/x9 this
+    compressed path is fully hash-checkable, no recall argument
+    needed.
+
+    Shape: one scan builds signatures (zip_with over a constant weight
+    array — scan-local, no shuffle), the query side broadcasts, and
+    ranking shuffles (query_id, 8-byte sig) pairs only — the
+    candidate's float embedding never moves. At 100 TB the signature
+    relation is the persisted index (sources/tables.py's IVF pattern)
+    and the crossJoin becomes the per-bucket probe scan."""
+    weights = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(X17_BITS)]
+    )
+    signs = F.transform(
+        F.slice("embedding", 1, X17_BITS), lambda x: (x > 0).cast("long")
+    )
+    packed = F.aggregate(
+        F.zip_with(signs, weights, lambda s, w: s * w),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    sig = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", packed.alias("sig")
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qs")
+    )
+    c = sig.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("cs")
+    )
+    ham = F.bit_count(F.col("qs").bitwiseXOR(F.col("cs")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            ham.cast("long").alias("hamming"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.row_number().over(w).alias("nn_rank"),
+        )
+        .filter(F.col("nn_rank") <= X17_K)
+    )

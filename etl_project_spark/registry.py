@@ -98,14 +98,17 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r9 window (generated from artifacts through round 8): the 18
-# remaining rows last attested r4 (w5, ts2/3/5, rollup/cube/grouping
-# sets/pivot, salted agg/join, scalar-fn suites, mm6/mm7, pp1/3/4/6,
-# lm1, rk4, an6, a4, a6, dq3) plus the oldest 32 of the 48-row r5
-# block — the TPC-H anchors q1–q22, sq1, and joins j1–j3; the rest of
-# the r5 block (j4–j9, dd1–dd8 core, bpe1/2, lm2, pp7, sd1, ts6,
-# tx4/6/9) queues for r10.
+# r9 window (generated from artifacts through round 8): the two ops
+# new in r9 (x17 Hamming top-k, pp15 dedup-aware mixture —
+# never-attested, scheduled first by policy), the 18 remaining rows
+# last attested r4 (w5, ts2/3/5, rollup/cube/grouping sets/pivot,
+# salted agg/join, scalar-fn suites, mm6/mm7, pp1/3/4/6, lm1, rk4,
+# an6, a4, a6, dq3) plus the oldest 30 of the 48-row r5 block — the
+# TPC-H anchors q1–q22, sq1, and j1; the rest of the r5 block (j2–j9,
+# dd1–dd8 core, bpe1/2, lm2, pp7, sd1, ts6, tx4/6/9) queues for r10.
 _FRONT_QUERIES = [
+    "x17_hamming_topk",
+    "pp15_dedup_weighted_mixture",
     "w5_moving_avg",
     "ts2_sliding_10min",
     "ts3_session_window",
@@ -154,8 +157,6 @@ _FRONT_QUERIES = [
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "j1_broadcast_dim_join",
-    "j2_fact_fact_join",
-    "j3_semi_join",
 ]
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
