@@ -319,3 +319,41 @@ def test_split_leakage_audit_story(spark, sf_dir):
     assert rows["doc_hash"].n_pairs == rows["cluster_hash"].n_pairs
     assert rows["cluster_hash"].n_cross_pairs == 0
     assert 0 <= rows["doc_hash"].n_cross_pairs <= rows["doc_hash"].n_pairs
+
+
+def test_x17_hamming_topk_matches_numpy(spark, sf_dir):
+    """x17's packed-BIGINT popcount ranking must equal a from-scratch
+    numpy recomputation: pack the same 48 sign bits, brute-force
+    Hamming, rank with the same (hamming, neighbor_id) tie-break.
+    Integer arithmetic end-to-end, so the match is exact."""
+    import numpy as np
+
+    from etl_project_spark.catalog import load_table
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    bits = similarity.X17_BITS
+    sig = {
+        vid: int(
+            sum(1 << i for i in range(bits) if v[i] > 0)
+        )
+        for vid, v in emb.items()
+    }
+    expect = set()
+    queries = [v for v in sig if v < similarity.N_QUERIES]
+    cands = [v for v in sig if v >= similarity.N_QUERIES]
+    for q in queries:
+        scored = sorted(
+            ((bin(sig[q] ^ sig[c]).count("1"), c) for c in cands)
+        )[: similarity.X17_K]
+        for rank, (h, c) in enumerate(scored, start=1):
+            expect.add((q, c, h, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.hamming, r.nn_rank)
+        for r in get("x17_hamming_topk").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

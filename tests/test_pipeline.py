@@ -449,3 +449,64 @@ def test_pp10_trim_agrees_with_pp9_mask(spark, sf_dir):
             len(r["trimmed_text"].split(" ")) if r["trimmed_text"] else 0
         )
         assert n_text_tokens == r["n_kept"], r
+
+
+def test_pp15_mixture_matches_union_find(spark, sf_dir):
+    """pp15's per-source kept mass must equal an independent Python
+    union-find over the verified near-dup pairs with the same
+    min-doc_id canonical rule, and its shares/ratios must satisfy the
+    conservation identities (shares sum to 1, inflation >= 1)."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.dedup import _lsh_pairs_memo
+    from etl_project_spark.registry import get
+
+    docs = [
+        (r.doc_id, r.source, len(r.text.lower().split(" ")))
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in _lsh_pairs_memo(spark, sf_dir).collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            # min-doc_id canonical: smaller root wins
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    per: dict = {}
+    for doc_id, source, n_toks in docs:
+        kept = find(doc_id) == doc_id
+        s = per.setdefault(
+            source, {"n_docs": 0, "n_kept": 0, "n_tokens": 0, "kept_tokens": 0}
+        )
+        s["n_docs"] += 1
+        s["n_tokens"] += n_toks
+        if kept:
+            s["n_kept"] += 1
+            s["kept_tokens"] += n_toks
+    rows = get("pp15_dedup_weighted_mixture").fn(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(per)
+    total_kept = sum(s["kept_tokens"] for s in per.values())
+    share_sum = 0.0
+    for r in rows:
+        e = per[r.source]
+        assert (r.n_docs, r.n_kept, r.n_tokens, r.kept_tokens) == (
+            e["n_docs"],
+            e["n_kept"],
+            e["n_tokens"],
+            e["kept_tokens"],
+        ), r.source
+        assert abs(r.kept_token_share - e["kept_tokens"] / total_kept) < 1e-12
+        share_sum += r.kept_token_share
+        if r.kept_tokens > 0:
+            assert r.dup_inflation >= 1.0
+        else:
+            assert r.dup_inflation is None
+    assert abs(share_sum - 1.0) < 1e-9
