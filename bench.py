@@ -143,6 +143,12 @@ EXTENDED_QUERIES = [
     "dd12_containment_pairs",
     "dq12_corpus_diff",
     "w8_range_frame_trailing_hour",
+    # r9 additions
+    "x17_hamming_topk",
+    "pp15_dedup_weighted_mixture",
+    "lm8_cross_source_entropy",
+    "ts10_seasonal_decomposition",
+    "km2_simplified_silhouette",
 ]
 
 

@@ -525,3 +525,110 @@ def x11_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@register(
+    "km2_simplified_silhouette",
+    oracle=_km_oracle_ctes()
+    + f""", dist AS (
+        SELECT e.vec_id, c.cl, {_DIST} AS d
+        FROM e0 e CROSS JOIN c{KM_ITERS - 1} c
+    ), ab AS (
+        SELECT vec_id,
+               arg_min(cl, d * {KM_K} + cl) AS cluster,
+               MIN(d) AS a
+        FROM dist GROUP BY vec_id
+    ), bm AS (
+        SELECT dist.vec_id, MIN(dist.d) AS b
+        FROM dist JOIN ab USING (vec_id)
+        WHERE dist.cl <> ab.cluster
+        GROUP BY dist.vec_id
+    ), sil AS (
+        SELECT ab.cluster, ab.a, bm.b,
+               CASE WHEN GREATEST(ab.a, bm.b) = 0 THEN 0.0
+                    ELSE CAST(bm.b - ab.a AS DOUBLE)
+                         / GREATEST(ab.a, bm.b) END AS s
+        FROM ab JOIN bm USING (vec_id)
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(s), 6) AS mean_silhouette,
+           ROUND(MIN(s), 6) AS min_silhouette,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misfit
+    FROM sil GROUP BY cluster
+    """,
+)
+def km2_simplified_silhouette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE per km1 cluster — the clustering-quality
+    gate a curation pipeline reads before trusting cluster-level
+    decisions (sd1's dedup scope, cluster-balanced sampling): for each
+    vector, a = distance to its OWN final centroid, b = distance to
+    the nearest OTHER centroid, s = (b - a) / max(a, b) in [-1, 1].
+    The centroid-based form (Hruschka et al.) replaces full
+    silhouette's O(n^2) neighbor scan with O(n * k) — the only
+    version that exists at corpus scale. Per cluster: member count,
+    mean and worst silhouette, and how many members sit closer to a
+    FOREIGN centroid (s < 0 — Lloyd at a fixed iteration budget can
+    leave such points; n_misfit counts them honestly).
+
+    Shape: one Arrow kernel pass computes every vector's full
+    distance row against the broadcast KM_K x dim centroid matrix
+    (km1's final state, memoized — no re-iteration), emitting
+    (cluster, a, b) per vector; ONE hash aggregate reduces to KM_K
+    rows. Engine parity: a and b are exact int64 sums (the km1
+    quantization rule), the assignment reuses the packed
+    dist*K + cl tie-break, and s is a single IEEE division of exact
+    integers — only the per-cluster means need ROUND(6) (sum-order
+    drift ~1e-14). The oracle replays the identical Lloyd state via
+    the unrolled CTEs. Reference parity: extension scope (SURVEY
+    §2h X3)."""
+    clusters, C = _kmeans_final_state(spark, sf_dir)
+    embq = _quantized(spark, sf_dir)
+    bC = embq.sparkSession.sparkContext.broadcast((clusters, C))
+
+    def kernel(batches):
+        cls, cen = bC.value
+        cls = np.array(cls, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            diff = M[:, None, :] - cen[None, :, :]
+            d = (diff * diff).sum(axis=2)
+            packed = d * KM_K + cls[None, :]
+            own = np.argmin(packed, axis=1)
+            rows = np.arange(len(M))
+            a = d[rows, own]
+            masked = d.copy()
+            masked[rows, own] = np.iinfo(np.int64).max
+            b = masked.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster": cls[own],
+                    "a": a,
+                    "b": b,
+                }
+            )
+
+    ab = embq.mapInPandas(
+        kernel, schema="cluster long, a long, b long"
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a"))
+        / F.greatest("a", "b").cast("double")
+    )
+    return (
+        ab.select("cluster", s.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+            F.sum((F.col("s") < 0).cast("int"))
+            .cast("long")
+            .alias("n_misfit"),
+        )
+    )

@@ -1443,3 +1443,105 @@ def rk8_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(log_prob, 4).alias("log_prob"),
         )
     )
+
+
+@register(
+    "lm8_cross_source_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT source, u.w
+        FROM documents, UNNEST(str_split(lower(text), ' ')) AS u(w)
+    ), cnt AS (
+        SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w
+    ), tot AS (
+        SELECT source, SUM(c) AS n FROM cnt GROUP BY source
+    ), vocab AS (
+        SELECT COUNT(DISTINCT w) AS v FROM cnt
+    ), inter AS (
+        SELECT tr.source AS ts, ev.source AS es,
+               SUM(ev.c * LN(tr.c + 1)) AS s
+        FROM cnt tr JOIN cnt ev USING (w)
+        GROUP BY tr.source, ev.source
+    )
+    SELECT t1.source AS train_source, t2.source AS eval_source,
+           CAST(t2.n AS BIGINT) AS n_eval_tokens,
+           ROUND(LN(t1.n + v.v) - COALESCE(i.s, 0) / t2.n, 6)
+               AS cross_entropy
+    FROM tot t1 CROSS JOIN tot t2 CROSS JOIN vocab v
+    LEFT JOIN inter i ON i.ts = t1.source AND i.es = t2.source
+    """,
+)
+def lm8_cross_source_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE-TO-SOURCE CROSS-ENTROPY MATRIX — the domain-similarity
+    signal mixture planners (DoReMi / DSIR-style data selection) weight
+    by: train an add-one-smoothed unigram LM on each source, score
+    every source's token stream under every LM, and emit the S x S
+    matrix (diagonal = each source's own entropy; a low off-diagonal
+    cell means the train source transfers to the eval domain). With
+    add-one smoothing over the shared corpus vocabulary V,
+        CE(s, e) = ln(N_s + V) - (1/N_e) * sum_w n_ew * ln(c_sw + 1),
+    and the sum runs ONLY over words present in BOTH sources (c_sw = 0
+    contributes ln(1) = 0) — so the corpus-sized token stream never
+    enters a pairwise stage.
+
+    Shape: ONE corpus scan aggregates (source, word) counts —
+    map-side partials collapse the token stream before the single
+    vocab-keyed shuffle — and that vocabulary-sized relation is
+    MATERIALIZED (lm2's checkpoint discipline: the explode subtree
+    would otherwise re-scan the corpus for each of its three
+    consumers). The matrix itself is a self-join of that relation on
+    word (per-word fan-out bounded by S^2, S = #sources), aggregated
+    straight to S x S rows; totals and vocab size are O(S) + scalar
+    relations cross-joined back in. At 100 TB nothing beyond the
+    (source, word) aggregate ever shuffles, and that relation is
+    exactly the distilled per-domain LM you'd persist. Engine parity:
+    counts are exact integers; the LN sum is order-independent to
+    ~1e-15 relative and ROUND(6) absorbs it (lm2's rule). Reference
+    parity: extension scope (SURVEY §2h X4)."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    cnt = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = cnt.select(F.countDistinct("w").alias("v"))
+    inter = (
+        cnt.alias("tr")
+        .join(cnt.alias("ev"), "w")
+        .groupBy(
+            F.col("tr.source").alias("ts"), F.col("ev.source").alias("es")
+        )
+        .agg(
+            F.sum(F.col("ev.c") * F.log(F.col("tr.c") + 1)).alias("s")
+        )
+    )
+    t1 = tot.select(
+        F.col("source").alias("train_source"), F.col("n").alias("n_tr")
+    )
+    t2 = tot.select(
+        F.col("source").alias("eval_source"), F.col("n").alias("n_ev")
+    )
+    ce = F.log(F.col("n_tr") + F.col("v")) - F.coalesce(
+        F.col("s"), F.lit(0.0)
+    ) / F.col("n_ev")
+    return (
+        t1.crossJoin(t2)
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            inter,
+            (F.col("train_source") == F.col("ts"))
+            & (F.col("eval_source") == F.col("es")),
+            "left",
+        )
+        .select(
+            "train_source",
+            "eval_source",
+            F.col("n_ev").cast("long").alias("n_eval_tokens"),
+            F.round(ce, 6).alias("cross_entropy"),
+        )
+    )

@@ -610,3 +610,166 @@ def ts9_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st[1], 6).alias("holt_trend"),
         F.round(st[0] + st[1], 6).alias("forecast_1"),
     )
+
+
+TS10_HALF = 12  # half-width of the classical 2x24 centered MA
+TS10_Q = 1_000_000  # micro-unit quantization (km1's integer-exact rule)
+
+
+@register(
+    "ts10_seasonal_decomposition",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(FLOOR(value * {TS10_Q} + 0.5) AS BIGINT))
+                    AS BIGINT) AS sq,
+               COUNT(*) AS n_events
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), hq AS (
+        SELECT h, n_events,
+               CAST(FLOOR(CAST(sq AS DOUBLE) / n_events + 0.5)
+                    AS BIGINT) AS mq
+        FROM hourly
+    ), seq AS (
+        SELECT h, n_events, mq,
+               CAST(SUM(mq) OVER (ORDER BY h ROWS BETWEEN {TS10_HALF}
+                    PRECEDING AND {TS10_HALF - 1} FOLLOWING)
+                  + SUM(mq) OVER (ORDER BY h ROWS BETWEEN {TS10_HALF - 1}
+                    PRECEDING AND {TS10_HALF} FOLLOWING) AS BIGINT) AS t48,
+               COUNT(*) OVER (ORDER BY h ROWS BETWEEN {TS10_HALF}
+                    PRECEDING AND {TS10_HALF} FOLLOWING) AS wn
+        FROM hq
+    ), t AS (
+        SELECT h, n_events, mq,
+               CASE WHEN wn = {2 * TS10_HALF + 1} THEN t48 END AS t48
+        FROM seq
+    ), si AS (
+        SELECT EXTRACT(hour FROM h) AS hod,
+               CAST(FLOOR(CAST(SUM({4 * TS10_HALF} * mq - t48) AS DOUBLE)
+                          / COUNT(*) + 0.5) AS BIGINT) AS sq48
+        FROM t WHERE t48 IS NOT NULL GROUP BY 1
+    ), s AS (
+        SELECT hod,
+               24 * sq48 - (SELECT CAST(SUM(sq48) AS BIGINT) FROM si)
+                   AS seasq
+        FROM si
+    )
+    SELECT t.h AS bucket_hour,
+           CAST(t.n_events AS BIGINT) AS n_events,
+           t.mq / {float(TS10_Q)} AS value_mean,
+           t.t48 / {float(4 * TS10_HALF * TS10_Q)} AS trend,
+           s.seasq / {float(24 * 4 * TS10_HALF * TS10_Q)} AS seasonal,
+           t.mq / {float(TS10_Q)}
+               - t.t48 / {float(4 * TS10_HALF * TS10_Q)}
+               - s.seasq / {float(24 * 4 * TS10_HALF * TS10_Q)}
+               AS residual
+    FROM t JOIN s ON EXTRACT(hour FROM t.h) = s.hod
+    """,
+)
+def ts10_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASSICAL ADDITIVE SEASONAL DECOMPOSITION (the moving-average
+    method behind STL's initialization): the hourly event series
+    splits into trend + seasonal + residual. Trend is the textbook
+    2x24 centered moving average for an even period (half-weighted
+    endpoints, expressed as the sum of the two offset 24-row window
+    sums), defined only where the full 25-row window exists; the
+    seasonal index is the hour-of-day mean of the detrended series,
+    de-meaned so the components are identifiable; residual is what
+    remains. The residual is the input an anomaly gate (ts7's
+    z-score) should consume instead of the raw series — otherwise
+    the daily cycle itself trips the detector.
+
+    Engine parity is the hard part and uses km1's integer-exact
+    rule end-to-end: values quantize once to micro-units
+    (floor(v*1e6 + 0.5), exact int64), so every sum in the plan —
+    the hourly sum, the two 24-row MA window sums, the per-hour-of-
+    day seasonal sums — is associative integer arithmetic that no
+    engine's aggregation order can perturb (the first cut summed
+    DOUBLES in the MA windows, and DuckDB's segment-tree windowed
+    sum vs Spark's frame scan produced 1e-14 drift that flipped
+    ROUND(6) boundaries at sf0.001). Rational means re-quantize
+    through floor(sum/n + 0.5) (exact inputs -> deterministic IEEE
+    division -> exact int), and only the FINAL published columns
+    divide back to doubles — single divisions of identical exact
+    integers, bit-identical everywhere, so no ROUND is needed at
+    all.
+
+    Shape: ONE shuffle aggregates events to calendar-hour buckets
+    (map-side partials collapse the stream); everything after runs
+    on the hourly relation, whose size is bounded by the CALENDAR
+    (24 rows/day — ~9k rows/decade), not the corpus, so the
+    unpartitioned ordered window is safe at any data volume (the
+    house rule's bounded-relation clause). The 24-row seasonal
+    index broadcasts back. Reference parity: extension scope
+    (SURVEY §2h X5)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    vq = F.floor(F.col("value") * TS10_Q + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(vq).alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    hq = hourly.select(
+        "h",
+        "n_events",
+        F.floor(
+            F.col("sq").cast("double") / F.col("n_events") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq"),
+    )
+    half = TS10_HALF
+    w_lo = Window.orderBy("h").rowsBetween(-half, half - 1)
+    w_hi = Window.orderBy("h").rowsBetween(-(half - 1), half)
+    w_full = Window.orderBy("h").rowsBetween(-half, half)
+    t48 = F.sum("mq").over(w_lo) + F.sum("mq").over(w_hi)
+    t = hq.select(
+        "h",
+        "n_events",
+        "mq",
+        F.when(
+            F.count(F.lit(1)).over(w_full) == 2 * half + 1, t48
+        ).alias("t48"),
+    )
+    si = (
+        t.filter(F.col("t48").isNotNull())
+        .groupBy(F.hour("h").alias("hod"))
+        .agg(
+            F.floor(
+                F.sum(F.lit(4 * half) * F.col("mq") - F.col("t48"))
+                .cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sq48")
+        )
+    )
+    s = si.select(
+        "hod",
+        (
+            F.lit(24) * F.col("sq48")
+            - F.sum("sq48").over(Window.partitionBy())
+        ).alias("seasq"),
+    )
+    value_mean = F.col("mq") / F.lit(float(TS10_Q))
+    trend = F.col("t48") / F.lit(float(4 * half * TS10_Q))
+    seasonal = F.col("seasq") / F.lit(float(24 * 4 * half * TS10_Q))
+    return (
+        t.join(F.broadcast(s), F.hour(F.col("h")) == F.col("hod"))
+        .select(
+            F.col("h").alias("bucket_hour"),
+            "n_events",
+            value_mean.alias("value_mean"),
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (value_mean - trend - seasonal).alias("residual"),
+        )
+    )

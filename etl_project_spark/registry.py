@@ -98,17 +98,21 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r9 window (generated from artifacts through round 8): the two ops
-# new in r9 (x17 Hamming top-k, pp15 dedup-aware mixture —
+# r9 window (generated from artifacts through round 8): the five ops
+# new in r9 (x17 Hamming top-k, pp15 dedup-aware mixture, ts10
+# seasonal decomposition, lm8 cross-source entropy, km2 silhouette —
 # never-attested, scheduled first by policy), the 18 remaining rows
 # last attested r4 (w5, ts2/3/5, rollup/cube/grouping sets/pivot,
 # salted agg/join, scalar-fn suites, mm6/mm7, pp1/3/4/6, lm1, rk4,
-# an6, a4, a6, dq3) plus the oldest 30 of the 48-row r5 block — the
-# TPC-H anchors q1–q22, sq1, and j1; the rest of the r5 block (j2–j9,
-# dd1–dd8 core, bpe1/2, lm2, pp7, sd1, ts6, tx4/6/9) queues for r10.
+# an6, a4, a6, dq3) plus the oldest 27 of the 48-row r5 block — the
+# TPC-H anchors; the rest of the r5 block (j1–j9, q7/q20/q21, dd1–dd8
+# core, bpe1/2, lm2, pp7, sd1, ts6, tx4/6/9) queues for r10.
 _FRONT_QUERIES = [
     "x17_hamming_topk",
+    "ts10_seasonal_decomposition",
     "pp15_dedup_weighted_mixture",
+    "lm8_cross_source_entropy",
+    "km2_simplified_silhouette",
     "w5_moving_avg",
     "ts2_sliding_10min",
     "ts3_session_window",
@@ -154,10 +158,8 @@ _FRONT_QUERIES = [
     "q11_important_parts",
     "q12_late_shipments",
     "q17_small_qty_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "j1_broadcast_dim_join",
 ]
+
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is
 # held at exactly the driver's ~50-row cap, so this is never reached

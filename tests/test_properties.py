@@ -564,3 +564,133 @@ def test_zipf_slope_detects_powerlaw(spark, tmp_path):
     assert got["dg"]["zipf_slope"] is None
     assert got["dg"]["zipf_intercept"] is None
     assert got["dg"]["r2"] is None
+
+
+def test_cross_source_entropy_matches_python(spark, sf_dir):
+    """lm8's S x S matrix must equal a from-scratch Python
+    recomputation of add-one-smoothed unigram cross-entropy, and the
+    diagonal must be each source's own (lowest-transfer-surprise)
+    model applied to itself."""
+    import math
+    from collections import Counter, defaultdict
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import get
+
+    cnt: dict = defaultdict(Counter)
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    ):
+        cnt[r.source].update(r.text.lower().split(" "))
+    vocab = len({w for c in cnt.values() for w in c})
+    tot = {s: sum(c.values()) for s, c in cnt.items()}
+    rows = get("lm8_cross_source_entropy").fn(spark, sf_dir).collect()
+    assert len(rows) == len(cnt) ** 2
+    for r in rows:
+        tr, ev = cnt[r.train_source], cnt[r.eval_source]
+        n_ev = tot[r.eval_source]
+        assert r.n_eval_tokens == n_ev
+        expect = math.log(tot[r.train_source] + vocab) - (
+            sum(c * math.log(tr[w] + 1) for w, c in ev.items() if w in tr)
+            / n_ev
+        )
+        assert abs(r.cross_entropy - expect) < 1e-5, (
+            r.train_source,
+            r.eval_source,
+        )
+
+
+def test_seasonal_decomposition_identities(spark, sf_dir):
+    """ts10 invariants: the additive identity holds exactly on every
+    full-window row, trend is null exactly on the 12-row edges of the
+    observed hourly sequence, the de-meaned seasonal indexes sum to
+    ~0, and value_mean reproduces the quantized hourly average."""
+    import math
+    from collections import defaultdict
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.timeseries import TS10_HALF, TS10_Q
+    from etl_project_spark.registry import get
+
+    rows = sorted(
+        get("ts10_seasonal_decomposition").fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket_hour,
+    )
+    n = len(rows)
+    for i, r in enumerate(rows):
+        on_edge = i < TS10_HALF or i >= n - TS10_HALF
+        assert (r.trend is None) == on_edge, (i, r)
+        if r.trend is not None:
+            assert r.residual == r.value_mean - r.trend - r.seasonal
+    # seasonal is one de-meaned value per hour-of-day
+    by_hod = {}
+    for r in rows:
+        by_hod.setdefault(r.bucket_hour.hour, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in by_hod.values())
+    assert abs(sum(next(iter(v)) for v in by_hod.values())) < 1e-9
+    # value_mean replays the micro-quantized hourly average
+    acc = defaultdict(lambda: [0, 0])
+    for e in (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "value")
+        .filter("value is not null")
+        .collect()
+    ):
+        a = acc[e.ts.replace(minute=0, second=0, microsecond=0)]
+        a[0] += math.floor(e.value * TS10_Q + 0.5)
+        a[1] += 1
+    for r in rows:
+        sq, cnt = acc[r.bucket_hour]
+        assert r.value_mean == math.floor(sq / cnt + 0.5) / TS10_Q
+        assert r.n_events == cnt
+
+
+def test_simplified_silhouette_matches_numpy(spark, sf_dir):
+    """km2's per-cluster stats must equal a numpy recomputation from
+    the raw embeddings + km1's final centroids, and every cluster's
+    mean silhouette must be sane ([-1, 1], members partition the
+    corpus)."""
+    import numpy as np
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.clustering import (
+        KM_K,
+        KM_QSCALE,
+        _kmeans_final_state,
+    )
+    from etl_project_spark.registry import get
+
+    cls, C = _kmeans_final_state(spark, sf_dir)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    M = np.floor(
+        np.array([r.embedding for r in emb], dtype=np.float64) * KM_QSCALE
+        + 0.5
+    ).astype(np.int64)
+    d = ((M[:, None, :] - np.asarray(C)[None, :, :]) ** 2).sum(axis=2)
+    cls = np.asarray(cls, dtype=np.int64)
+    own = np.argmin(d * KM_K + cls[None, :], axis=1)
+    rows = np.arange(len(M))
+    a = d[rows, own]
+    masked = d.copy()
+    masked[rows, own] = np.iinfo(np.int64).max
+    b = masked.min(axis=1)
+    denom = np.maximum(a, b)
+    s = np.where(denom == 0, 0.0, (b - a) / np.maximum(denom, 1))
+    got = {
+        r.cluster: r
+        for r in get("km2_simplified_silhouette").fn(spark, sf_dir).collect()
+    }
+    assert sum(r.n_members for r in got.values()) == len(M)
+    for k, r in got.items():
+        mask = cls[own] == k
+        assert r.n_members == mask.sum()
+        assert abs(r.mean_silhouette - round(s[mask].mean(), 6)) <= 1e-6
+        assert abs(r.min_silhouette - round(s[mask].min(), 6)) <= 1e-6
+        assert r.n_misfit == (s[mask] < 0).sum()
+        assert -1 <= r.min_silhouette <= r.mean_silhouette <= 1
