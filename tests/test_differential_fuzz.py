@@ -1629,3 +1629,65 @@ def test_random_lateral_outer_posexplode_differential(
     spdf = spark.sql(spark_sql).toPandas()
     opdf = con.sql(duck_sql).df()
     assert _canon(spdf) == _canon(opdf), (spark_sql, duck_sql)
+
+
+# ---- grammar 27: random window FRAMES (ROWS / RANGE bounds) ----------------
+# w8 introduced the RANGE-frame surface; this grammar fuzzes the whole
+# frame-specification lattice — ROWS vs RANGE, every start/end bound
+# combination, random offsets, random partitioning — with integer-exact
+# aggregates over a quantized value so no engine's windowed-sum
+# evaluation order (DuckDB segment tree vs Spark frame scan) can drift
+# the comparison. ORDER BY event_id is unique, so RANGE peers are
+# singletons and both frame types are total-order deterministic.
+
+_G27_PARTS = ["", "PARTITION BY user_id % 7 ", "PARTITION BY event_type "]
+_G27_AGGS = [
+    "CAST(SUM(vq) OVER w AS BIGINT) AS w_sum",
+    "COUNT(*) OVER w AS w_cnt",
+    "MIN(vq) OVER w AS w_min",
+    "MAX(vq) OVER w AS w_max",
+    "COUNT(vq) OVER w AS w_nnull",
+]
+
+
+@given(
+    mode=st.sampled_from(["ROWS", "RANGE"]),
+    start=st.sampled_from(["UNBOUNDED PRECEDING", "PRECEDING", "CURRENT ROW"]),
+    end=st.sampled_from(["CURRENT ROW", "FOLLOWING", "UNBOUNDED FOLLOWING"]),
+    n1=st.integers(min_value=0, max_value=25),
+    n2=st.integers(min_value=0, max_value=25),
+    part=st.sampled_from(_G27_PARTS),
+    aggs=st.lists(
+        st.sampled_from(_G27_AGGS), min_size=1, max_size=3, unique=True
+    ),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_frame_differential(
+    event_engines, mode, start, end, n1, n2, part, aggs
+):
+    """Frame-specification lattice compared exactly: ROWS and RANGE
+    with every bound combination and random integer offsets (RANGE
+    offsets are in ORDER-BY units over the unique event_id). One SQL
+    string runs on both engines; aggregates are integer-exact."""
+    spark, con = event_engines
+    # RANGE offsets in event_id units scale by 40 so frames actually
+    # straddle a varying number of rows within each partition
+    k1, k2 = (n1 * 40, n2 * 40) if mode == "RANGE" else (n1, n2)
+    lo = f"{k1} PRECEDING" if start == "PRECEDING" else start
+    hi = f"{k2} FOLLOWING" if end == "FOLLOWING" else end
+    sql = (
+        "SELECT event_id, "
+        + ", ".join(aggs)
+        + " FROM (SELECT event_id, user_id, event_type,"
+        " CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq FROM events)"
+        f" WINDOW w AS ({part}ORDER BY event_id"
+        f" {mode} BETWEEN {lo} AND {hi})"
+    )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
