@@ -779,3 +779,97 @@ def test_containment_prefix_join_at_200k_docs(spark, tmp_path):
         # direction: odd (small, 21 tokens) contained in even (big)
         assert r["doc_src"] % 2 == 1 and r["doc_dst"] == r["doc_src"] - 1
         assert r["containment"] == 1.0
+
+
+def test_seasonal_decomposition_recovers_planted_cycle_at_10m(
+    spark, tmp_path
+):
+    """ts10 on 10M synthetic events spanning ~10 years (~87,600 hourly
+    buckets, 40x the sf0.1 series): a pure 24h cycle value = 100 +
+    10*hour_of_day decomposes EXACTLY — constant trend 215, seasonal
+    10*hod - 115, residual 0 — because every stage is integer-exact
+    and a periodic series' every contiguous 24-hour sum is identical.
+    Catches blowups in the hourly aggregate and the unpartitioned
+    calendar-bounded window that the one-month corpus can't."""
+    n = N  # 10M events, one every 32s
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_500_000_000) + F.col("id") * 32
+        ).alias("ts"),
+        (
+            F.lit(100.0)
+            + 10.0
+            * F.hour(
+                F.timestamp_seconds(F.lit(1_500_000_000) + F.col("id") * 32)
+            )
+        ).alias("value"),
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+
+    from etl_project_spark.registry import get
+
+    t0 = time.time()
+    rows = get("ts10_seasonal_decomposition").fn(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 180, f"ts10 took {elapsed:.0f}s at 10M events"
+    # every hour between the first and last event observed (the span's
+    # first and last hours are partial but still bucketed)
+    t_first, t_last = 1_500_000_000, 1_500_000_000 + (n - 1) * 32
+    assert len(rows) == t_last // 3600 - t_first // 3600 + 1
+    n_trend = 0
+    for r in rows:
+        hod = r.bucket_hour.hour
+        assert r.value_mean == 100.0 + 10.0 * hod
+        assert r.seasonal == 10.0 * hod - 115.0
+        if r.trend is not None:
+            n_trend += 1
+            assert r.trend == 215.0
+            assert r.residual == 0.0
+    assert n_trend == len(rows) - 24  # exactly the 2x12 edge rows lack trend
+
+
+def test_cross_source_entropy_closed_form_at_200k_docs(spark, tmp_path):
+    """lm8 on a 200k-doc synthetic corpus with a 50,001-word vocabulary
+    and closed-form cross-entropies: 10 sources, each doc = one shared
+    token 'c' + one source-private token (5,000 per source, 4
+    occurrences each). Off-diagonal cells see ONLY the shared token;
+    the diagonal adds the private mass. Catches vocab-join blowups and
+    any corpus-sized relation leaking into the pairwise stage."""
+    import math
+
+    n_docs = 200_000
+    s = F.col("id") % 10
+    # private-token index from id/10 so it is INDEPENDENT of the
+    # source digit (id%10 and id%5000 share the factor 10 — the naive
+    # pairing gives each source a disjoint 500-token vocabulary)
+    text = F.concat(
+        F.lit("c s"),
+        s,
+        F.lit("_t"),
+        F.floor(F.col("id") / 10) % 5000,
+    )
+    spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        s.cast("string").alias("source"),
+        text.alias("text"),
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from etl_project_spark.registry import get
+
+    t0 = time.time()
+    rows = get("lm8_cross_source_entropy").fn(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"lm8 took {elapsed:.0f}s at 200k docs"
+    assert len(rows) == 100
+    n_s = 2 * (n_docs // 10)  # tokens per source
+    vocab = 10 * 5000 + 1
+    ce_cross = math.log(n_s + vocab) - 0.5 * math.log(n_docs // 10 + 1)
+    ce_self = ce_cross - 0.5 * math.log(4 + 1)
+    for r in rows:
+        assert r.n_eval_tokens == n_s
+        expect = ce_self if r.train_source == r.eval_source else ce_cross
+        assert abs(r.cross_entropy - expect) < 1e-6, (
+            r.train_source,
+            r.eval_source,
+        )
