@@ -563,3 +563,114 @@ def test_hll_rollup_prunes_merges_and_appends(spark, sf_dir):
     assert round(
         query_hll_rollup(spark, table=table, days=days), 4
     ) == round(est_week, 4)
+
+
+def test_hamming_index_exact_topk_with_pruning(spark, sf_dir):
+    """Persisted Hamming index: the two-pass bound-certified probe must
+    equal a from-scratch numpy brute force BIT-FOR-BIT (this index is
+    exact, unlike IVF), and the query scan must carry a bucket
+    partition filter. On THIS corpus the k-th distances (~15-24 bits)
+    exceed the 8-bit prefix bound's ceiling, so the certificate
+    honestly degenerates to scanning every bucket of the 8-byte
+    signature relation — the near-dup regime where it prunes is
+    pinned in test_hamming_index_incremental_append."""
+    import numpy as np
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.similarity import (
+        HAM_BUCKET_BITS,
+        N_QUERIES,
+        X17_BITS,
+        build_hamming_index,
+        hamming_signatures,
+        query_hamming_index,
+    )
+
+    k = 5
+    build_hamming_index(spark, sf_dir, table="ham_test_idx")
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in hamming_signatures(spark, sf_dir).collect()
+    }
+    queries = [(v, sigs[v]) for v in sorted(sigs) if v < N_QUERIES]
+    stats: dict = {}
+    got_df = query_hamming_index(
+        spark, queries, k=k, table="ham_test_idx", probe_stats=stats
+    )
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan, plan
+    got = {
+        (r["query_id"], r["neighbor_id"], r["hamming"], r["nn_rank"])
+        for r in got_df.collect()
+    }
+    expect = set()
+    for qid, qs in queries:
+        scored = sorted(
+            (bin(qs ^ s).count("1"), v)
+            for v, s in sigs.items()
+            if v != qid
+        )[:k]
+        for rank, (h, v) in enumerate(scored, start=1):
+            expect.add((qid, v, h, rank))
+    assert got == expect
+    # far-neighbor regime: the certificate must NOT skip any bucket
+    # (skipping here would be an exactness bug, not a win)
+    assert stats["total_buckets"] == 1 << HAM_BUCKET_BITS
+    assert stats["pass2_union_buckets"] == stats["total_buckets"], stats
+
+
+def test_hamming_index_incremental_append(spark, sf_dir):
+    """append_to_hamming_index: new vectors land in the SAME bucket the
+    build-time packer would assign (sign quantization has no trained
+    state), the count returns, and a re-query sees them."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.similarity import (
+        HAM_BUCKET_BITS,
+        X17_BITS,
+        append_to_hamming_index,
+        build_hamming_index,
+        hamming_signatures,
+        query_hamming_index,
+    )
+
+    build_hamming_index(spark, sf_dir, table="ham_app_idx")
+    before = spark.table("ham_app_idx").count()
+    # clone a handful of existing vectors under fresh ids: their
+    # signatures (and buckets) are known exactly
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    newv = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(
+            (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+        )
+    )
+    n = append_to_hamming_index(spark, newv, table="ham_app_idx")
+    assert n == 4
+    after = spark.table("ham_app_idx")
+    assert after.count() == before + 4
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in hamming_signatures(spark, sf_dir).collect()
+    }
+    appended = {
+        r["vec_id"]: (r["sig"], r["bucket"])
+        for r in after.filter(F.col("vec_id") > max_id).collect()
+    }
+    for ov in range(4):
+        sig, bucket = appended[ov + max_id + 1]
+        assert sig == sigs[ov]
+        assert bucket == sig >> (X17_BITS - HAM_BUCKET_BITS)
+    # a clone is Hamming-0 from its original: it must take rank 1
+    # (clone ids sort above the original's other rank-1 ties only if
+    # distance ties — distance 0 beats everything except other exact
+    # duplicates)
+    stats: dict = {}
+    got = query_hamming_index(
+        spark, [(0, sigs[0])], k=1, table="ham_app_idx", probe_stats=stats
+    ).collect()
+    assert got[0]["hamming"] == 0
+    # near-dup regime: a distance-0 neighbor certifies d_k = 0, so
+    # pass 2 probes ONLY the buckets whose prefix bound is 0 — one
+    # directory out of 256 (this is where the bound-pruned index pays)
+    assert stats["pass2_union_buckets"] == 1, stats
