@@ -873,3 +873,48 @@ def cms_cell_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hourly_quantized_stream(events: DataFrame) -> DataFrame:
+    """Streaming hourly state for seasonal decomposition — the
+    incrementally-maintainable half of batch ts10: per calendar hour,
+    the running (Σ floor(value*1e6 + 0.5), count) pair is updated
+    across micro-batches and re-emitted on update. Integer sums are
+    associative, so ANY slicing of the stream into micro-batches
+    replays to the exact batch hourly relation (the same quantization
+    that makes ts10 engine-portable makes its state order-free); the
+    decomposition tail (centered MA + seasonal index) is a bounded
+    batch query over the latest snapshot — the classic lambda split,
+    with state O(calendar hours) forever (24 keys/day; use a
+    watermark-style eviction for multi-decade streams)."""
+    from etl_project_spark.operators.timeseries import TS10_Q
+
+    from pyspark.sql import functions as F
+
+    vq = F.floor(F.col("value") * TS10_Q + F.lit(0.5)).cast("long")
+    hb = (
+        events.filter(F.col("value").isNotNull())
+        .select(F.date_trunc("hour", "ts").alias("h"), vq.alias("vq"))
+    )
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        sq, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            sq += int(pdf["vq"].sum())
+            n += len(pdf)
+        state.update((sq, n))
+        yield pd.DataFrame(
+            {"h": [key[0]], "sq": [sq], "n_events": [n]}
+        )
+
+    return hb.groupBy("h").applyInPandasWithState(
+        update,
+        outputStructType="h timestamp, sq long, n_events long",
+        stateStructType="sq long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

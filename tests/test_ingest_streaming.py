@@ -1317,3 +1317,115 @@ def test_stateful_totals_invariant_under_random_slicing(
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_hourly_state_matches_batch_ts10(spark, sf_dir, tmp_path):
+    """Replaying the event stream through hourly_quantized_stream must
+    reproduce batch ts10's hourly relation EXACTLY — same quantized
+    sums, same counts — and the published value_mean re-derives from
+    the streaming snapshot through the identical floor(sq/n + 0.5)
+    re-quantization. Integer state makes this bit-exact under any
+    micro-batch slicing."""
+    import math
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.timeseries import TS10_Q
+    from etl_project_spark.registry import all_queries
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    src_dir = str(tmp_path / "ts10_src")
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.hourly_quantized_stream(stream)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_ts10"), output_mode="update",
+        queryName="ts10_state",
+    )
+    # last emission per hour = the hour's final (sq, n) state
+    got = {
+        r["h"]: (r["sq"], r["n_events"])
+        for r in spark.sql(
+            "SELECT h, max_by(sq, n_events) AS sq,"
+            " MAX(n_events) AS n_events FROM ts10_state GROUP BY h"
+        ).collect()
+    }
+    vq = F.floor(F.col("value") * TS10_Q + F.lit(0.5)).cast("long")
+    want = {
+        r["h"]: (r["sq"], r["n"])
+        for r in ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(vq).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the batch operator's published per-hour stats re-derive from the
+    # streaming snapshot through the same re-quantization
+    ts10 = {
+        r["bucket_hour"]: (r["value_mean"], r["n_events"])
+        for r in all_queries()["ts10_seasonal_decomposition"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(ts10) == set(got)
+    for h, (sq, n) in got.items():
+        assert ts10[h] == (math.floor(sq / n + 0.5) / TS10_Q, n)
+
+
+@given(n_slices=st.integers(2, 5), salt=st.integers(0, 7))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_hourly_state_invariant_under_random_slicing(
+    spark, sf_dir, tmp_path, n_slices, salt
+):
+    """hourly_quantized_stream's integer state is a commutative monoid,
+    so its final per-hour (sq, n) must equal the batch aggregate under
+    every hash-drawn micro-batch slicing — the docstring's any-slicing
+    claim, fuzzed."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.timeseries import TS10_Q
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    tag = f"h{n_slices}_{salt}"
+    src = str(tmp_path / f"hslice_src_{tag}")
+    slicer = F.pmod(
+        F.xxhash64(F.col("event_id") + F.lit(salt)), F.lit(n_slices)
+    )
+    for i in range(n_slices):
+        ev.filter(slicer == i).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = sp.file_event_stream(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    out = stateful.hourly_quantized_stream(stream.select("ts", "value"))
+    qn = f"hslice_fuzz_{tag}"
+    sp.run_available_now(
+        out, str(tmp_path / f"ck_hslice_{tag}"), output_mode="update",
+        queryName=qn,
+    )
+    got = {
+        r["h"]: (r["sq"], r["n_events"])
+        for r in spark.sql(
+            f"SELECT h, max_by(sq, n_events) AS sq,"
+            f" MAX(n_events) AS n_events FROM {qn} GROUP BY h"
+        ).collect()
+    }
+    vq = F.floor(F.col("value") * TS10_Q + F.lit(0.5)).cast("long")
+    want = {
+        r["h"]: (r["sq"], r["n"])
+        for r in ev.filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(vq).alias("sq"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
