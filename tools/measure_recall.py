@@ -133,7 +133,17 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
         "neighbor_id",
     )
     out: dict[str, dict] = {}
-    for name in ("x3_lsh_bucketed_topk", "x4_ivf_topk", "x9_pq_topk"):
+    # x17 rides the same metric with a different meaning: its Hamming
+    # ranking is EXACT over the 48-bit signatures (hash-green in the
+    # differential gate), so this row quantifies what SIGN QUANTIZATION
+    # itself costs vs float cosine — the compression/recall trade, not
+    # an index approximation (r9 handoff #5)
+    for name in (
+        "x3_lsh_bucketed_topk",
+        "x4_ivf_topk",
+        "x9_pq_topk",
+        "x17_hamming_topk",
+    ):
         approx = pair_set(
             get(name).fn(spark, sf_dir), "query_id", "neighbor_id"
         )
@@ -142,7 +152,62 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
             "exact_pairs": len(exact),
             "returned_pairs": len(approx),
         }
+    out["x17_hamming_shortlist_rerank"] = x17_rerank_recall(
+        spark, sf_dir, exact
+    )
     return out
+
+
+def x17_rerank_recall(
+    spark, sf_dir: str, exact: set[tuple], shortlist: int = 200
+) -> dict:
+    """x17's DOCUMENTED serving pattern: the binary scan is the
+    shortlist stage and exact cosine reranks — raw signature recall
+    (the x17 row above) prices the compression alone, this row prices
+    the full pipeline. Shortlist = {shortlist} binary candidates per
+    query (PQ_SHORTLIST's convention), rerank by float cosine, take
+    TOP_K; set recall vs x1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        X17_BITS,
+    )
+
+    rows = sorted(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.vstack([r["e"] for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    bits = (M[:, :X17_BITS] > 0).astype(np.uint64)
+    weights = (1 << np.arange(X17_BITS, dtype=np.uint64))
+    sigs = (bits * weights).sum(axis=1)
+    got: set[tuple] = set()
+    for qi in np.nonzero(ids < N_QUERIES)[0]:
+        ham = np.array(
+            [bin(int(sigs[qi]) ^ int(s)).count("1") for s in sigs]
+        )
+        cand = np.argsort(ham * len(ids) + np.arange(len(ids)))
+        cand = [c for c in cand if ids[c] >= N_QUERIES][:shortlist]
+        sims = Mn[cand] @ Mn[qi]
+        order = np.argsort(-sims, kind="stable")[:TOP_K]
+        for o in order:
+            got.add((int(ids[qi]), int(ids[cand[o]])))
+    return {
+        "recall_at_k": round(len(got & exact) / len(exact), 4),
+        "shortlist": shortlist,
+        "exact_pairs": len(exact),
+        "returned_pairs": len(got),
+    }
 
 
 def sd1_recall(spark, sf_dir: str) -> dict:
