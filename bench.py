@@ -149,6 +149,7 @@ EXTENDED_QUERIES = [
     "lm8_cross_source_entropy",
     "ts10_seasonal_decomposition",
     "km2_simplified_silhouette",
+    "a15_mrl_quantile_sketch",
 ]
 
 

@@ -30,6 +30,8 @@ this is the extension mandate's scale-aggregation family.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -470,3 +472,189 @@ def query_hll_rollup(
     if v > 0 and e_raw <= 2.5 * HLL_M:
         return float(HLL_M) * math.log(float(HLL_M) / v)
     return e_raw
+
+
+# --- a15: MRL fold-tree quantile sketch, replayable ---------------------------
+
+MRL_B = 64  # level-0 buffers (6-level fixed fold tree)
+MRL_LEVELS = 6
+MRL_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _a15_oracle() -> str:
+    h = _DUCK_HEX_FOLD.format(
+        expr="CAST(l_orderkey AS VARCHAR) || '-' "
+        "|| CAST(l_linenumber AS VARCHAR)"
+    )
+    parts = [
+        f"""
+    WITH l0 AS (
+        SELECT l_extendedprice AS value,
+               l_orderkey * 8 + l_linenumber AS tid,
+               CAST({h} AS BIGINT) % {MRL_B} AS bucket
+        FROM lineitem
+    )"""
+    ]
+    for lv in range(1, MRL_LEVELS + 1):
+        parts.append(f""", l{lv} AS (
+        SELECT bucket, value, tid FROM (
+            SELECT CAST(FLOOR(bucket / 2) AS BIGINT) AS bucket, value, tid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY CAST(FLOOR(bucket / 2) AS BIGINT)
+                       ORDER BY value, tid) AS rn
+            FROM l{lv - 1}
+        ) WHERE rn % 2 = 1
+    )""")
+    w = 1 << MRL_LEVELS
+    qs_rows = ", ".join(f"({p})" for p in MRL_QS)
+    parts.append(f""", fin AS (
+        SELECT value, ROW_NUMBER() OVER (ORDER BY value, tid) AS i
+        FROM l{MRL_LEVELS}
+    ), stats AS (
+        SELECT COUNT(*) AS n FROM lineitem
+    ), fstats AS (
+        SELECT MAX(i) AS fmax FROM fin
+    ), targets AS (
+        SELECT p,
+               LEAST(GREATEST(CAST(CEIL(p * stats.n / {w} + 0.5)
+                                   AS BIGINT), 1), fstats.fmax) AS i
+        FROM (VALUES {qs_rows}) AS q(p), stats, fstats
+    ), est AS (
+        SELECT t.p, f.value AS est_value,
+               (f.i - 0.5) * {w} AS est_rank
+        FROM targets t JOIN fin f USING (i)
+    )
+    SELECT e.p,
+           e.est_value,
+           e.est_rank,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_extendedprice < e.est_value) AS BIGINT)
+               AS exact_rank,
+           ROUND(ABS((SELECT COUNT(*) FROM lineitem
+                      WHERE l_extendedprice < e.est_value)
+                     - e.p * stats.n) / stats.n, 6) AS rank_err
+    FROM est e, stats
+    """)
+    return "".join(parts)
+
+
+@register("a15_mrl_quantile_sketch", oracle=_a15_oracle())
+def a15_mrl_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MRL fold-tree quantile sketch (Manku-Rajagopalan-Lindsay 1998)
+    — the RANK-ERROR companion to a14's value-error histogram, and
+    the deterministic replayable twin of a7's Greenwald-Khanna path:
+    {MRL_B} md5-assigned level-0 buffers fold pairwise through a FIXED
+    {MRL_LEVELS}-level tree; each merge sorts the pair's union and
+    keeps the odd sorted positions, doubling element weight (exact
+    powers of two). MRL's collapse is deterministic given the buffer
+    partition, and the partition here is md5-derived (the a12/a13
+    hashing rule), so both engines walk the identical tree and the
+    driver's exact hash applies to a QUANTILE SKETCH — a7 itself can
+    only ever be rtol-checked. Published per target quantile:
+    estimated value, its sketch rank, the EXACT rank of that value
+    (one corpus aggregate), and the realized rank error — the sketch
+    carries its own honesty column.
+
+    Scale: level L's window partitions by the destination buffer, so
+    partition size is bounded by ~2·corpus/{MRL_B} rows at the first
+    fold and halves thereafter (compaction keeps summary size flat
+    while weight doubles); at 100 TB pick B ~ the scan's partition
+    count so level-0 buffers are executor-local, exactly MRL's memory
+    model. No global sort anywhere: the only unpartitioned window
+    orders the FINAL ~corpus/{MRL_B}·2^-{MRL_LEVELS}-row summary
+    (bounded-relation rule). Error: MRL guarantees rank error
+    O(log² B / k) with k the buffer size; the published rank_err
+    column measures it per query against ground truth."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("value"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tid"),
+        (
+            _h32(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % MRL_B
+        ).alias("bucket"),
+    )
+    cur = li
+    for _lv in range(MRL_LEVELS):
+        nb = F.floor(F.col("bucket") / 2).cast("long")
+        cur = (
+            cur.select(
+                nb.alias("bucket"),
+                "value",
+                "tid",
+                F.row_number().over(
+                    Window.partitionBy(nb).orderBy("value", "tid")
+                ).alias("rn"),
+            )
+            .filter(F.col("rn") % 2 == 1)
+            .select("bucket", "value", "tid")
+        )
+    weight = 1 << MRL_LEVELS
+    fin = cur.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy("value", "tid"))
+        .alias("i"),
+    )
+    n = li.count()
+    fmax = fin.agg(F.max("i")).collect()[0][0]
+    targets = spark.createDataFrame(
+        [
+            (
+                p,
+                min(
+                    max(int(math.ceil(p * n / weight + 0.5)), 1), fmax
+                ),
+            )
+            for p in MRL_QS
+        ],
+        "p double, i long",
+    )
+    est_rows = sorted(
+        targets.join(F.broadcast(fin), "i")
+        .select(
+            "p",
+            F.col("value").alias("est_value"),
+            ((F.col("i") - 0.5) * weight).alias("est_rank"),
+        )
+        .collect(),
+        key=lambda r: r["p"],
+    )  # bounded: one row per target quantile
+    # exact ranks for all six estimates in ONE conditional-aggregate
+    # corpus pass, kept LAZY so the published plan carries the real
+    # scan (no per-estimate join; the honesty column costs a single
+    # scan at any scale)
+    cnts = li.agg(
+        *[
+            F.sum((F.col("value") < F.lit(r["est_value"])).cast("long"))
+            .alias(f"r{i}")
+            for i, r in enumerate(est_rows)
+        ]
+    )
+    lits = spark.createDataFrame(
+        [
+            (i, r["p"], r["est_value"], r["est_rank"])
+            for i, r in enumerate(est_rows)
+        ],
+        "idx int, p double, est_value double, est_rank double",
+    )
+    exact_rank = F.element_at(
+        F.array(*[F.col(f"r{i}") for i in range(len(est_rows))]),
+        F.col("idx") + 1,
+    )
+    return lits.crossJoin(F.broadcast(cnts)).select(
+        "p",
+        "est_value",
+        "est_rank",
+        exact_rank.alias("exact_rank"),
+        F.round(F.abs(exact_rank - F.col("p") * n) / n, 6).alias(
+            "rank_err"
+        ),
+    )

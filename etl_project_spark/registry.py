@@ -98,20 +98,22 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r9 window (generated from artifacts through round 8): the five ops
+# r9 window (generated from artifacts through round 8): the six ops
 # new in r9 (x17 Hamming top-k, pp15 dedup-aware mixture, ts10
-# seasonal decomposition, lm8 cross-source entropy, km2 silhouette —
-# never-attested, scheduled first by policy), the 18 remaining rows
-# last attested r4 (w5, ts2/3/5, rollup/cube/grouping sets/pivot,
-# salted agg/join, scalar-fn suites, mm6/mm7, pp1/3/4/6, lm1, rk4,
-# an6, a4, a6, dq3) plus the oldest 27 of the 48-row r5 block — the
-# TPC-H anchors; the rest of the r5 block (j1–j9, q7/q20/q21, dd1–dd8
-# core, bpe1/2, lm2, pp7, sd1, ts6, tx4/6/9) queues for r10.
+# seasonal decomposition, lm8 cross-source entropy, a15 MRL quantile
+# sketch, km2 silhouette — never-attested, scheduled first by
+# policy), the 18 remaining rows last attested r4 (w5, ts2/3/5,
+# rollup/cube/grouping sets/pivot, salted agg/join, scalar-fn suites,
+# mm6/mm7, pp1/3/4/6, lm1, rk4, an6, a4, a6, dq3) plus the oldest 26
+# of the 48-row r5 block — the TPC-H anchors; the rest of the r5
+# block (j1–j9, q7/q17/q20/q21, dd1–dd8 core, bpe1/2, lm2, pp7, sd1,
+# ts6, tx4/6/9) queues for r10.
 _FRONT_QUERIES = [
     "x17_hamming_topk",
     "ts10_seasonal_decomposition",
     "pp15_dedup_weighted_mixture",
     "lm8_cross_source_entropy",
+    "a15_mrl_quantile_sketch",
     "km2_simplified_silhouette",
     "w5_moving_avg",
     "ts2_sliding_10min",
@@ -157,8 +159,8 @@ _FRONT_QUERIES = [
     "q9_product_profit",
     "q11_important_parts",
     "q12_late_shipments",
-    "q17_small_qty_revenue",
 ]
+
 
 
 # Module order for everything NOT in _FRONT_QUERIES. The front list is

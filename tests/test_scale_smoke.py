@@ -937,3 +937,33 @@ def test_hamming_index_at_1m_vectors(spark, tmp_path):
         )
     # each query certifies d_k = 0 -> probes only its own-prefix bucket
     assert stats["pass2_union_buckets"] <= 3, stats
+
+
+def test_mrl_sketch_at_10m_rows(spark, tmp_path):
+    """a15's fold tree over a 10M-row synthetic lineitem (values =
+    a bijective scramble of 0..N-1, so exact ranks are closed-form):
+    every published rank_err must stay under the asymptotic MRL band
+    for these buffer sizes (~0.1%) and the fold must finish inside the
+    wall budget. Catches level-window blowups the 6k-row corpus
+    can't."""
+    n = N
+    # (id * 7 + 3) % N is a bijection on [0, N) since gcd(7, N) = 1
+    spark.range(n).select(
+        F.col("id").alias("l_orderkey"),
+        F.lit(1).alias("l_linenumber"),
+        ((F.col("id") * 7 + 3) % n).cast("double").alias(
+            "l_extendedprice"
+        ),
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from etl_project_spark.registry import get
+
+    t0 = time.time()
+    rows = get("a15_mrl_quantile_sketch").fn(spark, str(tmp_path)).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 240, f"a15 took {elapsed:.0f}s at 10M rows"
+    assert len(rows) == 6
+    for r in rows:
+        # value v has exact rank v (bijection onto 0..N-1)
+        assert r.exact_rank == int(r.est_value)
+        assert r.rank_err <= 0.001, (r.p, r.rank_err)

@@ -127,3 +127,65 @@ def test_ann_twins_are_drop_in_compatible(spark, sf_dir):
         from etl_project_spark.operators.similarity import TOP_K
 
         assert all(r["n"] <= TOP_K for r in per_q), (twin, per_q)
+
+
+def test_mrl_sketch_matches_python_fold_and_bounds_error(spark, sf_dir):
+    """a15's fold tree replayed from scratch in Python (hashlib md5
+    buckets, sorted-merge odd-position compaction) must select the
+    identical summary elements, and every published rank_err must stay
+    inside a loose MRL bound for this tree (~2% at the sf0.001 buffer
+    sizes)."""
+    import hashlib
+    import math
+
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators.sketches import (
+        MRL_B,
+        MRL_LEVELS,
+        MRL_QS,
+    )
+    from etl_project_spark.registry import get
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+    buckets: dict[int, list] = {b: [] for b in range(MRL_B)}
+    for r in rows:
+        h = int(
+            hashlib.md5(
+                f"{r.l_orderkey}-{r.l_linenumber}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        buckets[h % MRL_B].append(
+            (r.l_extendedprice, r.l_orderkey * 8 + r.l_linenumber)
+        )
+    cur = buckets
+    for _ in range(MRL_LEVELS):
+        nxt: dict[int, list] = {}
+        for b, els in cur.items():
+            nxt.setdefault(b // 2, []).extend(els)
+        cur = {
+            b: sorted(els)[::2] for b, els in nxt.items()
+        }  # odd sorted positions (1st, 3rd, ... 1-indexed)
+    (final,) = cur.values()
+    fin = sorted(final)
+    w = 1 << MRL_LEVELS
+    n = len(rows)
+    want = {}
+    for p in MRL_QS:
+        i = min(max(int(math.ceil(p * n / w + 0.5)), 1), len(fin))
+        want[p] = fin[i - 1][0]
+    got = {
+        r.p: r
+        for r in get("a15_mrl_quantile_sketch").fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    exact_sorted = sorted(r.l_extendedprice for r in rows)
+    for p, r in got.items():
+        assert r.est_value == want[p], p
+        # published honesty column re-derives
+        exact_rank = sum(1 for v in exact_sorted if v < r.est_value)
+        assert r.exact_rank == exact_rank
+        assert abs(r.rank_err - round(abs(exact_rank - p * n) / n, 6)) == 0
+        assert r.rank_err <= 0.02, (p, r.rank_err)
