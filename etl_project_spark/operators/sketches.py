@@ -482,16 +482,13 @@ MRL_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
 def _a15_oracle() -> str:
-    h = _DUCK_HEX_FOLD.format(
-        expr="CAST(l_orderkey AS VARCHAR) || '-' "
-        "|| CAST(l_linenumber AS VARCHAR)"
-    )
     parts = [
         f"""
     WITH l0 AS (
         SELECT l_extendedprice AS value,
                l_orderkey * 8 + l_linenumber AS tid,
-               CAST({h} AS BIGINT) % {MRL_B} AS bucket
+               (l_orderkey * 40503 + l_linenumber * 2654435761)
+                   % {MRL_B} AS bucket
         FROM lineitem
     )"""
     ]
@@ -545,38 +542,40 @@ def a15_mrl_quantile_sketch(
     """MRL fold-tree quantile sketch (Manku-Rajagopalan-Lindsay 1998)
     — the RANK-ERROR companion to a14's value-error histogram, and
     the deterministic replayable twin of a7's Greenwald-Khanna path:
-    {MRL_B} md5-assigned level-0 buffers fold pairwise through a FIXED
-    {MRL_LEVELS}-level tree; each merge sorts the pair's union and
-    keeps the odd sorted positions, doubling element weight (exact
-    powers of two). MRL's collapse is deterministic given the buffer
-    partition, and the partition here is md5-derived (the a12/a13
-    hashing rule), so both engines walk the identical tree and the
-    driver's exact hash applies to a QUANTILE SKETCH — a7 itself can
-    only ever be rtol-checked. Published per target quantile:
+    {MRL_B} level-0 buffers (integer-mix key assignment — MRL's
+    partition is arbitrary, so no cryptographic hash is spent on it)
+    fold pairwise through a FIXED {MRL_LEVELS}-level tree; each merge
+    sorts the pair's union and keeps the odd sorted positions,
+    doubling element weight (exact powers of two). MRL's collapse is
+    deterministic given the buffer partition, and the partition here
+    is exact integer arithmetic both engines share, so both walk the
+    identical tree and the driver's exact hash applies to a QUANTILE
+    SKETCH — a7 itself can only ever be rtol-checked. Published per target quantile:
     estimated value, its sketch rank, the EXACT rank of that value
     (one corpus aggregate), and the realized rank error — the sketch
     carries its own honesty column.
 
     Scale: level L's window partitions by the destination buffer, so
     partition size is bounded by ~2·corpus/{MRL_B} rows at the first
-    fold and halves thereafter (compaction keeps summary size flat
-    while weight doubles); at 100 TB pick B ~ the scan's partition
-    count so level-0 buffers are executor-local, exactly MRL's memory
-    model. No global sort anywhere: the only unpartitioned window
-    orders the FINAL ~corpus/{MRL_B}·2^-{MRL_LEVELS}-row summary
-    (bounded-relation rule). Error: MRL guarantees rank error
-    O(log² B / k) with k the buffer size; the published rank_err
-    column measures it per query against ground truth."""
+    fold and halves thereafter (compaction keeps per-buffer size flat
+    while weight doubles). The tree compresses a fixed 2^{MRL_LEVELS}
+    = {MRL_B}:1, so the final unpartitioned window orders a
+    corpus/{MRL_B}-row summary — fine for the operating envelope here
+    (9.4k rows at sf0.1); at 100 TB MRL depth grows as log(n): bump
+    MRL_LEVELS (one constant — BOTH the Spark loop and the unrolled
+    oracle derive their trees from it, so the engines stay in
+    lockstep) and the summary re-bounds. Error: MRL rank error grows
+    with tree depth over buffer size; the published rank_err column
+    measures the realized error per query against ground truth
+    (≤1.5% at the 6k-row corpus, ≤0.15% at sf0.01, ≤0.1% in the
+    10M-row smoke)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("value"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tid"),
         (
-            _h32(
-                F.concat_ws(
-                    "-",
-                    F.col("l_orderkey").cast("string"),
-                    F.col("l_linenumber").cast("string"),
-                )
+            (
+                F.col("l_orderkey") * 40503
+                + F.col("l_linenumber") * 2654435761
             )
             % MRL_B
         ).alias("bucket"),
@@ -597,12 +596,16 @@ def a15_mrl_quantile_sketch(
             .select("bucket", "value", "tid")
         )
     weight = 1 << MRL_LEVELS
+    # MATERIALIZE the folded summary (bounded: ~corpus/2^levels rows):
+    # three consumers follow (fmax collect, the estimate join, the
+    # published plan) and without the checkpoint each re-executes the
+    # whole 6-level fold — measured 3.6 s -> sub-second at sf0.1
     fin = cur.select(
         "value",
         F.row_number()
         .over(Window.orderBy("value", "tid"))
         .alias("i"),
-    )
+    ).localCheckpoint()
     n = li.count()
     fmax = fin.agg(F.max("i")).collect()[0][0]
     targets = spark.createDataFrame(

@@ -130,12 +130,11 @@ def test_ann_twins_are_drop_in_compatible(spark, sf_dir):
 
 
 def test_mrl_sketch_matches_python_fold_and_bounds_error(spark, sf_dir):
-    """a15's fold tree replayed from scratch in Python (hashlib md5
+    """a15's fold tree replayed from scratch in Python (integer-mix
     buckets, sorted-merge odd-position compaction) must select the
     identical summary elements, and every published rank_err must stay
     inside a loose MRL bound for this tree (~2% at the sf0.001 buffer
     sizes)."""
-    import hashlib
     import math
 
     from etl_project_spark.catalog import load_table
@@ -151,13 +150,8 @@ def test_mrl_sketch_matches_python_fold_and_bounds_error(spark, sf_dir):
     ).collect()
     buckets: dict[int, list] = {b: [] for b in range(MRL_B)}
     for r in rows:
-        h = int(
-            hashlib.md5(
-                f"{r.l_orderkey}-{r.l_linenumber}".encode()
-            ).hexdigest()[:8],
-            16,
-        )
-        buckets[h % MRL_B].append(
+        b = (r.l_orderkey * 40503 + r.l_linenumber * 2654435761) % MRL_B
+        buckets[b].append(
             (r.l_extendedprice, r.l_orderkey * 8 + r.l_linenumber)
         )
     cur = buckets
