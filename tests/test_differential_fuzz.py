@@ -1691,3 +1691,62 @@ def test_random_window_frame_differential(
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# ---- grammar 28: GROUPING SETS x window composition -------------------------
+# Grammar 10 checks the grouping forms alone; this composes them with a
+# window OVER the super-aggregate result — ranking rows WITHIN each
+# grouping set (partition by the portable grouping-id expression
+# GROUPING(a) + 2*GROUPING(b)). The trap being fuzzed: the two engines
+# disagree on default NULL ordering (Spark ASC = NULLS FIRST, DuckDB
+# ASC = NULLS LAST) and super-aggregate rows are FULL of NULL keys, so
+# every ORDER BY in the window spells its NULLS placement explicitly.
+
+_G28_FORMS = [
+    "ROLLUP (o_orderstatus, o_orderpriority)",
+    "CUBE (o_orderstatus, o_orderpriority)",
+    "GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+    "GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))",
+]
+_G28_AGGS = [
+    "COUNT(*)",
+    "CAST(SUM(o_orderkey) AS BIGINT)",
+    "MIN(o_orderkey)",
+    "COUNT(DISTINCT o_custkey)",
+]
+_G28_RANKS = ["RANK()", "DENSE_RANK()", "ROW_NUMBER()"]
+
+
+@given(
+    form=st.sampled_from(_G28_FORMS),
+    agg=st.sampled_from(_G28_AGGS),
+    rank=st.sampled_from(_G28_RANKS),
+    pred=st.sampled_from(
+        [None, "o_totalprice > 50000.0", "o_orderstatus <> 'F'"]
+    ),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouping_sets_window_differential(engines, form, agg, rank, pred):
+    """Rank super-aggregate rows within their grouping set — one SQL
+    string through both engines, integer-exact measure, explicit NULLS
+    FIRST on every null-bearing order key, ROW_NUMBER tie-broken to a
+    total order."""
+    spark, con = engines
+    where = f" WHERE {pred}" if pred else ""
+    gid = "GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority)"
+    sql = (
+        f"SELECT g_id, o_orderstatus, o_orderpriority, m, "
+        f"{rank} OVER (PARTITION BY g_id ORDER BY m DESC,"
+        f" o_orderstatus ASC NULLS FIRST,"
+        f" o_orderpriority ASC NULLS FIRST) AS rnk "
+        f"FROM (SELECT {gid} AS g_id, o_orderstatus, o_orderpriority,"
+        f" {agg} AS m FROM orders{where} GROUP BY {form})"
+    )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
