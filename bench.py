@@ -150,6 +150,7 @@ EXTENDED_QUERIES = [
     "ts10_seasonal_decomposition",
     "km2_simplified_silhouette",
     "a15_mrl_quantile_sketch",
+    "dq13_column_profile_diff",
 ]
 
 

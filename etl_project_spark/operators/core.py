@@ -1420,3 +1420,137 @@ def dq12_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_unchanged"),
         F.sum("tok_delta").alias("token_delta"),
     )
+
+
+# --- dq13: column-profile release diff ---------------------------------------
+
+DQ13_COLS = ("text", "lang", "source", "n_chars")
+
+
+def _dq13_oracle() -> str:
+    metric_selects = []
+    for col in DQ13_COLS:
+        length = (
+            f"AVG(LEN({col}))" if col != "n_chars" else f"AVG({col})"
+        )
+        metric_selects.append(f"""
+        SELECT '{col}' AS column_name, 'n_distinct' AS metric,
+               CAST(COUNT(DISTINCT {col}) AS DOUBLE) AS v,
+               0 AS which FROM ref
+        UNION ALL
+        SELECT '{col}', 'n_distinct',
+               CAST(COUNT(DISTINCT {col}) AS DOUBLE), 1 FROM cur
+        UNION ALL
+        SELECT '{col}', 'null_frac',
+               CAST(COUNT(*) - COUNT({col}) AS DOUBLE) / COUNT(*),
+               0 FROM ref
+        UNION ALL
+        SELECT '{col}', 'null_frac',
+               CAST(COUNT(*) - COUNT({col}) AS DOUBLE) / COUNT(*),
+               1 FROM cur
+        UNION ALL
+        SELECT '{col}', 'mean_len', ROUND({length}, 6), 0 FROM ref
+        UNION ALL
+        SELECT '{col}', 'mean_len', ROUND({length}, 6), 1 FROM cur""")
+    melted = " UNION ALL ".join(metric_selects)
+    return f"""
+    WITH ref AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    ), cur AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                    ELSE text END AS text,
+               lang, source, n_chars
+        FROM documents WHERE doc_id % 19 != 0
+        UNION ALL
+        SELECT doc_id + 10000000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 17 = 0
+    ), m AS ({melted})
+    SELECT column_name, metric,
+           MAX(CASE WHEN which = 0 THEN v END) AS ref_value,
+           MAX(CASE WHEN which = 1 THEN v END) AS cur_value,
+           ROUND(MAX(CASE WHEN which = 1 THEN v END)
+                 - MAX(CASE WHEN which = 0 THEN v END), 6) AS delta
+    FROM m GROUP BY column_name, metric
+    """
+
+
+@register("dq13_column_profile_diff", oracle=_dq13_oracle())
+def dq13_column_profile_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN-PROFILE RELEASE DIFF — dq12's complement: dq12 counts
+    row-level adds/removes/modifications, this audits what the new
+    build does to each COLUMN's statistical profile (distinct
+    cardinality, null fraction, mean length/value) — the gate that
+    catches a broken extractor (null_frac spikes), an id-space
+    collision (n_distinct drops), or silent truncation (mean_len
+    shrinks) even when row counts look healthy. Same deterministic
+    ref/cur builds as dq12, so both engines audit identical releases.
+    n_chars' mean is the stored value (its staleness against the
+    re-crawled text's true length is exactly the drift this surfaces).
+
+    Shape: one aggregate per build computes every column's metrics in
+    a single pass (COUNT DISTINCT expands map-side; no per-column
+    scans), then the two 1-row wide profiles melt to the long
+    (column, metric) relation and diff — output is O(columns), the
+    corpus is scanned exactly twice (ref + cur), and nothing joins on
+    anything wider than the 12-row melted relation. Engine parity:
+    counts and length-sums are exact integers; means are single
+    divisions ROUND(6)-published (lm2's rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    ref = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    cur = (
+        docs.filter(F.col("doc_id") % 19 != 0)
+        .select(
+            "doc_id", mutated.alias("text"), "lang", "source", "n_chars"
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+
+    def profile(df: DataFrame, which: int) -> DataFrame:
+        aggs = []
+        for c in DQ13_COLS:
+            length = (
+                F.avg(F.length(c)) if c != "n_chars" else F.avg(c)
+            )
+            aggs += [
+                F.count_distinct(F.col(c))
+                .cast("double")
+                .alias(f"{c}__n_distinct"),
+                (
+                    (F.count(F.lit(1)) - F.count(c)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(f"{c}__null_frac"),
+                F.round(length, 6).alias(f"{c}__mean_len"),
+            ]
+        wide = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c}', '{m}', `{c}__{m}`"
+            for c in DQ13_COLS
+            for m in ("n_distinct", "null_frac", "mean_len")
+        )
+        n = len(DQ13_COLS) * 3
+        return wide.selectExpr(
+            f"stack({n}, {stack_args}) AS (column_name, metric, v)"
+        ).select("column_name", "metric", "v", F.lit(which).alias("which"))
+
+    m = profile(ref, 0).unionAll(profile(cur, 1))
+    rv = F.max(F.when(F.col("which") == 0, F.col("v")))
+    cv = F.max(F.when(F.col("which") == 1, F.col("v")))
+    return m.groupBy("column_name", "metric").agg(
+        rv.alias("ref_value"),
+        cv.alias("cur_value"),
+        F.round(cv - rv, 6).alias("delta"),
+    )

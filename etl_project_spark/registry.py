@@ -98,17 +98,18 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r9 window (generated from artifacts through round 8): the six ops
-# new in r9 (x17 Hamming top-k, pp15 dedup-aware mixture, ts10
-# seasonal decomposition, lm8 cross-source entropy, a15 MRL quantile
-# sketch, km2 silhouette — never-attested, scheduled first by
-# policy), the 18 remaining rows last attested r4 (w5, ts2/3/5,
-# rollup/cube/grouping sets/pivot, salted agg/join, scalar-fn suites,
-# mm6/mm7, pp1/3/4/6, lm1, rk4, an6, a4, a6, dq3) plus the oldest 26
-# of the 48-row r5 block — the TPC-H anchors; the rest of the r5
-# block (j1–j9, q7/q17/q20/q21, dd1–dd8 core, bpe1/2, lm2, pp7, sd1,
-# ts6, tx4/6/9) queues for r10.
+# r9 window (generated from artifacts through round 8): the seven ops
+# new in r9 (dq13 column-profile diff, x17 Hamming top-k, pp15
+# dedup-aware mixture, ts10 seasonal decomposition, lm8 cross-source
+# entropy, a15 MRL quantile sketch, km2 silhouette — never-attested,
+# scheduled first by policy), the 18 remaining rows last attested r4
+# (w5, ts2/3/5, rollup/cube/grouping sets/pivot, salted agg/join,
+# scalar-fn suites, mm6/mm7, pp1/3/4/6, lm1, rk4, an6, a4, a6, dq3)
+# plus the oldest 25 of the 48-row r5 block — the TPC-H anchors; the
+# rest of the r5 block (j1–j9, q7/q12/q17/q20/q21, dd1–dd8 core,
+# bpe1/2, lm2, pp7, sd1, ts6, tx4/6/9) queues for r10.
 _FRONT_QUERIES = [
+    "dq13_column_profile_diff",
     "x17_hamming_topk",
     "ts10_seasonal_decomposition",
     "pp15_dedup_weighted_mixture",
@@ -158,8 +159,8 @@ _FRONT_QUERIES = [
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
-    "q12_late_shipments",
 ]
+
 
 
 

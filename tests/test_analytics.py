@@ -282,3 +282,35 @@ def test_copurchase_pair_metrics_consistent(spark, sf_dir):
         assert 0 < r.conf_a_b <= 1 and 0 < r.conf_b_a <= 1
         assert 0 < r.support <= 1
         assert r.lift > 0
+
+
+def test_column_profile_diff_surfaces_planted_drift(spark, sf_dir):
+    """dq13's deterministic cur build plants three drift signals the
+    audit must surface with the right SIGN: text mean_len rises (the
+    ' v2' re-crawl suffix), text n_distinct moves while lang's stays
+    put, and n_chars' stored profile barely moves (its staleness vs
+    the re-crawled text is the point). Null fractions stay 0 on this
+    corpus."""
+    from etl_project_spark.registry import get
+
+    rows = {
+        (r.column_name, r.metric): r
+        for r in get("dq13_column_profile_diff").fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == 12
+    for (c, m), r in rows.items():
+        if m == "null_frac":
+            assert r.ref_value == 0.0 and r.cur_value == 0.0
+        assert r.delta == round(r.cur_value - r.ref_value, 6)
+    # ' v2' suffix + removals/re-ingests: text gets longer on average
+    assert rows[("text", "mean_len")].delta > 0
+    # lang is a closed small vocabulary: cardinality must not move
+    assert rows[("lang", "n_distinct")].delta == 0.0
+    # the re-ingested 17th docs duplicate content: text distinct count
+    # moves by (removals of 19th docs), not by the duplicated adds
+    assert rows[("text", "n_distinct")].ref_value > 0
+    # stored n_chars is copied verbatim into cur rows, so its mean
+    # only drifts through the 19th-doc removals / 17th-doc re-adds —
+    # well under a 2% relative move on this corpus
+    nc = rows[("n_chars", "mean_len")]
+    assert abs(nc.delta) / nc.ref_value < 0.02

@@ -282,7 +282,8 @@ SETOP_PROJS = [
     "o_custkey % 50",
 ]
 
-SETOPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+          "EXCEPT", "EXCEPT ALL"]
 
 
 @given(
