@@ -284,3 +284,77 @@ def test_materialize_media_corpus_idempotent(spark, sf_dir):
     a2 = materialize_media_corpus(spark, sf_dir, table="media_corpus_t")
     assert a1 == a2
     assert a1["n_media"] > 0 and a1["n_shards"] > 0
+
+
+def test_media_stream_invariant_under_random_boundaries(
+    spark, sf_dir, tmp_path
+):
+    """The media twin's byte cursor is ORDER-sensitive (shard packing
+    folds left-to-right), so unlike the commutative hourly state it
+    cannot be fuzzed with hash-drawn slices — what CAN vary freely is
+    where the micro-batch boundaries fall. Fuzz that: random slice
+    counts and random split points over the media_id-ordered stream
+    must all land exactly the batch build (same survivors, same shard
+    assignment, cursor continuing across every boundary)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_project_spark.ingest.media_corpus import (
+        clean_media_corpus,
+        media_corpus_stream,
+    )
+    from etl_project_spark.operators.multimodal import media_table
+    from etl_project_spark.sources.tables import _drop_table_and_location
+    from etl_project_spark.streaming import pipeline as sp
+
+    pdf = (
+        media_table(spark, sf_dir)
+        .select("media_id", "payload")
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    n = len(pdf)
+    want = {
+        r["media_id"]: (r["n_bytes"], r["shard_id"], r["shard_group"])
+        for r in clean_media_corpus(spark, sf_dir).collect()
+    }
+    # deterministic pseudo-random boundary draws (no RNG: derived from
+    # the case index, so failures reproduce)
+    cases = []
+    for case in range(3):
+        k = 2 + (case * 2 + 1) % 5  # 3, 5, 2 slices
+        cuts = sorted(
+            {((j + 1) * (case * 131 + 97)) % (n - 1) + 1 for j in range(k - 1)}
+        )
+        cases.append([0] + cuts + [n])
+    for case, bounds in enumerate(cases):
+        table = f"stream_media_fuzz_{case}"
+        _drop_table_and_location(spark, table)
+        src = tmp_path / f"media_fuzz_src_{case}"
+        src.mkdir()
+        for i in range(len(bounds) - 1):
+            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+            if len(chunk) == 0:
+                continue
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                str(src / f"chunk_{i:02d}.parquet"),
+            )
+        schema = spark.read.parquet(str(src)).schema
+        stream = sp.file_event_stream(
+            spark, str(src), schema, max_files_per_trigger=1
+        )
+        media_corpus_stream(
+            spark,
+            stream,
+            table,
+            str(tmp_path / f"ck_media_fuzz_{case}"),
+            available_now=True,
+        )
+        got = {
+            r["media_id"]: (r["n_bytes"], r["shard_id"], r["shard_group"])
+            for r in spark.table(table).collect()
+        }
+        assert got == want, (case, bounds)
+        _drop_table_and_location(spark, table)
