@@ -100,7 +100,7 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # memo is safe across SparkSessions; keyed on (sf_dir, parquet
 # fingerprint) so a REGENERATED fixture under the same path invalidates
 # it instead of serving stale clusters (round-4 advice).
-_KM_STATE: dict[tuple, tuple[list[int], np.ndarray]] = {}
+_KM_STATE: dict[tuple, list[tuple[list[int], np.ndarray]]] = {}
 _KM_CENTROIDS: dict[tuple, np.ndarray] = {}
 
 
@@ -110,11 +110,16 @@ def _km_key(sf_dir: str) -> tuple:
     return (sf_dir, table_fingerprint(sf_dir, "embeddings"))
 
 
-def _kmeans_final_state(
+def _kmeans_state_trace(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[int], np.ndarray]:
-    """(cluster ids, quantized centroid matrix) after the KM_ITERS-1
-    centroid updates — the state the FINAL assignment pass scans with.
+) -> list[tuple[list[int], np.ndarray]]:
+    """Every centroid state of the Lloyd loop: ``trace[0]`` = seeds,
+    ``trace[t]`` = (cluster ids, quantized centroid matrix) after t
+    updates, up to ``trace[KM_ITERS - 1]`` — the state the FINAL
+    assignment pass scans with. km2's silhouette needs the PENULTIMATE
+    state too (the membership it evaluates is the assignment that
+    built the final centroids), so the whole trace is memoized — it is
+    the same loop either way, just without discarding history.
 
     Seeds are the KM_K lowest vec_ids (engine-neutral; production
     swaps in k-means|| — the loop is init-agnostic). Per iteration:
@@ -136,6 +141,7 @@ def _kmeans_final_state(
     )
     clusters = [int(r["vec_id"]) for r in seeds]
     C = np.array([r["q"] for r in seeds], dtype=np.int64)
+    trace = [(clusters, C)]
     for _it in range(KM_ITERS - 1):
         assign = _assign_kernel(embq, clusters, C)
         sums = (
@@ -152,8 +158,17 @@ def _kmeans_final_state(
             ] = math.floor(int(r["s"]) / int(r["n"]) + 0.5)
         clusters = sorted(by_cl)
         C = np.array([by_cl[cl] for cl in clusters], dtype=np.int64)
-    _KM_STATE[key] = (clusters, C)
-    return clusters, C
+        trace.append((clusters, C))
+    _KM_STATE[key] = trace
+    return trace
+
+
+def _kmeans_final_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], np.ndarray]:
+    """(cluster ids, quantized centroid matrix) after the KM_ITERS-1
+    centroid updates — see :func:`_kmeans_state_trace`."""
+    return _kmeans_state_trace(spark, sf_dir)[-1]
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,10 +549,12 @@ def x11_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.vec_id, c.cl, {_DIST} AS d
         FROM e0 e CROSS JOIN c{KM_ITERS - 1} c
     ), ab AS (
-        SELECT vec_id,
-               arg_min(cl, d * {KM_K} + cl) AS cluster,
-               MIN(d) AS a
-        FROM dist GROUP BY vec_id
+        -- membership = the assignment that BUILT the final centroids
+        -- (a{KM_ITERS - 1}); a = distance to that cluster's UPDATED
+        -- centroid, which need not be the nearest one
+        SELECT d.vec_id, m.cl AS cluster, d.d AS a
+        FROM dist d JOIN a{KM_ITERS - 1} m
+          ON d.vec_id = m.vec_id AND d.cl = m.cl
     ), bm AS (
         SELECT dist.vec_id, MIN(dist.d) AS b
         FROM dist JOIN ab USING (vec_id)
@@ -564,50 +581,70 @@ def km2_simplified_silhouette(
 ) -> DataFrame:
     """SIMPLIFIED SILHOUETTE per km1 cluster — the clustering-quality
     gate a curation pipeline reads before trusting cluster-level
-    decisions (sd1's dedup scope, cluster-balanced sampling): for each
-    vector, a = distance to its OWN final centroid, b = distance to
-    the nearest OTHER centroid, s = (b - a) / max(a, b) in [-1, 1].
-    The centroid-based form (Hruschka et al.) replaces full
-    silhouette's O(n^2) neighbor scan with O(n * k) — the only
-    version that exists at corpus scale. Per cluster: member count,
-    mean and worst silhouette, and how many members sit closer to a
-    FOREIGN centroid (s < 0 — Lloyd at a fixed iteration budget can
-    leave such points; n_misfit counts them honestly).
+    decisions (sd1's dedup scope, cluster-balanced sampling). The
+    membership it scores is the assignment that BUILT the final
+    centroids (Lloyd iteration KM_ITERS-1): for each vector, a =
+    distance to its member cluster's UPDATED (final) centroid, b =
+    distance to the nearest OTHER final centroid, s = (b - a) /
+    max(a, b) in [-1, 1]. Scoring the final re-assignment instead
+    would make s >= 0 a tautology (own = argmin of the same distance
+    row), so this is the only form in which n_misfit — members the
+    final centroid update left closer to a FOREIGN centroid (s < 0)
+    — carries information. The centroid-based form (Hruschka et al.)
+    replaces full silhouette's O(n^2) neighbor scan with O(n * k) —
+    the only version that exists at corpus scale. Per cluster:
+    member count, mean and worst silhouette, n_misfit.
 
-    Shape: one Arrow kernel pass computes every vector's full
-    distance row against the broadcast KM_K x dim centroid matrix
-    (km1's final state, memoized — no re-iteration), emitting
-    (cluster, a, b) per vector; ONE hash aggregate reduces to KM_K
-    rows. Engine parity: a and b are exact int64 sums (the km1
-    quantization rule), the assignment reuses the packed
-    dist*K + cl tie-break, and s is a single IEEE division of exact
-    integers — only the per-cluster means need ROUND(6) (sum-order
-    drift ~1e-14). The oracle replays the identical Lloyd state via
-    the unrolled CTEs. Reference parity: extension scope (SURVEY
-    §2h X3)."""
-    clusters, C = _kmeans_final_state(spark, sf_dir)
+    Shape: one Arrow kernel pass computes every vector's membership
+    (argmin vs the broadcast PENULTIMATE centroid matrix — the
+    km1-trace state, memoized, no re-iteration) and its full distance
+    row against the broadcast FINAL matrix, emitting (cluster, a, b)
+    per vector; ONE hash aggregate reduces to KM_K rows. Engine
+    parity: a and b are exact int64 sums (the km1 quantization rule),
+    the membership reuses the packed dist*K + cl tie-break, and s is
+    a single IEEE division of exact integers — only the per-cluster
+    means need ROUND(6) (sum-order drift ~1e-14). The oracle replays
+    the identical Lloyd trace via the unrolled CTEs (membership =
+    a{KM_ITERS-1}, distances vs c{KM_ITERS-1}). Reference parity:
+    extension scope (SURVEY §2h X3)."""
+    trace = _kmeans_state_trace(spark, sf_dir)
+    clusters_p, C_p = trace[-2]
+    clusters_f, C_f = trace[-1]
     embq = _quantized(spark, sf_dir)
-    bC = embq.sparkSession.sparkContext.broadcast((clusters, C))
+    bC = embq.sparkSession.sparkContext.broadcast(
+        (clusters_p, C_p, clusters_f, C_f)
+    )
 
     def kernel(batches):
-        cls, cen = bC.value
-        cls = np.array(cls, dtype=np.int64)
+        cls_p, cen_p, cls_f, cen_f = bC.value
+        cls_p = np.array(cls_p, dtype=np.int64)
+        cls_f = np.array(cls_f, dtype=np.int64)
+        # member cluster id -> row in the final matrix (every cluster
+        # with >=1 member in a{KM_ITERS-1} survives the update, so the
+        # lookup is total)
+        col_f = {int(c): i for i, c in enumerate(cls_f)}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             M = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
-            diff = M[:, None, :] - cen[None, :, :]
-            d = (diff * diff).sum(axis=2)
-            packed = d * KM_K + cls[None, :]
-            own = np.argmin(packed, axis=1)
+            diff_p = M[:, None, :] - cen_p[None, :, :]
+            d_p = (diff_p * diff_p).sum(axis=2)
+            own_cl = cls_p[
+                np.argmin(d_p * KM_K + cls_p[None, :], axis=1)
+            ]
+            diff_f = M[:, None, :] - cen_f[None, :, :]
+            d_f = (diff_f * diff_f).sum(axis=2)
+            own_ix = np.array(
+                [col_f[int(c)] for c in own_cl], dtype=np.int64
+            )
             rows = np.arange(len(M))
-            a = d[rows, own]
-            masked = d.copy()
-            masked[rows, own] = np.iinfo(np.int64).max
+            a = d_f[rows, own_ix]
+            masked = d_f.copy()
+            masked[rows, own_ix] = np.iinfo(np.int64).max
             b = masked.min(axis=1)
             yield pd.DataFrame(
                 {
-                    "cluster": cls[own],
+                    "cluster": own_cl,
                     "a": a,
                     "b": b,
                 }

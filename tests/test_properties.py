@@ -648,37 +648,64 @@ def test_seasonal_decomposition_identities(spark, sf_dir):
 
 
 def test_simplified_silhouette_matches_numpy(spark, sf_dir):
-    """km2's per-cluster stats must equal a numpy recomputation from
-    the raw embeddings + km1's final centroids, and every cluster's
-    mean silhouette must be sane ([-1, 1], members partition the
-    corpus)."""
+    """km2's per-cluster stats must equal an INDEPENDENT numpy replay
+    of the whole Lloyd loop from the raw embeddings — seeds, centroid
+    updates, penultimate membership, final-centroid distances — never
+    touching _kmeans_state_trace, so a construction bug shared between
+    the operator and its memoized state (e.g. scoring the final
+    re-assignment, which makes s >= 0 a tautology) is detectable
+    here."""
     import numpy as np
 
     from etl_project_spark.catalog import load_table
     from etl_project_spark.operators.clustering import (
+        KM_ITERS,
         KM_K,
         KM_QSCALE,
-        _kmeans_final_state,
     )
     from etl_project_spark.registry import get
 
-    cls, C = _kmeans_final_state(spark, sf_dir)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .collect()
     )
+    ids = np.array([r.vec_id for r in emb], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
     M = np.floor(
-        np.array([r.embedding for r in emb], dtype=np.float64) * KM_QSCALE
+        np.array([emb[i].embedding for i in order], dtype=np.float64)
+        * KM_QSCALE
         + 0.5
     ).astype(np.int64)
-    d = ((M[:, None, :] - np.asarray(C)[None, :, :]) ** 2).sum(axis=2)
-    cls = np.asarray(cls, dtype=np.int64)
-    own = np.argmin(d * KM_K + cls[None, :], axis=1)
+
+    def assign(C, cls):
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d, cls[np.argmin(d * KM_K + cls[None, :], axis=1)]
+
+    cls = ids[:KM_K].copy()
+    C = M[:KM_K].astype(np.int64)
+    own = None
+    for _ in range(KM_ITERS - 1):
+        _, own = assign(C, cls)
+        cls = np.unique(own)
+        C = np.stack(
+            [
+                np.floor(
+                    M[own == c].sum(axis=0) / (own == c).sum() + 0.5
+                ).astype(np.int64)
+                for c in cls
+            ]
+        )
+    # membership = the assignment that built the final C; distances
+    # (a, b) are against the UPDATED final C
+    d_f = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    col = {int(c): i for i, c in enumerate(cls)}
+    own_ix = np.array([col[int(c)] for c in own], dtype=np.int64)
     rows = np.arange(len(M))
-    a = d[rows, own]
-    masked = d.copy()
-    masked[rows, own] = np.iinfo(np.int64).max
+    a = d_f[rows, own_ix]
+    masked = d_f.copy()
+    masked[rows, own_ix] = np.iinfo(np.int64).max
     b = masked.min(axis=1)
     denom = np.maximum(a, b)
     s = np.where(denom == 0, 0.0, (b - a) / np.maximum(denom, 1))
@@ -688,9 +715,12 @@ def test_simplified_silhouette_matches_numpy(spark, sf_dir):
     }
     assert sum(r.n_members for r in got.values()) == len(M)
     for k, r in got.items():
-        mask = cls[own] == k
+        mask = own == k
         assert r.n_members == mask.sum()
         assert abs(r.mean_silhouette - round(s[mask].mean(), 6)) <= 1e-6
         assert abs(r.min_silhouette - round(s[mask].min(), 6)) <= 1e-6
         assert r.n_misfit == (s[mask] < 0).sum()
         assert -1 <= r.min_silhouette <= r.mean_silhouette <= 1
+    # the fixture must exercise the negative branch somewhere, or the
+    # misfit column is untested (it was structurally zero before r10)
+    assert (s < 0).any(), "fixture never exercises s < 0"
