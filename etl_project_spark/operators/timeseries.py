@@ -630,38 +630,53 @@ TS10_Q = 1_000_000  # micro-unit quantization (km1's integer-exact rule)
                CAST(FLOOR(CAST(sq AS DOUBLE) / n_events + 0.5)
                     AS BIGINT) AS mq
         FROM hourly
+    ), spine AS (
+        -- calendar spine: ROWS frames only equal calendar-hour
+        -- windows on a gap-free grid, so densify first (an absent
+        -- hour would silently misalign the 25-row window)
+        SELECT unnest(generate_series(
+            (SELECT MIN(h) FROM hq), (SELECT MAX(h) FROM hq),
+            INTERVAL '1 hour')) AS h
+    ), dense AS (
+        SELECT s.h, hq.n_events, hq.mq
+        FROM spine s LEFT JOIN hq ON s.h = hq.h
     ), seq AS (
         SELECT h, n_events, mq,
                CAST(SUM(mq) OVER (ORDER BY h ROWS BETWEEN {TS10_HALF}
                     PRECEDING AND {TS10_HALF - 1} FOLLOWING)
                   + SUM(mq) OVER (ORDER BY h ROWS BETWEEN {TS10_HALF - 1}
                     PRECEDING AND {TS10_HALF} FOLLOWING) AS BIGINT) AS t48,
-               COUNT(*) OVER (ORDER BY h ROWS BETWEEN {TS10_HALF}
+               COUNT(mq) OVER (ORDER BY h ROWS BETWEEN {TS10_HALF}
                     PRECEDING AND {TS10_HALF} FOLLOWING) AS wn
-        FROM hq
+        FROM dense
     ), t AS (
         SELECT h, n_events, mq,
                CASE WHEN wn = {2 * TS10_HALF + 1} THEN t48 END AS t48
         FROM seq
+        WHERE mq IS NOT NULL
     ), si AS (
         SELECT EXTRACT(hour FROM h) AS hod,
                CAST(FLOOR(CAST(SUM({4 * TS10_HALF} * mq - t48) AS DOUBLE)
                           / COUNT(*) + 0.5) AS BIGINT) AS sq48
         FROM t WHERE t48 IS NOT NULL GROUP BY 1
     ), s AS (
+        -- de-mean over the hour-of-day slots actually present (a
+        -- gapped series can earn fewer than 24), so the seasonal
+        -- indexes sum to zero exactly by construction
         SELECT hod,
-               24 * sq48 - (SELECT CAST(SUM(sq48) AS BIGINT) FROM si)
-                   AS seasq
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM si) * sq48
+                 - (SELECT CAST(SUM(sq48) AS BIGINT) FROM si) AS seasq,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM si) AS nh
         FROM si
     )
     SELECT t.h AS bucket_hour,
            CAST(t.n_events AS BIGINT) AS n_events,
            t.mq / {float(TS10_Q)} AS value_mean,
            t.t48 / {float(4 * TS10_HALF * TS10_Q)} AS trend,
-           s.seasq / {float(24 * 4 * TS10_HALF * TS10_Q)} AS seasonal,
+           s.seasq / (s.nh * {4 * TS10_HALF * TS10_Q}) AS seasonal,
            t.mq / {float(TS10_Q)}
                - t.t48 / {float(4 * TS10_HALF * TS10_Q)}
-               - s.seasq / {float(24 * 4 * TS10_HALF * TS10_Q)}
+               - s.seasq / (s.nh * {4 * TS10_HALF * TS10_Q})
                AS residual
     FROM t JOIN s ON EXTRACT(hour FROM t.h) = s.hod
     """,
@@ -674,10 +689,12 @@ def ts10_seasonal_decomposition(
     splits into trend + seasonal + residual. Trend is the textbook
     2x24 centered moving average for an even period (half-weighted
     endpoints, expressed as the sum of the two offset 24-row window
-    sums), defined only where the full 25-row window exists; the
-    seasonal index is the hour-of-day mean of the detrended series,
-    de-meaned so the components are identifiable; residual is what
-    remains. The residual is the input an anomaly gate (ts7's
+    sums) over a CALENDAR SPINE — hours densified between the span's
+    bounds, since ROWS frames only equal calendar windows on a
+    gap-free grid — and defined only where all 25 calendar hours are
+    observed; the seasonal index is the hour-of-day mean of the
+    detrended series, de-meaned over the hour-of-day slots present
+    so the components are identifiable; residual is what remains. The residual is the input an anomaly gate (ts7's
     z-score) should consume instead of the raw series — otherwise
     the daily cycle itself trips the detector.
 
@@ -725,19 +742,34 @@ def ts10_seasonal_decomposition(
         .cast("long")
         .alias("mq"),
     )
+    # Calendar spine: the ROWS frames below only equal calendar-hour
+    # windows on a gap-free grid, so densify first — an hour with zero
+    # events would otherwise silently shift the 25-row window off
+    # calendar alignment. The spine is calendar-bounded (24 rows/day),
+    # same bounded-relation posture as the hourly aggregate itself.
+    spine = hq.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    ).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    dense = spine.join(hq, "h", "left")
     half = TS10_HALF
     w_lo = Window.orderBy("h").rowsBetween(-half, half - 1)
     w_hi = Window.orderBy("h").rowsBetween(-(half - 1), half)
     w_full = Window.orderBy("h").rowsBetween(-half, half)
     t48 = F.sum("mq").over(w_lo) + F.sum("mq").over(w_hi)
-    t = hq.select(
+    # count of OBSERVED means in the full window: 25 iff every
+    # calendar hour in the frame has events (edges included)
+    t = dense.select(
         "h",
         "n_events",
         "mq",
         F.when(
-            F.count(F.lit(1)).over(w_full) == 2 * half + 1, t48
+            F.count("mq").over(w_full) == 2 * half + 1, t48
         ).alias("t48"),
-    )
+    ).filter(F.col("mq").isNotNull())
     si = (
         t.filter(F.col("t48").isNotNull())
         .groupBy(F.hour("h").alias("hod"))
@@ -752,16 +784,20 @@ def ts10_seasonal_decomposition(
             .alias("sq48")
         )
     )
+    w_all = Window.partitionBy()
     s = si.select(
         "hod",
         (
-            F.lit(24) * F.col("sq48")
-            - F.sum("sq48").over(Window.partitionBy())
+            F.count(F.lit(1)).over(w_all) * F.col("sq48")
+            - F.sum("sq48").over(w_all)
         ).alias("seasq"),
+        F.count(F.lit(1)).over(w_all).alias("nh"),
     )
     value_mean = F.col("mq") / F.lit(float(TS10_Q))
     trend = F.col("t48") / F.lit(float(4 * half * TS10_Q))
-    seasonal = F.col("seasq") / F.lit(float(24 * 4 * half * TS10_Q))
+    seasonal = F.col("seasq") / (
+        F.col("nh") * F.lit(4 * half * TS10_Q)
+    )
     return (
         t.join(F.broadcast(s), F.hour(F.col("h")) == F.col("hod"))
         .select(

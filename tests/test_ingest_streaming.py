@@ -1368,9 +1368,15 @@ def test_stateful_hourly_state_matches_batch_ts10(spark, sf_dir, tmp_path):
             spark, sf_dir
         ).collect()
     }
-    assert set(ts10) == set(got)
-    for h, (sq, n) in got.items():
-        assert ts10[h] == (math.floor(sq / n + 0.5) / TS10_Q, n)
+    # ts10 publishes the observed hours whose hour-of-day earned a
+    # seasonal index (on a gapped fixture some hods never get a full
+    # 25-calendar-hour window) — always a subset of the streaming
+    # state, never outside it
+    assert set(ts10) <= set(got)
+    assert ts10
+    for h, stats in ts10.items():
+        sq, n = got[h]
+        assert stats == (math.floor(sq / n + 0.5) / TS10_Q, n)
 
 
 @given(n_slices=st.integers(2, 5), salt=st.integers(0, 7))

@@ -604,9 +604,12 @@ def test_cross_source_entropy_matches_python(spark, sf_dir):
 
 def test_seasonal_decomposition_identities(spark, sf_dir):
     """ts10 invariants: the additive identity holds exactly on every
-    full-window row, trend is null exactly on the 12-row edges of the
-    observed hourly sequence, the de-meaned seasonal indexes sum to
-    ~0, and value_mean reproduces the quantized hourly average."""
+    full-window row, trend is null exactly where the 25-CALENDAR-hour
+    window is not fully observed (edges of the span, or any gap hour
+    within reach — the sf0.001 fixture has real gaps), the de-meaned
+    seasonal indexes sum to ~0, and value_mean reproduces the
+    quantized hourly average."""
+    import datetime
     import math
     from collections import defaultdict
 
@@ -618,10 +621,24 @@ def test_seasonal_decomposition_identities(spark, sf_dir):
         get("ts10_seasonal_decomposition").fn(spark, sf_dir).collect(),
         key=lambda r: r.bucket_hour,
     )
-    n = len(rows)
-    for i, r in enumerate(rows):
-        on_edge = i < TS10_HALF or i >= n - TS10_HALF
-        assert (r.trend is None) == on_edge, (i, r)
+    hour = datetime.timedelta(hours=1)
+    # observed hours from the RAW events: the published relation can
+    # drop hours whose hour-of-day earned no seasonal index
+    observed = {
+        e.ts.replace(minute=0, second=0, microsecond=0)
+        for e in load_table(spark, sf_dir, "events")
+        .select("ts")
+        .filter("value is not null")
+        .collect()
+    }
+    lo, hi = min(observed), max(observed)
+    for r in rows:
+        full_window = all(
+            lo <= r.bucket_hour + k * hour <= hi
+            and r.bucket_hour + k * hour in observed
+            for k in range(-TS10_HALF, TS10_HALF + 1)
+        )
+        assert (r.trend is not None) == full_window, r
         if r.trend is not None:
             assert r.residual == r.value_mean - r.trend - r.seasonal
     # seasonal is one de-meaned value per hour-of-day
@@ -645,6 +662,79 @@ def test_seasonal_decomposition_identities(spark, sf_dir):
         sq, cnt = acc[r.bucket_hour]
         assert r.value_mean == math.floor(sq / cnt + 0.5) / TS10_Q
         assert r.n_events == cnt
+
+
+def test_seasonal_decomposition_sparse_calendar_alignment(
+    spark, tmp_path
+):
+    """ts10 on a series with a MISSING hour: the 2x24 moving average
+    must stay calendar-aligned — trend is defined exactly on observed
+    hours whose full 25-calendar-hour window is observed, and each
+    defined trend equals an independent pure-Python replay of the
+    integer pipeline on the calendar grid. Before r10 the ROWS frame
+    ran over the gapped relation, silently pulling hour h+13 into
+    hour h's window past a gap."""
+    import datetime
+    import math
+
+    from etl_project_spark.operators.timeseries import TS10_HALF, TS10_Q
+    from etl_project_spark.registry import get
+
+    base = datetime.datetime(2024, 3, 1)
+    gap = 30
+    hours = [h for h in range(60) if h != gap]
+    rows = [
+        (
+            base + datetime.timedelta(hours=h, minutes=20 * j),
+            10.0 + (h % 24) + 0.37 * j,
+        )
+        for h in hours
+        for j in range(3)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, value double").write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.bucket_hour.hour + 24 * (r.bucket_hour.day - 1): r
+        for r in get("ts10_seasonal_decomposition")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    # independent replay: quantized hourly means on the calendar grid
+    mq = {
+        h: math.floor(
+            sum(
+                math.floor((10.0 + (h % 24) + 0.37 * j) * TS10_Q + 0.5)
+                for j in range(3)
+            )
+            / 3
+            + 0.5
+        )
+        for h in hours
+    }
+    half = TS10_HALF
+    full = {
+        h
+        for h in hours
+        if h - half >= 0
+        and h + half <= 59
+        and all(x in mq for x in range(h - half, h + half + 1))
+    }
+    assert full == set(range(12, 18)) | set(range(43, 48))
+    for h, r in got.items():
+        if h in full:
+            t48 = sum(mq[x] for x in range(h - half, h + half)) + sum(
+                mq[x] for x in range(h - half + 1, h + half + 1)
+            )
+            assert r.trend == t48 / float(4 * half * TS10_Q), h
+        else:
+            assert r.trend is None, h
+        assert r.value_mean == mq[h] / float(TS10_Q)
+    # every observed hour whose hour-of-day earned a seasonal index
+    # is published (the seasonal join is on hour-of-day)
+    hods = {h % 24 for h in full}
+    assert set(got) == {h for h in hours if h % 24 in hods}
 
 
 def test_simplified_silhouette_matches_numpy(spark, sf_dir):
