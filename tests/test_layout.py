@@ -577,19 +577,20 @@ def test_hamming_index_exact_topk_with_pruning(spark, sf_dir):
     import numpy as np
 
     from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators import similarity
     from etl_project_spark.operators.similarity import (
         HAM_BUCKET_BITS,
         N_QUERIES,
-        X17_BITS,
         build_hamming_index,
         hamming_signatures,
         query_hamming_index,
     )
 
     k = 5
+    n_words = similarity.X17_WORDS
     build_hamming_index(spark, sf_dir, table="ham_test_idx")
     sigs = {
-        r["vec_id"]: r["sig"]
+        r["vec_id"]: tuple(r[f"sig{w}"] for w in range(n_words))
         for r in hamming_signatures(spark, sf_dir).collect()
     }
     queries = [(v, sigs[v]) for v in sorted(sigs) if v < N_QUERIES]
@@ -603,12 +604,16 @@ def test_hamming_index_exact_topk_with_pruning(spark, sf_dir):
         (r["query_id"], r["neighbor_id"], r["hamming"], r["nn_rank"])
         for r in got_df.collect()
     }
+
+    def ham(a, b):
+        return sum(
+            bin(aw ^ bw).count("1") for aw, bw in zip(a, b)
+        )
+
     expect = set()
     for qid, qs in queries:
         scored = sorted(
-            (bin(qs ^ s).count("1"), v)
-            for v, s in sigs.items()
-            if v != qid
+            (ham(qs, s), v) for v, s in sigs.items() if v != qid
         )[:k]
         for rank, (h, v) in enumerate(scored, start=1):
             expect.add((qid, v, h, rank))
@@ -624,15 +629,17 @@ def test_hamming_index_incremental_append(spark, sf_dir):
     build-time packer would assign (sign quantization has no trained
     state), the count returns, and a re-query sees them."""
     from etl_project_spark.catalog import load_table
+    from etl_project_spark.operators import similarity
     from etl_project_spark.operators.similarity import (
         HAM_BUCKET_BITS,
-        X17_BITS,
+        X17_WORD_BITS,
         append_to_hamming_index,
         build_hamming_index,
         hamming_signatures,
         query_hamming_index,
     )
 
+    n_words = similarity.X17_WORDS
     build_hamming_index(spark, sf_dir, table="ham_app_idx")
     before = spark.table("ham_app_idx").count()
     # clone a handful of existing vectors under fresh ids: their
@@ -650,17 +657,20 @@ def test_hamming_index_incremental_append(spark, sf_dir):
     after = spark.table("ham_app_idx")
     assert after.count() == before + 4
     sigs = {
-        r["vec_id"]: r["sig"]
+        r["vec_id"]: tuple(r[f"sig{w}"] for w in range(n_words))
         for r in hamming_signatures(spark, sf_dir).collect()
     }
     appended = {
-        r["vec_id"]: (r["sig"], r["bucket"])
+        r["vec_id"]: (
+            tuple(r[f"sig{w}"] for w in range(n_words)),
+            r["bucket"],
+        )
         for r in after.filter(F.col("vec_id") > max_id).collect()
     }
     for ov in range(4):
         sig, bucket = appended[ov + max_id + 1]
         assert sig == sigs[ov]
-        assert bucket == sig >> (X17_BITS - HAM_BUCKET_BITS)
+        assert bucket == sig[0] >> (X17_WORD_BITS - HAM_BUCKET_BITS)
     # a clone is Hamming-0 from its original: it must take rank 1
     # (clone ids sort above the original's other rank-1 ties only if
     # distance ties — distance 0 beats everything except other exact

@@ -912,8 +912,10 @@ def test_hamming_index_at_1m_vectors(spark, tmp_path):
     assert built < 120, f"build took {built:.0f}s at 1M vectors"
     assert spark.table("ham_1m_idx").count() == n
     # probe three even ids: each has its odd clone at distance 0
+    from etl_project_spark.operators.similarity import X17_WORDS
+
     sigs = {
-        r["vec_id"]: r["sig"]
+        r["vec_id"]: tuple(r[f"sig{w}"] for w in range(X17_WORDS))
         for r in hamming_signatures(spark, str(tmp_path))
         .filter(F.col("vec_id").isin(0, 1, 77778, 77779, 500000, 500001))
         .collect()

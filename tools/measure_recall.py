@@ -133,16 +133,10 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
         "neighbor_id",
     )
     out: dict[str, dict] = {}
-    # x17 rides the same metric with a different meaning: its Hamming
-    # ranking is EXACT over the 48-bit signatures (hash-green in the
-    # differential gate), so this row quantifies what SIGN QUANTIZATION
-    # itself costs vs float cosine — the compression/recall trade, not
-    # an index approximation (r9 handoff #5)
     for name in (
         "x3_lsh_bucketed_topk",
         "x4_ivf_topk",
         "x9_pq_topk",
-        "x17_hamming_topk",
     ):
         approx = pair_set(
             get(name).fn(spark, sf_dir), "query_id", "neighbor_id"
@@ -152,6 +146,26 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
             "exact_pairs": len(exact),
             "returned_pairs": len(approx),
         }
+    # x17 rides the same metric with a different meaning: its Hamming
+    # ranking is EXACT over the {X17_BITS} packed projections
+    # (hash-green in the differential gate), so the raw row quantifies
+    # what SIGN QUANTIZATION itself costs vs float cosine — a
+    # compression-price DIAGNOSTIC, not a serving path; the rerank row
+    # below prices the documented serving pipeline and is the figure
+    # held to the >=0.9 bar
+    approx = pair_set(
+        get("x17_hamming_topk").fn(spark, sf_dir),
+        "query_id",
+        "neighbor_id",
+    )
+    out["x17_hamming_topk"] = {
+        "recall_at_k": round(len(approx & exact) / len(exact), 4),
+        "exact_pairs": len(exact),
+        "returned_pairs": len(approx),
+        "serving_path": False,
+        "note": "signature-only compression price; serving uses"
+        " the shortlist+rerank row",
+    }
     out["x17_hamming_shortlist_rerank"] = x17_rerank_recall(
         spark, sf_dir, exact
     )
@@ -159,14 +173,18 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
 
 
 def x17_rerank_recall(
-    spark, sf_dir: str, exact: set[tuple], shortlist: int = 200
+    spark, sf_dir: str, exact: set[tuple], shortlist: int = 400
 ) -> dict:
     """x17's DOCUMENTED serving pattern: the binary scan is the
     shortlist stage and exact cosine reranks — raw signature recall
     (the x17 row above) prices the compression alone, this row prices
     the full pipeline. Shortlist = {shortlist} binary candidates per
-    query (PQ_SHORTLIST's convention), rerank by float cosine, take
-    TOP_K; set recall vs x1."""
+    query (2x PQ_SHORTLIST — the r10 depth that, with the 192-bit
+    signatures, holds recall >= 0.9 on every fixture including the
+    sf0.1 near-uniform floor), rerank by float cosine, take TOP_K;
+    set recall vs x1. Signatures here re-derive the operator's
+    {X17_BITS}-bit Rademacher projections independently (same md5
+    planes, numpy only)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -174,7 +192,8 @@ def x17_rerank_recall(
     from etl_project_spark.operators.similarity import (
         N_QUERIES,
         TOP_K,
-        X17_BITS,
+        X17_QSCALE,
+        _x17_planes,
     )
 
     rows = sorted(
@@ -188,14 +207,11 @@ def x17_rerank_recall(
     ids = np.array([r["vec_id"] for r in rows])
     M = np.vstack([r["e"] for r in rows])
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    bits = (M[:, :X17_BITS] > 0).astype(np.uint64)
-    weights = (1 << np.arange(X17_BITS, dtype=np.uint64))
-    sigs = (bits * weights).sum(axis=1)
+    Q = np.floor(M * X17_QSCALE + 0.5).astype(np.int64)
+    bits = Q @ _x17_planes().T > 0  # (n, X17_BITS) bool
     got: set[tuple] = set()
     for qi in np.nonzero(ids < N_QUERIES)[0]:
-        ham = np.array(
-            [bin(int(sigs[qi]) ^ int(s)).count("1") for s in sigs]
-        )
+        ham = (bits != bits[qi]).sum(axis=1)
         cand = np.argsort(ham * len(ids) + np.arange(len(ids)))
         cand = [c for c in cand if ids[c] >= N_QUERIES][:shortlist]
         sims = Mn[cand] @ Mn[qi]
@@ -207,6 +223,7 @@ def x17_rerank_recall(
         "shortlist": shortlist,
         "exact_pairs": len(exact),
         "returned_pairs": len(got),
+        "serving_path": True,
     }
 
 
