@@ -16,6 +16,7 @@ NEW = [
     "cdc1_latest_snapshot",
     "cdc2_scd2_history",
     "cdc3_exactly_once_ingest",
+    "cdc4_merge_upsert",
     "lm1_bigram_model",
     "dq1_constraint_audit",
 ]
@@ -63,6 +64,68 @@ def test_cdc3_is_exactly_once(spark, sf_dir):
         F.col("ts") >= F.lit(cdc.WATERMARK).cast("timestamp")
     ).count()
     assert out.count() == expected
+
+
+def test_merge_upsert_all_actions_and_idempotent_replay(spark):
+    """merge_snapshot on a planted batch exercising every MERGE arm —
+    insert (new key), update (existing key, newer value), delete
+    (tombstone on existing key), keep (untouched key), no-op
+    (tombstone on absent key) — must emit exactly the hand-computed
+    relation; and REPLAYING the same batch against the merged result
+    must be a fixed point on the data columns (at-least-once delivery
+    of a batch cannot corrupt the snapshot — cdc3's guarantee, in
+    merge form)."""
+    import datetime
+
+    from etl_project_spark.operators.cdc import merge_snapshot
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    t2 = datetime.datetime(2024, 2, 2)
+    target = spark.createDataFrame(
+        [
+            (1, "click", t0, 10.0),  # will update
+            (2, "click", t0, 20.0),  # will delete
+            (3, "view", t0, 30.0),  # untouched -> keep
+        ],
+        "user_id long, event_type string, ts timestamp, value double",
+    )
+    batch = spark.createDataFrame(
+        [
+            # two versions for key 1: the later one must win
+            (100, t1, 1, "click", 11.0),
+            (101, t2, 1, "click", 12.0),
+            # tombstone for key 2
+            (102, t1, 2, "click", None),
+            # brand-new key 4
+            (103, t1, 4, "buy", 40.0),
+            # tombstone for a key that was never live: no-op
+            (104, t1, 5, "view", None),
+        ],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    merged = merge_snapshot(target, batch)
+    got = {
+        (r.user_id, r.event_type): (r.last_ts, r.value, r.action)
+        for r in merged.collect()
+    }
+    assert got == {
+        (1, "click"): (t2, 12.0, "update"),
+        (3, "view"): (t0, 30.0, "keep"),
+        (4, "buy"): (t1, 40.0, "insert"),
+    }
+    # replay: feed the merged rows back as the target and apply the
+    # identical batch again — data columns must not move (inserts
+    # become same-value updates, tombstones find nothing)
+    target2 = merged.select(
+        "user_id", "event_type", F.col("last_ts").alias("ts"), "value"
+    )
+    replay = {
+        (r.user_id, r.event_type): (r.last_ts, r.value)
+        for r in merge_snapshot(target2, batch).collect()
+    }
+    assert replay == {k: v[:2] for k, v in got.items()}
 
 
 def test_lm1_probabilities_normalize(spark, sf_dir):
