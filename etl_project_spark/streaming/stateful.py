@@ -113,24 +113,10 @@ def threshold_alerts(
     )
 
 
-def shard_packer(
-    docs: DataFrame,
-    shard_tokens: int = 2048,
-    key_col: str = "source",
-) -> DataFrame:
-    """Incremental token-budget shard packing — the streaming twin of
-    the batch ``pp1_token_shard_packing`` operator: as documents arrive,
-    each ``key_col`` group fills its current shard until the next doc
-    would exceed the budget, then rolls to a new shard (greedy
-    first-fit-in-order; a doc larger than the budget gets a shard of its
-    own). State per key is two integers (open shard id, tokens already
-    in it), so the state store stays O(#sources) forever.
-
-    Docs are processed in doc_id order within every micro-batch; across
-    batches the arrival order is the stream order — the same contract a
-    real ingest-and-pack job has. Exact agreement with a driver-side
-    greedy replay is asserted in tests/test_ingest_streaming.py.
-    """
+def shard_packer_update(shard_tokens: int, key_col: str = "source"):
+    """The shard-packer state machine (open shard id, tokens filled),
+    as the applyInPandasWithState update callable — module-level so
+    tests can replay it under fuzzed micro-batch slicings."""
 
     def update(
         key: tuple,
@@ -160,8 +146,32 @@ def shard_packer(
             )
         state.update((int(shard), int(filled)))
 
+    return update
+
+
+def shard_packer(
+    docs: DataFrame,
+    shard_tokens: int = 2048,
+    key_col: str = "source",
+) -> DataFrame:
+    """Incremental token-budget shard packing — the streaming twin of
+    the batch ``pp1_token_shard_packing`` operator: as documents arrive,
+    each ``key_col`` group fills its current shard until the next doc
+    would exceed the budget, then rolls to a new shard (greedy
+    first-fit-in-order; a doc larger than the budget gets a shard of its
+    own). State per key is two integers (open shard id, tokens already
+    in it), so the state store stays O(#sources) forever.
+
+    Docs are processed in doc_id order within every micro-batch; across
+    batches the arrival order is the stream order — the same contract a
+    real ingest-and-pack job has. Exact agreement with a driver-side
+    greedy replay is asserted in tests/test_ingest_streaming.py; the
+    update fn itself is module-level (:func:`shard_packer_update`) so
+    the slicing fuzz can drive the IDENTICAL state machine directly.
+    """
+
     return docs.groupBy(key_col).applyInPandasWithState(
-        update,
+        shard_packer_update(shard_tokens, key_col),
         outputStructType=(
             f"{key_col} string, doc_id long, n_tokens long, shard_id long"
         ),
@@ -510,6 +520,36 @@ def type_mix_stream(
     )
 
 
+def copurchase_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-order pair-emission state machine: pairs(S ∪ N) − pairs(S)
+    walked item-at-a-time over the seen-item set — module-level so
+    tests can replay it under fuzzed micro-batch slicings."""
+    seen = set(state.get[0]) if state.exists else set()
+    pa, pb = [], []
+    for pdf in pdfs:
+        for it in pdf["l_partkey"]:
+            it = int(it)
+            if it in seen:
+                continue
+            for b in seen:
+                pa.append(min(it, b))
+                pb.append(max(it, b))
+            seen.add(it)
+    state.update((sorted(seen),))
+    if pa:
+        yield pd.DataFrame(
+            {
+                "okey": int(key[0]),
+                "part_a": pa,
+                "part_b": pb,
+            }
+        )
+
+
 def copurchase_pairs_stream(lineitem: DataFrame) -> DataFrame:
     """Streaming twin of batch ``an8_copurchase_pairs``' pair-count
     core: per-order state is the item set seen so far, and each
@@ -527,38 +567,14 @@ def copurchase_pairs_stream(lineitem: DataFrame) -> DataFrame:
     at-most-basket-sized analog of rolling_zscore_stream's ring).
     Support/confidence/lift stay batch-side: they need the global
     order count, which any scheduled batch query over the emitted
-    sink computes (the a8 HLL-rollup pattern)."""
-
-    def update(
-        key: tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterable[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
-        pa, pb = [], []
-        for pdf in pdfs:
-            for it in pdf["l_partkey"]:
-                it = int(it)
-                if it in seen:
-                    continue
-                for b in seen:
-                    pa.append(min(it, b))
-                    pb.append(max(it, b))
-                seen.add(it)
-        state.update((sorted(seen),))
-        if pa:
-            yield pd.DataFrame(
-                {
-                    "okey": int(key[0]),
-                    "part_a": pa,
-                    "part_b": pb,
-                }
-            )
+    sink computes (the a8 HLL-rollup pattern). The update fn is
+    module-level (:func:`copurchase_update`) so the slicing fuzz can
+    drive the identical state machine directly."""
 
     return lineitem.select("l_orderkey", "l_partkey").groupBy(
         "l_orderkey"
     ).applyInPandasWithState(
-        update,
+        copurchase_update,
         outputStructType="okey long, part_a long, part_b long",
         stateStructType="items array<long>",
         outputMode="update",
@@ -585,54 +601,12 @@ def attribution_stream(events: DataFrame) -> DataFrame:
     of any twin here; production adds an event-time timeout at the
     lookback horizon to evict idle users (state older than 7 days can
     never attribute again). Gap math is exact integer microseconds
-    floor-divided to seconds — bit-equal to batch an9."""
-
-    def update(
-        key: tuple,
-        pdfs: Iterable[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterable[pd.DataFrame]:
-        touch = tuple(state.get) if state.exists else None
-        frames = [pdf for pdf in pdfs if len(pdf)]
-        if not frames:
-            if touch is not None:
-                state.update(touch)
-            return
-        batch = pd.concat(frames).sort_values(["ts", "event_id"])
-        out = []
-        for _, row in batch.iterrows():
-            et = row["event_type"]
-            ts_us = int(pd.Timestamp(row["ts"]).value // 1000)
-            if et == "purchase":
-                rec = {
-                    "conv_event_id": int(row["event_id"]),
-                    "user_id": int(key[0]),
-                    "revenue": float(row["value"]),
-                    "touch_event_id": None,
-                    "touch_type": None,
-                    "gap_sec": None,
-                }
-                if touch is not None:
-                    gap_us = ts_us - touch[1]
-                    if gap_us <= AN9_WINDOW_US:
-                        rec["touch_event_id"] = touch[0]
-                        rec["touch_type"] = touch[2]
-                        rec["gap_sec"] = gap_us // 1_000_000
-                out.append(rec)
-            elif et in ("click", "view"):
-                touch = (int(row["event_id"]), ts_us, et)
-        if touch is not None:
-            state.update(touch)
-        if out:
-            yield pd.DataFrame(out).astype(
-                {
-                    "touch_event_id": "Int64",
-                    "gap_sec": "Int64",
-                }
-            )
+    floor-divided to seconds — bit-equal to batch an9. The update fn
+    is module-level (:func:`attribution_update`) so the slicing fuzz
+    can drive the identical state machine directly."""
 
     return events.groupBy("user_id").applyInPandasWithState(
-        update,
+        attribution_update,
         outputStructType=(
             "conv_event_id long, user_id long, revenue double, "
             "touch_event_id long, touch_type string, gap_sec long"
@@ -641,6 +615,53 @@ def attribution_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Last-touch attribution state machine (see
+    :func:`attribution_stream`) — module-level for the slicing fuzz."""
+    touch = tuple(state.get) if state.exists else None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        if touch is not None:
+            state.update(touch)
+        return
+    batch = pd.concat(frames).sort_values(["ts", "event_id"])
+    out = []
+    for _, row in batch.iterrows():
+        et = row["event_type"]
+        ts_us = int(pd.Timestamp(row["ts"]).value // 1000)
+        if et == "purchase":
+            rec = {
+                "conv_event_id": int(row["event_id"]),
+                "user_id": int(key[0]),
+                "revenue": float(row["value"]),
+                "touch_event_id": None,
+                "touch_type": None,
+                "gap_sec": None,
+            }
+            if touch is not None:
+                gap_us = ts_us - touch[1]
+                if gap_us <= AN9_WINDOW_US:
+                    rec["touch_event_id"] = touch[0]
+                    rec["touch_type"] = touch[2]
+                    rec["gap_sec"] = gap_us // 1_000_000
+            out.append(rec)
+        elif et in ("click", "view"):
+            touch = (int(row["event_id"]), ts_us, et)
+    if touch is not None:
+        state.update(touch)
+    if out:
+        yield pd.DataFrame(out).astype(
+            {
+                "touch_event_id": "Int64",
+                "gap_sec": "Int64",
+            }
+        )
 
 
 TS8_ALPHA = 0.5  # ts8's dyadic smoothing constant (exact halvings)

@@ -1751,3 +1751,331 @@ def test_grouping_sets_window_differential(engines, form, agg, rank, pred):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# ---- grammar 29: QUALIFY / filter-over-window ------------------------------
+# DuckDB has native QUALIFY; Spark 4 does not — the portable form is a
+# subquery filter on the window column, which is what every registry
+# top-n-per-key operator (w1, t1) actually compiles to. The grammar
+# draws one window function, partition/order keys, and a qualify
+# predicate, then runs DuckDB's native QUALIFY against Spark's
+# desugared subquery — same spec, dialect-specific syntax (the pivot
+# grammars' convention). Ranking functions get a ROW_NUMBER-style
+# unique tie-break via event_id so predicates over ties are total-order
+# deterministic; value-typed functions (lag/sum) are quantized to
+# BIGINT so the qualify comparison is integer-exact.
+
+_G29_FNS = [
+    # (window expression, qualify predicates that fit its type)
+    ("ROW_NUMBER()", ["w <= 3", "w = 1", "w BETWEEN 2 AND 5"]),
+    ("RANK()", ["w <= 3", "w = 1"]),
+    ("DENSE_RANK()", ["w <= 4", "w = 2"]),
+    (
+        "CAST(COALESCE(LAG(vq) OVER w_ord, -1) AS BIGINT)",
+        ["w < vq", "w = -1", "w >= vq"],
+    ),
+    (
+        "CAST(SUM(vq) OVER w_run AS BIGINT)",
+        ["w <= 5000", "w > 20000"],
+    ),
+]
+_G29_PARTS = ["user_id % 5", "event_type"]
+_G29_ORDS = ["event_id", "vq DESC, event_id"]
+
+
+@given(
+    fn_i=st.integers(0, len(_G29_FNS) - 1),
+    pred_i=st.integers(0, 9),
+    part=st.sampled_from(_G29_PARTS),
+    ordk=st.sampled_from(_G29_ORDS),
+    pre=st.sampled_from([None, "value > 0.1", "event_type <> 'view'"]),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_qualify_window_filter_differential(
+    event_engines, fn_i, pred_i, part, ordk, pre
+):
+    """One drawn spec, two dialects: DuckDB `... QUALIFY p(w)` vs
+    Spark `SELECT * FROM (...) WHERE p(w)` — results must canonize
+    identically. Catches desugaring traps: QUALIFY evaluating before
+    vs after SELECT-list projection, and predicate pushdown through
+    the window (illegal — a filtered row changes its peers' frames)."""
+    spark, con = event_engines
+    fn, preds = _G29_FNS[fn_i]
+    qual = preds[pred_i % len(preds)]
+    base = (
+        "SELECT event_id, user_id, event_type,"
+        " CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq"
+        f" FROM events WHERE value IS NOT NULL{' AND ' + pre if pre else ''}"
+    )
+    win = fn.replace("OVER w_ord", "OVER w").replace("OVER w_run", "OVER w")
+    if "OVER" not in win:
+        win = f"{win} OVER w"
+    if "ROW_NUMBER" in fn or "RANK" in fn:
+        w_def = f"PARTITION BY {part} ORDER BY {ordk}"
+    elif "LAG" in fn:
+        w_def = f"PARTITION BY {part} ORDER BY event_id"
+    else:  # running sum
+        w_def = (
+            f"PARTITION BY {part} ORDER BY event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        )
+    inner = (
+        f"SELECT event_id, vq, {win} AS w FROM ({base})"
+        f" WINDOW w AS ({w_def})"
+    )
+    sql_duck = f"{inner} QUALIFY {qual}"
+    sql_spark = f"SELECT * FROM ({inner}) WHERE {qual}"
+    spdf = spark.sql(sql_spark).toPandas()
+    opdf = con.sql(sql_duck).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql_duck
+    assert _canon(spdf) == _canon(opdf), sql_duck
+
+
+# ---- grammar 30: stateful-twin state machines under random slicing ---------
+# The engine-level streaming replays (tests/test_ingest_streaming.py)
+# pin each applyInPandasWithState twin against its batch operator at
+# ONE or a few slicings — a real Structured Streaming run per example
+# is too slow to fuzz. This grammar fuzzes the part slicing can break:
+# the UPDATE FUNCTION's state machine. A FakeGroupState drives the
+# twin's actual update callable (the very function the stream runs)
+# through hypothesis-drawn micro-batch partitions, and the accumulated
+# emissions must equal a closed-form single-pass recomputation — for
+# EVERY drawn slicing. attribution/copurchase/shard_packer were the
+# hand-sliced-only twins (VERDICT r9 #6); running-totals/hourly already
+# have engine-level hypothesis fuzz.
+
+import datetime as _dt
+
+import numpy as _np
+import pandas as _pd
+
+
+class _FakeGroupState:
+    """State double exposing the GroupState surface the twins use."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state does not exist")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _drive(update, key, batches):
+    """Feed pandas micro-batches through a twin's update callable with
+    one persistent fake state, collecting every emission."""
+    state = _FakeGroupState()
+    out = []
+    for pdf in batches:
+        out.extend(update(key, iter([pdf]), state))
+    return out
+
+
+def _cut(df, cuts):
+    """Contiguous micro-batches: split an ordered frame at the drawn
+    row positions (the time-ordered file-replay shape)."""
+    bounds = sorted({min(c, len(df)) for c in cuts})
+    pieces, lo = [], 0
+    for b in bounds + [len(df)]:
+        pieces.append(df.iloc[lo:b].reset_index(drop=True))
+        lo = b
+    return pieces
+
+
+@pytest.fixture(scope="module")
+def twin_events(spark):
+    from etl_project_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    return ev
+
+
+@given(
+    user_pick=st.integers(0, 10_000),
+    cuts=st.lists(st.integers(0, 500), min_size=1, max_size=6),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_attribution_state_machine_under_random_slicing(
+    twin_events, user_pick, cuts
+):
+    """attribution_stream's update fn over a random user's time-ordered
+    events, cut at random positions: emitted rows must equal the
+    closed-form last-touch walk (touch carried ACROSS batch boundaries
+    included), independent of the slicing."""
+    from etl_project_spark.streaming.stateful import (
+        AN9_WINDOW_US,
+        attribution_update,
+    )
+
+    ev = twin_events
+    users = sorted(ev["user_id"].unique())
+    uid = users[user_pick % len(users)]
+    mine = (
+        ev[ev["user_id"] == uid]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    update = attribution_update
+    got = _drive(update, (uid,), _cut(mine, cuts))
+    got_rows = sorted(
+        (
+            int(r["conv_event_id"]),
+            r["touch_event_id"],
+            r["touch_type"],
+            r["gap_sec"],
+        )
+        for pdf in got
+        for r in pdf.to_dict("records")
+    )
+    # closed form: single pass, last click/view before each purchase
+    expect, touch = [], None
+    for _, row in mine.iterrows():
+        ts_us = int(_pd.Timestamp(row["ts"]).value // 1000)
+        if row["event_type"] == "purchase":
+            rec = (int(row["event_id"]), None, None, None)
+            if touch is not None and ts_us - touch[1] <= AN9_WINDOW_US:
+                rec = (
+                    int(row["event_id"]),
+                    touch[0],
+                    touch[2],
+                    (ts_us - touch[1]) // 1_000_000,
+                )
+            expect.append(rec)
+        elif row["event_type"] in ("click", "view"):
+            touch = (int(row["event_id"]), ts_us, row["event_type"])
+    assert got_rows == sorted(expect)
+
+
+@pytest.fixture(scope="module")
+def twin_lineitem(spark):
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    return li
+
+
+@given(
+    order_pick=st.integers(0, 10_000),
+    salt=st.integers(0, 7),
+    n_slices=st.integers(1, 5),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_copurchase_state_machine_under_random_slicing(
+    twin_lineitem, order_pick, salt, n_slices
+):
+    """copurchase_pairs_stream's update fn with one order's items
+    scattered across ARBITRARY (hash-drawn, order-shuffling) batches:
+    the emitted pair multiset must be exactly the unordered distinct
+    pairs, each ONCE — pairs(S ∪ N) − pairs(S) walked item-at-a-time
+    cannot double-emit under any slicing."""
+    from collections import Counter
+
+    from etl_project_spark.streaming.stateful import copurchase_update
+
+    li = twin_lineitem
+    orders = sorted(li["l_orderkey"].unique())
+    okey = orders[order_pick % len(orders)]
+    items = li[li["l_orderkey"] == okey].reset_index(drop=True)
+    # arbitrary partition AND arbitrary order: hash-bucket by salt
+    h = (items["l_partkey"] * 2654435761 + salt) % 2**31
+    batches = [
+        items[h % n_slices == i]
+        .sort_values("l_partkey", ascending=bool((salt + i) % 2))
+        .reset_index(drop=True)
+        for i in range(n_slices)
+    ]
+    update = copurchase_update
+    got = Counter(
+        (int(r["part_a"]), int(r["part_b"]))
+        for pdf in _drive(update, (okey,), batches)
+        for r in pdf.to_dict("records")
+    )
+    import itertools
+
+    distinct = sorted(set(items["l_partkey"].astype(int)))
+    expect = Counter(
+        (a, b) for a, b in itertools.combinations(distinct, 2)
+    )
+    assert got == expect
+
+
+@given(
+    source_pick=st.integers(0, 100),
+    cuts=st.lists(st.integers(0, 400), min_size=1, max_size=6),
+    budget=st.sampled_from([512, 2048, 8192]),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_shard_packer_state_machine_under_random_slicing(
+    spark, source_pick, cuts, budget
+):
+    """shard_packer's update fn over one source's doc stream cut at
+    random positions: the (doc -> shard) assignment must equal a
+    single-pass greedy replay with the same budget — the open-shard
+    (id, fill) state carried across batch boundaries is the whole
+    invariant."""
+    from etl_project_spark.streaming.stateful import shard_packer_update
+
+    global _G30_DOCS
+    try:
+        docs = _G30_DOCS
+    except NameError:
+        docs = _G30_DOCS = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .selectExpr(
+                "source",
+                "doc_id",
+                "greatest(1, cast(length(text) / 4 as long)) as n_tokens",
+            )
+            .toPandas()
+        )
+    sources = sorted(docs["source"].unique())
+    srcname = sources[source_pick % len(sources)]
+    mine = (
+        docs[docs["source"] == srcname]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    update = shard_packer_update(budget)
+    got = {}
+    for pdf in _drive(update, (srcname,), _cut(mine, cuts)):
+        for r in pdf.to_dict("records"):
+            got[int(r["doc_id"])] = int(r["shard_id"])
+    shard, filled, expect = 0, 0, {}
+    for _, row in mine.iterrows():
+        n = int(row["n_tokens"])
+        if filled > 0 and filled + n > budget:
+            shard, filled = shard + 1, 0
+        expect[int(row["doc_id"])] = shard
+        filled += n
+    assert got == expect

@@ -137,8 +137,28 @@ def main() -> int:
         results[name] = {"status": status, "rows": rows}
         if detail:
             results[name]["detail"] = detail[:300]
+    # Oracle-cost skip list: queries whose DUCKDB side (not Spark) is
+    # impractically slow at a given sf. pp15's oracle unrolls the full
+    # LSH+connected-components replay and takes ~38 min at sf0.1 while
+    # the Spark side runs <1 s — skipping it there is an oracle-cost
+    # statement, NOT a Spark timeout; its sf0.1 pass is on record in
+    # LOCAL_SWEEP_r09.json and the sf0.01 gate checks it every sweep.
+    # Explicitly naming the query on the command line overrides.
+    ORACLE_COST_SKIPS = {
+        ("pp15_dedup_weighted_mixture", "sf0.1"): (
+            "DuckDB oracle ~38 min at sf0.1 (unrolled LSH+CC replay; "
+            "Spark side 0.76 s) — sf0.1 pass recorded in "
+            "LOCAL_SWEEP_r09.json; gated at sf0.01 every sweep"
+        ),
+    }
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        skip_why = ORACLE_COST_SKIPS.get((name, sf_tag))
+        if skip_why and not only:
+            print(f"SKIP  {name}: {skip_why}")
+            rec(name, "oracle_cost_skip", None, skip_why)
             continue
         t0 = time.time()
         try:
