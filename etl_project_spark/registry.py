@@ -98,67 +98,64 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r9 window (generated from artifacts through round 8): the seven ops
-# new in r9 (dq13 column-profile diff, x17 Hamming top-k, pp15
-# dedup-aware mixture, ts10 seasonal decomposition, lm8 cross-source
-# entropy, a15 MRL quantile sketch, km2 silhouette — never-attested,
-# scheduled first by policy), the 18 remaining rows last attested r4
-# (w5, ts2/3/5, rollup/cube/grouping sets/pivot, salted agg/join,
-# scalar-fn suites, mm6/mm7, pp1/3/4/6, lm1, rk4, an6, a4, a6, dq3)
-# plus the oldest 25 of the 48-row r5 block — the TPC-H anchors; the
-# rest of the r5 block (j1–j9, q7/q12/q17/q20/q21, dd1–dd8 core,
-# bpe1/2, lm2, pp7, sd1, ts6, tx4/6/9) queues for r10.
+# r10 window (generated from artifacts through round 9): cdc4 (the new
+# MERGE upsert — never-attested, scheduled first by policy), then the
+# ENTIRE remaining r5-attested block (q12/q17/q20/q21, j1–j9, dd1–dd4/
+# dd8 core, tx4/6/9, ts6, bpe1/2, pp7, lm2, sd1 — landing these holds
+# the 5-round staleness bound, VERDICT r9 #1), back-filled with the
+# oldest r6 rows (dq6, q7, j11, dd7/9/10/11, dq5/9, pp11, x1/x6/x10,
+# tx1/2/3/5/7/8/10/14, ts1).
 _FRONT_QUERIES = [
-    "dq13_column_profile_diff",
-    "x17_hamming_topk",
-    "ts10_seasonal_decomposition",
-    "pp15_dedup_weighted_mixture",
-    "lm8_cross_source_entropy",
-    "a15_mrl_quantile_sketch",
-    "km2_simplified_silhouette",
-    "w5_moving_avg",
-    "ts2_sliding_10min",
-    "ts3_session_window",
-    "ts5_gap_fill_calendar",
-    "s4_rollup",
-    "s6_grouping_sets",
-    "s7_pivot",
-    "s5_cube",
-    "sk1_salted_agg",
-    "sk2_salted_join",
-    "fn1_string_funcs",
-    "fn2_datetime_funcs",
-    "fn4_math_conditional",
-    "mm6_audio_features",
-    "mm7_video_frame_stats",
-    "pp1_token_shard_packing",
-    "pp3_quality_funnel",
-    "pp4_source_mixture",
-    "pp6_epoch_shuffle",
-    "lm1_bigram_model",
-    "rk4_reciprocal_rank_fusion",
-    "an6_markov_transitions",
-    "a4_distinct_agg",
-    "a6_stat_moments",
-    "dq3_psi_drift",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q13_custdist",
-    "q18_large_orders",
-    "sq1_scalar_subquery",
-    "q5_region_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
+    "cdc4_merge_upsert",
+    "q12_late_shipments",
+    "q17_small_qty_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "j1_broadcast_dim_join",
+    "j2_fact_fact_join",
+    "j3_semi_join",
+    "j4_anti_join",
+    "j5_outer_join",
+    "j7_nation_flows",
+    "j8_part_revenue",
+    "j6_asof_join",
+    "j9_range_join",
+    "dd1_exact_dedup",
+    "dd2_fingerprint_dedup",
+    "dd3_jaccard_pairs",
+    "dd8_jaccard_prefix_join",
+    "dd4_minhash_lsh_pairs",
+    "tx4_quality_filter",
+    "tx6_langid",
+    "tx9_pii_redact",
+    "ts6_interpolated_resample",
+    "bpe1_merge_table",
+    "bpe2_tokenize_apply",
+    "pp7_dsir_weights",
+    "lm2_perplexity_score",
+    "sd1_semantic_dedup",
+    "dq6_source_token_kl",
+    "q7_volume_shipping",
+    "j11_interval_overlap_join",
+    "dd7_dup_clusters",
+    "dd9_canonical_keep",
+    "dd10_dup_graph_stats",
+    "dq5_neardup_rate_by_source",
+    "dd11_containment_join",
+    "pp11_dup_weighted_keep",
+    "dq9_source_overlap_matrix",
+    "x1_topk_cosine_exact",
+    "x6_rademacher_lsh_topk",
+    "x10_mmr_topk",
+    "tx1_doc_stats",
+    "tx2_corpus_profile",
+    "tx3_token_topk",
+    "tx5_fingerprint",
+    "tx7_bpe_token_count",
+    "tx8_gopher_quality",
+    "tx10_winnowing_fingerprint",
+    "tx14_quality_logit",
+    "ts1_tumbling_5min",
 ]
 
 
