@@ -151,6 +151,8 @@ EXTENDED_QUERIES = [
     "km2_simplified_silhouette",
     "a15_mrl_quantile_sketch",
     "dq13_column_profile_diff",
+    # r10 additions
+    "cdc4_merge_upsert",
 ]
 
 
