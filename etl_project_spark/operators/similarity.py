@@ -2261,9 +2261,9 @@ def x17_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- persisted Hamming signature index ---------------------------------------
-# The durable form of x17's scale posture: the 8-byte signature
-# relation written as a managed parquet table PARTITIONED BY the
-# signature's top-HAM_BUCKET_BITS prefix. Hamming distance decomposes
+# The durable form of x17's scale posture: the 32-byte (4-word)
+# signature relation written as a managed parquet table PARTITIONED BY
+# word 0's top-HAM_BUCKET_BITS prefix. Hamming distance decomposes
 # over disjoint bit ranges, so popcount(query_prefix ^ bucket_prefix)
 # is an EXACT LOWER BOUND on any member's distance — the binary-metric
 # analog of IVF's triangle inequality, and it makes partition-pruned

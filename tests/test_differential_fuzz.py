@@ -2079,3 +2079,102 @@ def test_shard_packer_state_machine_under_random_slicing(
         expect[int(row["doc_id"])] = shard
         filled += n
     assert got == expect
+
+
+# ---- grammar 31: MERGE upsert (cdc4) under random batch mixes --------------
+# cdc4's fixture exercises whatever action mix the events table happens
+# to contain; this grammar DRAWS the mix — random live snapshots,
+# random batches with tombstones / multi-version keys / duplicate
+# timestamps (the (ts, event_id) tie-break), brand-new keys and
+# tombstones for absent keys — and runs merge_snapshot against the
+# same full-outer-join CASE in DuckDB over the identical relations.
+
+
+@given(
+    n_keys=st.integers(3, 25),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_upsert_differential(spark, n_keys, seed):
+    """merge_snapshot vs DuckDB's full-outer CASE over hypothesis-built
+    snapshot/batch relations: every action arm, duplicate-ts
+    tie-breaks, and multi-version batches compared exactly."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    base = _dt.datetime(2024, 1, 1)
+    tgt_rows, batch_rows, eid = [], [], 0
+    for k in range(n_keys):
+        et = rng.choice(["click", "view", "buy"])
+        live = rng.random() < 0.7
+        if live:
+            tgt_rows.append(
+                (k, et, base + _dt.timedelta(hours=k), float(k) + 0.5)
+            )
+        n_changes = rng.randint(0, 3)
+        # duplicate timestamps with probability: same offset drawn twice
+        offs = [rng.randint(0, 5) for _ in range(n_changes)]
+        for o in offs:
+            eid += 1
+            val = (
+                None
+                if rng.random() < 0.25
+                else round(rng.uniform(-5, 5), 3)
+            )
+            batch_rows.append(
+                (
+                    eid,
+                    base + _dt.timedelta(days=40, hours=o),
+                    k,
+                    et,
+                    val,
+                )
+            )
+    tgt = spark.createDataFrame(
+        tgt_rows or [(999999, "click", base, 0.0)],
+        "user_id long, event_type string, ts timestamp, value double",
+    )
+    batch = spark.createDataFrame(
+        batch_rows or [(1, base + _dt.timedelta(days=40), 999998, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    from etl_project_spark.operators.cdc import merge_snapshot
+
+    spdf = merge_snapshot(tgt, batch).toPandas()
+
+    con = duckdb.connect()
+    con.register("tgt_pdf", tgt.toPandas())
+    con.register("batch_pdf", batch.toPandas())
+    opdf = con.sql(
+        """
+        WITH src AS (
+            SELECT user_id, event_type, ts, value FROM (
+                SELECT user_id, event_type, ts, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM batch_pdf
+            ) WHERE rn = 1
+        )
+        SELECT user_id, event_type, last_ts, value, action FROM (
+            SELECT user_id, event_type,
+                   COALESCE(s.ts, t.ts) AS last_ts,
+                   CASE WHEN s.ts IS NULL THEN t.value
+                        ELSE s.value END AS value,
+                   CASE WHEN s.ts IS NULL THEN 'keep'
+                        WHEN s.value IS NULL THEN 'delete'
+                        WHEN t.ts IS NULL THEN 'insert'
+                        ELSE 'update' END AS action
+            FROM tgt_pdf t FULL OUTER JOIN src s
+                USING (user_id, event_type)
+        ) WHERE action <> 'delete'
+        """
+    ).df()
+    con.close()
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert _canon(spdf) == _canon(opdf), (n_keys, seed)
