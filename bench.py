@@ -153,6 +153,7 @@ EXTENDED_QUERIES = [
     "dq13_column_profile_diff",
     # r10 additions
     "cdc4_merge_upsert",
+    "cdc5_scd2_merge",
 ]
 
 

@@ -4,7 +4,7 @@ loop (dags/airflow_dags.py:52-66 appends every batch blindly; these
 operators are the compaction, history, and exactly-once layers a
 production lakehouse puts on top of that append stream).
 
-All three are pure DataFrame compositions (no UDFs):
+All five are pure DataFrame compositions (no UDFs):
 
 - ``cdc1`` — latest-value snapshot (SCD Type 1 compaction): one hash
   aggregation, deterministic ``max_by(value, struct(ts, event_id))``
@@ -15,6 +15,12 @@ All three are pure DataFrame compositions (no UDFs):
   overlaps already-loaded data is anti-joined on the primary key, with
   the probe side pruned to the overlap window so the join never scans
   the historical table.
+- ``cdc4`` — MERGE INTO-shaped keyed upsert: one change batch applied
+  to a live snapshot in one pass (insert/update/keep + NULL-tombstone
+  deletes), full-outer join on the natural key.
+- ``cdc5`` — incremental SCD2 merge: the batch closes each changed
+  key's open interval and appends its own version chain; closed
+  history passes through untouched.
 
 Scale notes per docstring; at 100 TB the natural key (user_id,
 event_type) is the partition/bucket column for all three, so snapshot
@@ -287,3 +293,108 @@ def cdc4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     )
     return merge_snapshot(target, ev.filter(F.col("ts") >= wm))
+
+
+@register(
+    "cdc5_scd2_merge",
+    oracle=f"""
+    -- the oracle recomputes the FULL SCD2 history and tags each row's
+    -- origin relative to the watermark; the operator must reproduce it
+    -- while only ever touching open rows + the batch (the incremental
+    -- contract)
+    WITH v AS (
+        SELECT user_id, event_type, value, ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts ASC, event_id ASC) AS valid_to
+        FROM events
+    )
+    SELECT user_id, event_type, value, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current,
+           CASE WHEN valid_from >= TIMESTAMP '{WATERMARK}'
+                    THEN 'appended'
+                WHEN valid_to IS NOT NULL
+                     AND valid_to >= TIMESTAMP '{WATERMARK}'
+                    THEN 'closed'
+                ELSE 'history' END AS origin
+    FROM v
+    """,
+)
+def cdc5_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 MERGE — cdc4's sibling for the history table:
+    apply one change batch (everything since WATERMARK) to an existing
+    cdc2-style validity-interval history WITHOUT recomputing it. Three
+    row classes come back with an ``origin`` audit column: 'history'
+    (pre-watermark rows the batch never touched — closed intervals and
+    still-open rows of unchanged keys, passed through byte-identical),
+    'closed' (each changed key's formerly-open row, its valid_to set
+    to the key's FIRST batch timestamp), and 'appended' (the batch's
+    own version rows, intervals chained by the same (ts, event_id)
+    lead; last one open). The result is row-for-row the history a
+    full cdc2 rebuild over all data would produce — the oracle IS
+    that rebuild, tagged by watermark — but the incremental plan
+    touches only O(open rows + batch), never the closed history:
+    exactly how a warehouse maintains SCD2 under MERGE.
+
+    Shape: one window per side (each one shuffle on the natural key),
+    plus a per-key MIN(first batch ts) aggregate joined to the open
+    rows — the aggregate's exchange matches the window partitioning,
+    and at 100 TB the open-row relation is the bucketed 'current'
+    partition of the history table (O(keys)), so the rebuild-sized
+    scan never happens. Boundary exactness: pre-watermark ts <
+    watermark <= batch ts, so the handoff interval's endpoints can
+    never tie across the cut and the lead-order is the full-history
+    order by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = F.lit(WATERMARK).cast("timestamp")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+
+    def versions(df: DataFrame) -> DataFrame:
+        valid_to = F.lead("ts").over(w)
+        return df.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+        )
+
+    hist = versions(ev.filter(F.col("ts") < wm))
+    batch = ev.filter(F.col("ts") >= wm)
+    appended = versions(batch).withColumn("origin", F.lit("appended"))
+    # each changed key's first batch timestamp closes the open row
+    first_change = batch.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("close_ts")
+    )
+    merged_hist = (
+        hist.join(first_change, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "valid_from",
+            F.when(
+                F.col("valid_to").isNull(), F.col("close_ts")
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            F.when(
+                F.col("valid_to").isNull()
+                & F.col("close_ts").isNotNull(),
+                F.lit("closed"),
+            )
+            .otherwise(F.lit("history"))
+            .alias("origin"),
+        )
+    )
+    return merged_hist.unionByName(appended).select(
+        "user_id",
+        "event_type",
+        "value",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "origin",
+    )

@@ -17,6 +17,7 @@ NEW = [
     "cdc2_scd2_history",
     "cdc3_exactly_once_ingest",
     "cdc4_merge_upsert",
+    "cdc5_scd2_merge",
     "lm1_bigram_model",
     "dq1_constraint_audit",
 ]
@@ -126,6 +127,51 @@ def test_merge_upsert_all_actions_and_idempotent_replay(spark):
         for r in merge_snapshot(target2, batch).collect()
     }
     assert replay == {k: v[:2] for k, v in got.items()}
+
+
+def test_scd2_merge_incremental_contract(spark, sf_dir):
+    """cdc5's three origin classes must honor the incremental story:
+    'history' rows are byte-identical pass-throughs of the
+    pre-watermark cdc2 build, every 'closed' row's valid_to is its
+    key's FIRST batch timestamp, 'appended' rows all start at or
+    after the watermark, each key has exactly one open row, and the
+    whole relation equals a full cdc2 rebuild on the data columns."""
+    qs = entrymod.queries()
+    rows = qs["cdc5_scd2_merge"](spark, sf_dir).collect()
+    wm = None
+    import datetime
+
+    wm = datetime.datetime.fromisoformat(cdc.WATERMARK)
+    by_origin = {}
+    for r in rows:
+        by_origin.setdefault(r.origin, []).append(r)
+    assert set(by_origin) == {"history", "closed", "appended"}
+    # appended rows start at/after the watermark; others before
+    assert all(r.valid_from >= wm for r in by_origin["appended"])
+    assert all(r.valid_from < wm for r in by_origin["history"])
+    assert all(r.valid_from < wm for r in by_origin["closed"])
+    # closed rows: valid_to == min batch ts of the key
+    first_batch = {}
+    for r in by_origin["appended"]:
+        k = (r.user_id, r.event_type)
+        if k not in first_batch or r.valid_from < first_batch[k]:
+            first_batch[k] = r.valid_from
+    for r in by_origin["closed"]:
+        assert r.valid_to == first_batch[(r.user_id, r.event_type)], r
+    # exactly one current row per key
+    open_rows = [r for r in rows if r.is_current]
+    assert len(open_rows) == len({(r.user_id, r.event_type) for r in rows})
+    assert all(r.valid_to is None for r in open_rows)
+    # the merged history equals a full rebuild on the data columns
+    full = {
+        (r.user_id, r.event_type, r.value, r.valid_from, r.valid_to)
+        for r in qs["cdc2_scd2_history"](spark, sf_dir).collect()
+    }
+    got = {
+        (r.user_id, r.event_type, r.value, r.valid_from, r.valid_to)
+        for r in rows
+    }
+    assert got == full
 
 
 def test_lm1_probabilities_normalize(spark, sf_dir):
