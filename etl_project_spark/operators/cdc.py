@@ -346,7 +346,15 @@ def cdc5_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     never tie across the cut and the lead-order is the full-history
     order by construction."""
     ev = load_table(spark, sf_dir, "events")
-    wm = F.lit(WATERMARK).cast("timestamp")
+    return scd2_merge(ev, WATERMARK)
+
+
+def scd2_merge(ev: DataFrame, watermark: str) -> DataFrame:
+    """The cdc5 core over any (event_id, ts, user_id, event_type,
+    value) relation and watermark — parameterized so the differential
+    fuzz (grammar 32) can draw watermark positions; see
+    :func:`cdc5_scd2_merge` for semantics and scale posture."""
+    wm = F.lit(watermark).cast("timestamp")
     w = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
     )

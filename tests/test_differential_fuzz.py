@@ -2178,3 +2178,82 @@ def test_merge_upsert_differential(spark, n_keys, seed):
     con.close()
     assert sorted(spdf.columns) == sorted(opdf.columns)
     assert _canon(spdf) == _canon(opdf), (n_keys, seed)
+
+
+# ---- grammar 32: incremental SCD2 merge under drawn watermarks -------------
+# cdc5's invariant is that the INCREMENTAL plan (close open rows +
+# append the batch's chain) equals a FULL cdc2 rebuild for any cut
+# position. The registered query fixes one watermark; this grammar
+# draws the stream AND the cut — multi-version keys, duplicate
+# timestamps (tie-broken by event_id), keys entirely pre- or
+# post-watermark — and compares scd2_merge against the watermark-tagged
+# full rebuild evaluated by DuckDB over the identical relation.
+
+
+@given(
+    n_keys=st.integers(2, 15),
+    wm_day=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_merge_differential_under_drawn_watermark(
+    spark, n_keys, wm_day, seed
+):
+    import random as _random
+
+    rng = _random.Random(seed)
+    base = _dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for k in range(n_keys):
+        et = rng.choice(["click", "view"])
+        n_versions = rng.randint(1, 6)
+        days = [rng.randint(0, 10) for _ in range(n_versions)]
+        for d in days:  # duplicate days exercise the event_id tie-break
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    base + _dt.timedelta(days=d, hours=k % 3),
+                    k,
+                    et,
+                    round(rng.uniform(-3, 3), 3),
+                )
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    wm = (base + _dt.timedelta(days=wm_day)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    from etl_project_spark.operators.cdc import scd2_merge
+
+    spdf = scd2_merge(ev, wm).toPandas()
+    con = duckdb.connect()
+    con.register("ev_pdf", ev.toPandas())
+    opdf = con.sql(
+        f"""
+        WITH v AS (
+            SELECT user_id, event_type, value, ts AS valid_from,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) AS valid_to
+            FROM ev_pdf
+        )
+        SELECT user_id, event_type, value, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current,
+               CASE WHEN valid_from >= TIMESTAMP '{wm}' THEN 'appended'
+                    WHEN valid_to IS NOT NULL
+                         AND valid_to >= TIMESTAMP '{wm}' THEN 'closed'
+                    ELSE 'history' END AS origin
+        FROM v
+        """
+    ).df()
+    con.close()
+    assert sorted(spdf.columns) == sorted(opdf.columns)
+    assert _canon(spdf) == _canon(opdf), (n_keys, wm_day, seed)
