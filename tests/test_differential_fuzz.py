@@ -2257,3 +2257,71 @@ def test_scd2_merge_differential_under_drawn_watermark(
     con.close()
     assert sorted(spdf.columns) == sorted(opdf.columns)
     assert _canon(spdf) == _canon(opdf), (n_keys, wm_day, seed)
+
+
+# ---- grammar 33: QUALIFY over grouped input + named-window reuse -----------
+# Grammar 29 draws over the raw events relation with a single window;
+# this composes the same dialect pair (DuckDB native QUALIFY vs
+# Spark's subquery-filter desugaring) with (a) a GROUP BY underneath —
+# the window runs over the AGGREGATED relation — and (b) TWO named
+# windows where the qualify predicate references both (e.g. rank
+# within group vs global running share). Integer-exact measures.
+
+_G33_GROUPS = [
+    ("user_id % 11", "grp"),
+    ("event_type", "grp"),
+    ("CAST(EXTRACT(hour FROM ts) AS BIGINT)", "grp"),
+]
+_G33_PREDS = [
+    "r <= 2",
+    "r = 1 AND c > 1",
+    "c >= r",
+    "r < c",
+]
+
+
+@given(
+    g_i=st.integers(0, len(_G33_GROUPS) - 1),
+    pred=st.sampled_from(_G33_PREDS),
+    desc=st.booleans(),
+    pre=st.sampled_from([None, "value > 0.0", "event_id % 3 = 0"]),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_qualify_over_group_named_windows_differential(
+    event_engines, g_i, pred, desc, pre
+):
+    """QUALIFY predicates referencing TWO named windows over a grouped
+    relation — rank by aggregate within a secondary key vs a global
+    cumulative count — one spec, two dialects, exact compare."""
+    spark, con = event_engines
+    expr, alias = _G33_GROUPS[g_i]
+    where = f" WHERE {pre}" if pre else ""
+    direction = "DESC" if desc else "ASC"
+    grouped = (
+        f"SELECT {expr} AS {alias}, event_type AS et,"
+        " CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS sq"
+        f" FROM events{where}"
+        f" GROUP BY {expr}, event_type"
+    )
+    inner = (
+        f"SELECT {alias}, et, n,"
+        " ROW_NUMBER() OVER w1 AS r,"
+        " CAST(COUNT(*) OVER w2 AS BIGINT) AS c"
+        f" FROM ({grouped})"
+        f" WINDOW w1 AS (PARTITION BY et ORDER BY n {direction},"
+        f" sq {direction} NULLS FIRST, {alias}),"
+        f" w2 AS (ORDER BY n {direction}, sq {direction} NULLS FIRST,"
+        f" et, {alias} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    sql_duck = f"{inner} QUALIFY {pred}"
+    sql_spark = f"SELECT * FROM ({inner}) WHERE {pred}"
+    spdf = spark.sql(sql_spark).toPandas()
+    opdf = con.sql(sql_duck).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql_duck
+    assert _canon(spdf) == _canon(opdf), sql_duck
