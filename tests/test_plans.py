@@ -419,3 +419,25 @@ def test_smp4_weighted_sample_plans_as_take_ordered(spark, sf_dir):
     assert "WindowExec" not in stats.plan.replace(
         "WindowGroupLimit", ""
     ), stats.plan
+
+
+def test_cdc4_merge_join_reuses_aggregate_partitioning(spark, sf_dir):
+    """cdc4's full outer join must ride the two key-compaction
+    exchanges — exactly 2 shuffles, no third exchange for the join
+    (both aggregates already hash-partition on the join key). If a
+    projection between aggregate and join ever breaks the output
+    partitioning (e.g. renaming the key columns through an alias the
+    optimizer can't see through), Spark silently inserts a third
+    full-relation exchange — invisible at sf0.1, dominant at 100 TB."""
+    df = all_queries()["cdc4_merge_upsert"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=2)
+    assert stats.shuffles == 2, stats.plan
+
+
+def test_cdc5_scd2_merge_shuffle_budget(spark, sf_dir):
+    """cdc5: one window per side + the first-change aggregate — the
+    close-ts join and the union must not add exchanges beyond the
+    three key-partitioned ones."""
+    df = all_queries()["cdc5_scd2_merge"](spark, sf_dir)
+    stats = assert_scalable(df, max_shuffles=3)
+    assert stats.shuffles <= 3, stats.plan

@@ -969,3 +969,71 @@ def test_mrl_sketch_at_10m_rows(spark, tmp_path):
         # value v has exact rank v (bijection onto 0..N-1)
         assert r.exact_rank == int(r.est_value)
         assert r.rank_err <= 0.001, (r.p, r.rank_err)
+
+
+def test_merge_upsert_at_10m_changes(spark, tmp_path):
+    """cdc4's merge core at 10M change rows over a 1M-key snapshot
+    (closed-form synthetic): id i is a change for key i % 1M with
+    version v = i // 1M and value v * 1M + key — the per-key latest is
+    v = 9, tombstones hit keys ≡ 0 (mod 100) via NULL value at v = 9,
+    and keys ≥ 500k are absent from the target (inserts). Verifies
+    action counts and spot values in closed form, inside a wall
+    budget. Catches merge plans whose join stops riding the
+    aggregate partitioning (a third full shuffle would blow the
+    budget at this size) and tombstone handling that only works at
+    fixture scale."""
+    import time as _time
+
+    from etl_project_spark.operators.cdc import merge_snapshot
+
+    n_keys = 1_000_000
+    n_changes = 10_000_000
+    base_ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    target = spark.range(500_000).select(
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        base_ts.alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    key = F.col("id") % n_keys
+    ver = F.floor(F.col("id") / n_keys)
+    changes = spark.range(n_changes).select(
+        F.col("id").alias("event_id"),
+        (base_ts + F.make_interval(secs=ver * 60)).alias("ts"),
+        key.alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.when(
+            (key % 100 == 0) & (ver == 9), F.lit(None).cast("double")
+        )
+        .otherwise((ver * F.lit(float(n_keys))) + key)
+        .alias("value"),
+    )
+    t0 = _time.time()
+    out = merge_snapshot(target, changes)
+    counts = {
+        r["action"]: (r["n"], r["sv"])
+        for r in out.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sv"),
+        )
+        .collect()
+    }
+    elapsed = _time.time() - t0
+    assert elapsed < 180, f"merge took {elapsed:.0f}s at 10M changes"
+    # tombstoned keys: multiples of 100 -> 10k of 1M keys vanish;
+    # updates = present-in-target keys (0..499999) minus their
+    # tombstones; inserts = absent keys minus theirs; keeps = none
+    # (every target key gets a change)
+    n_tomb_low = 5_000  # multiples of 100 in [0, 500k)
+    assert counts["update"][0] == 500_000 - n_tomb_low
+    assert counts["insert"][0] == 500_000 - n_tomb_low
+    assert "keep" not in counts
+    # value spot-check: every surviving row carries v=9's value
+    spot = (
+        out.filter(F.col("user_id").isin(1, 123_457, 999_999))
+        .select("user_id", "value", "action")
+        .collect()
+    )
+    for r in spot:
+        assert r["value"] == 9.0 * n_keys + r["user_id"], r
