@@ -154,6 +154,7 @@ EXTENDED_QUERIES = [
     # r10 additions
     "cdc4_merge_upsert",
     "cdc5_scd2_merge",
+    "x18_binary_shortlist_rerank",
 ]
 
 

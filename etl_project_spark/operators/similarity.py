@@ -2260,6 +2260,132 @@ def x17_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+X18_SHORTLIST = 400  # binary candidates per query before exact rerank
+
+
+@register(
+    "x18_binary_shortlist_rerank",
+    oracle=_x17_sig_sql()
+    + f""", q AS (
+        SELECT * FROM sig WHERE vec_id < {N_QUERIES}
+    ), c AS (
+        SELECT * FROM sig WHERE vec_id >= {N_QUERIES}
+    ), short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_X17_HAM_SQL}, c.vec_id
+                   ) AS hrank
+            FROM q CROSS JOIN c
+        ) WHERE hrank <= {X18_SHORTLIST}
+    ), ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY list_dot_product(eq.v, ec.v)
+                            / (sqrt(list_dot_product(eq.v, eq.v))
+                               * sqrt(list_dot_product(ec.v, ec.v)))
+                            DESC,
+                            s.neighbor_id
+               ) AS nn_rank
+        FROM short s
+        JOIN ev eq ON eq.vec_id = s.query_id
+        JOIN ev ec ON ec.vec_id = s.neighbor_id
+    ) WHERE nn_rank <= {TOP_K}
+    """,
+)
+def x18_binary_shortlist_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x17's DOCUMENTED SERVING PIPELINE as a first-class operator:
+    stage 1 scans the {X17_BITS}-bit signatures and keeps each query's
+    {X18_SHORTLIST} binary-nearest candidates ((hamming, neighbor_id)
+    tie-break); stage 2 reranks ONLY the shortlist by exact float
+    cosine and emits top-{TOP_K}. Until r10 this pipeline lived only
+    in tools/measure_recall.py's numpy replay — as an operator it is
+    differentially hash-checked end to end (the binary stage is
+    integer-exact, the rerank is x1's established cosine ranking over
+    a bounded relation), and RECALL.json's measured figure for it is
+    1.0 on every fixture, so at these corpora its OUTPUT equals x1's
+    exact top-k while reading ~1.5% of the float bytes in stage 1 and
+    only |queries|*{X18_SHORTLIST} full vectors in stage 2 — the
+    binary-quantization serving economics, now under the differential
+    gate.
+
+    Shape: stage 1 is x17's broadcast-queries signature scan
+    (candidates never shuffle; {X18_SHORTLIST}*|queries| rows
+    survive); stage 2 joins the shortlist back to the embedding
+    relation — a |shortlist|-row probe side against the corpus scan —
+    then ranks per query. At 100 TB stage 1 runs over the persisted
+    Hamming index's pruned buckets and stage 2's fetch is a
+    point-lookup join against the bucketed embedding table."""
+    sig = hamming_signatures(spark, sf_dir)
+    sig_cols = [f"sig{w}" for w in range(X17_WORDS)]
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(c).alias(f"q{c}") for c in sig_cols],
+    )
+    c = sig.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[F.col(c).alias(f"c{c}") for c in sig_cols],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"qsig{w}").bitwiseXOR(F.col(f"csig{w}")))
+        for w in range(X17_WORDS)
+    )
+    hw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "neighbor_id",
+            ham.cast("long").alias("hamming"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(hw).alias("hrank"),
+        )
+        .filter(F.col("hrank") <= X18_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qe = emb.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "v", "qv"
+    )
+    ce = emb.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "v", "cv"
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(rw).alias("nn_rank"),
+        )
+        .filter(F.col("nn_rank") <= TOP_K)
+    )
+
+
 # --- persisted Hamming signature index ---------------------------------------
 # The durable form of x17's scale posture: the 32-byte (4-word)
 # signature relation written as a managed parquet table PARTITIONED BY

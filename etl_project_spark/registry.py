@@ -98,14 +98,16 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r10 window (generated from artifacts through round 9): cdc4 + cdc5
-# (the new MERGE upsert and SCD2 merge — never-attested, scheduled
-# first by policy), then the ENTIRE remaining r5-attested block
+# r10 window (generated from artifacts through round 9): x18 + cdc4 +
+# cdc5 (the new serving-pipeline, MERGE upsert and SCD2 merge —
+# never-attested, scheduled first by policy), then the ENTIRE
+# remaining r5-attested block
 # (q12/q17/q20/q21, j1–j9, dd1–dd4/dd8 core, tx4/6/9, ts6, bpe1/2,
 # pp7, lm2, sd1 — landing these holds the 5-round staleness bound,
 # VERDICT r9 #1), back-filled with the oldest r6 rows (dq6, q7, j11,
 # dd7/9/10/11, dq5/9, pp11, x1/x6/x10, tx1/2/3/5/7/8/10/14).
 _FRONT_QUERIES = [
+    "x18_binary_shortlist_rerank",
     "cdc4_merge_upsert",
     "cdc5_scd2_merge",
     "q12_late_shipments",
@@ -155,7 +157,6 @@ _FRONT_QUERIES = [
     "tx7_bpe_token_count",
     "tx8_gopher_quality",
     "tx10_winnowing_fingerprint",
-    "tx14_quality_logit",
 ]
 
 

@@ -375,3 +375,23 @@ def test_x17_hamming_topk_matches_numpy(spark, sf_dir):
         for r in get("x17_hamming_topk").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_x18_shortlist_rerank_recovers_exact_topk(spark, sf_dir):
+    """The binary-shortlist + exact-rerank serving pipeline must
+    reproduce x1's exact top-k EXACTLY at fixture scale (the measured
+    recall is 1.0 on every fixture, so any divergence here is a
+    pipeline bug, not a recall shortfall) — while its stage-1 scan
+    reads signatures, not float vectors."""
+    got = {
+        (r.query_id, r.neighbor_id, r.nn_rank)
+        for r in get("x18_binary_shortlist_rerank")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id, r.nn_rank)
+        for r in get("x1_topk_cosine_exact").fn(spark, sf_dir).collect()
+    }
+    assert got == exact
+    assert len(got) == similarity.N_QUERIES * similarity.TOP_K
