@@ -98,65 +98,64 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r10 window (generated from artifacts through round 9): x18 + cdc4 +
-# cdc5 (the new serving-pipeline, MERGE upsert and SCD2 merge —
-# never-attested, scheduled first by policy), then the ENTIRE
-# remaining r5-attested block
-# (q12/q17/q20/q21, j1–j9, dd1–dd4/dd8 core, tx4/6/9, ts6, bpe1/2,
-# pp7, lm2, sd1 — landing these holds the 5-round staleness bound,
-# VERDICT r9 #1), back-filled with the oldest r6 rows (dq6, q7, j11,
-# dd7/9/10/11, dq5/9, pp11, x1/x6/x10, tx1/2/3/5/7/8/10/14).
+# r11 window (generated from artifacts through round 10): the ENTIRE
+# remaining r6-attested block (tx14, ts1/ts4/ts7, s1–s3, sk3,
+# mm1/8/9/11, bpe3, pp9/10/12, rk5/rk6, lm3/lm4, cdc1, j10, an5/an9,
+# km1, x11, ly2 — landing these puts every oracle-able query inside
+# the 5-round staleness bound permanently, VERDICT r10 #1),
+# back-filled with the oldest r7 rows (p2–p5, f1–f3, a1, smp2/3/7,
+# dq2/4/7/8, a9/a10/a11, dd5c, x12–x15).
 _FRONT_QUERIES = [
-    "x18_binary_shortlist_rerank",
-    "cdc4_merge_upsert",
-    "cdc5_scd2_merge",
-    "q12_late_shipments",
-    "q17_small_qty_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "j1_broadcast_dim_join",
-    "j2_fact_fact_join",
-    "j3_semi_join",
-    "j4_anti_join",
-    "j5_outer_join",
-    "j7_nation_flows",
-    "j8_part_revenue",
-    "j6_asof_join",
-    "j9_range_join",
-    "dd1_exact_dedup",
-    "dd2_fingerprint_dedup",
-    "dd3_jaccard_pairs",
-    "dd8_jaccard_prefix_join",
-    "dd4_minhash_lsh_pairs",
-    "tx4_quality_filter",
-    "tx6_langid",
-    "tx9_pii_redact",
-    "ts6_interpolated_resample",
-    "bpe1_merge_table",
-    "bpe2_tokenize_apply",
-    "pp7_dsir_weights",
-    "lm2_perplexity_score",
-    "sd1_semantic_dedup",
-    "dq6_source_token_kl",
-    "q7_volume_shipping",
-    "j11_interval_overlap_join",
-    "dd7_dup_clusters",
-    "dd9_canonical_keep",
-    "dd10_dup_graph_stats",
-    "dq5_neardup_rate_by_source",
-    "dd11_containment_join",
-    "pp11_dup_weighted_keep",
-    "dq9_source_overlap_matrix",
-    "x1_topk_cosine_exact",
-    "x6_rademacher_lsh_topk",
-    "x10_mmr_topk",
-    "tx1_doc_stats",
-    "tx2_corpus_profile",
-    "tx3_token_topk",
-    "tx5_fingerprint",
-    "tx7_bpe_token_count",
-    "tx8_gopher_quality",
-    "tx10_winnowing_fingerprint",
+    "tx14_quality_logit",
+    "ts1_tumbling_5min",
+    "ts4_ohlcv_resample",
+    "ts7_rolling_zscore",
+    "s1_union_all",
+    "s2_intersect",
+    "s3_except",
+    "sk3_skew_profile",
+    "mm1_media_metadata",
+    "mm8_scene_cuts",
+    "mm9_silence_spans",
+    "mm11_video_neardup",
+    "bpe3_cached_shard_packing",
+    "pp9_dup_span_mask",
+    "pp10_trim_dup_spans",
+    "pp12_seq_composition",
+    "rk5_retrieval_eval",
+    "lm3_perplexity_buckets",
+    "rk6_ndcg",
+    "lm4_kneser_ney",
+    "cdc1_latest_snapshot",
+    "j10_fuzzy_blocked_join",
+    "an5_nation_pagerank",
+    "an9_attribution",
+    "km1_kmeans_lloyd",
+    "x11_cluster_eval",
+    "ly2_pruning_stats",
+    "p2_projection",
+    "p4_derived_date",
+    "p3_timestamp_parse",
+    "p5_json_extract",
+    "f1_eq_date_filter",
+    "f2_date_arith_filter",
+    "f3_categorical_filter",
+    "a1_count_yesterday",
+    "smp2_hash_stratified_sample",
+    "dq2_iqr_outliers",
+    "smp3_train_val_test",
+    "a9_value_histogram",
+    "a10_bivariate_stats",
+    "dq4_corpus_report",
+    "dq7_categorical_drift",
+    "a11_rolling_active_users",
+    "dd5c_simhash_md5_reference",
+    "smp7_leakage_safe_split",
+    "dq8_split_leakage_audit",
+    "x12_ann_recall_eval",
+    "x13_dim_truncation_eval",
+    "x14_ivf_reference_topk",
+    "x15_pq_reference_topk",
 ]
 
 
