@@ -155,6 +155,8 @@ EXTENDED_QUERIES = [
     "cdc4_merge_upsert",
     "cdc5_scd2_merge",
     "x18_binary_shortlist_rerank",
+    # r11 additions
+    "x19_ivfpq_serving_topk",
 ]
 
 

@@ -29,7 +29,10 @@ from etl_project_spark.catalog import load_table
 from etl_project_spark.registry import register
 
 KM_K = 8  # clusters
-KM_ITERS = 3  # Lloyd iterations (fixed — static plan, an5 precedent)
+# Lloyd iterations (fixed — static plan, an5 precedent). Must stay
+# >= 2: km2 reads trace[-2] (the state the final assignment used).
+KM_ITERS = 3
+assert KM_ITERS >= 2, "km2 indexes trace[-2]"
 KM_DIM = 64  # embedding width of the corpus
 KM_QSCALE = 10000  # quantization: floor(x*1e4 + 0.5), exact in int64
 SD_TAU = 0.4  # semantic-dedup cosine threshold (dd6's corpus-aware bar)

@@ -914,9 +914,18 @@ def smp4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the weight, and this operator materializes the resampled
     corpus. Weight here is n_chars (any positive column works).
 
-    Shape: scan-local key projection, then ONE top-{SMP4_R} (Spark
-    plans the rank filter as TakeOrderedAndProject at this k — no
-    global sort materializes). Engine parity: u's integer is folded
+    Shape: scan-local key projection, then ONE top-{SMP4_R}. The
+    row_number window itself is UNPARTITIONED, but Catalyst's
+    LimitPushDownThroughWindow rewrites the rank<={SMP4_R} filter into
+    a TakeOrderedAndProject BELOW the window (per-partition top-R
+    heaps merged driver-side, 0 shuffles), so the single-task window
+    sort only ever sees {SMP4_R} rows, never the corpus. (Spark 3.5+
+    has a second bounding rewrite, InferWindowGroupLimit, that fires
+    when the limit pushdown doesn't; either node bounds the window.)
+    Pinned in tests/test_plans.py
+    (test_smp4_weighted_sample_plans_as_take_ordered): the bounding
+    node must sit below the window, so a Spark upgrade that drops
+    both rewrites is caught. Engine parity: u's integer is folded
     from the same 8 hex digits both sides (exact ≤ 16^8 in doubles),
     the division and ln are single IEEE/libm ops over identical
     operands (lm2 precedent), and ties break on doc_id."""

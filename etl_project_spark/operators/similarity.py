@@ -2567,3 +2567,240 @@ def query_hamming_index(
         probe_stats["pass2_union_buckets"] = len(union2)
         probe_stats["total_buckets"] = n_buckets
     return rank(probe2)
+
+
+# --- x19: IVF + PQ serving pipeline (the FAISS-IVFPQ shape) -------------------
+
+X19_SHORTLIST = 50
+
+
+def _x19_oracle() -> str:
+    cen = ", ".join(
+        f"({c}, {_ivf_ref_centroid(c)}::DOUBLE[])"
+        for c in range(IVF_REF_CELLS)
+    )
+    cb = ",\n           ".join(
+        f"({s}, {c}, {_pq_ref_codeword(s, c)}::DOUBLE[])"
+        for s in range(PQ_REF_M)
+        for c in range(PQ_REF_K)
+    )
+    d = PQ_REF_DSUB
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cen(cell, w) AS (VALUES {cen}),
+    cdp AS (
+        SELECT vec_id, cell, list_dot_product(e, w) AS dp
+        FROM v CROSS JOIN cen
+    ), cr AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY dp DESC, cell ASC
+               ) AS pr
+        FROM cdp
+    ), probes AS (
+        SELECT vec_id AS query_id, cell FROM cr
+        WHERE vec_id < {N_QUERIES} AND pr <= {IVF_REF_NPROBE}
+    ), assign AS (
+        SELECT vec_id, cell FROM cr
+        WHERE vec_id >= {N_QUERIES} AND pr = 1
+    ), cb(s, code, w) AS (VALUES {cb}),
+    pdp AS (
+        SELECT vec_id, s, code,
+               list_dot_product(e[(s*{d}+1):(s*{d}+{d})], w) AS dp
+        FROM v CROSS JOIN cb
+    ), enc AS (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, s ORDER BY dp DESC, code ASC
+               ) AS r
+        FROM pdp
+    ), codes AS (
+        SELECT vec_id, list(code ORDER BY s) AS codes
+        FROM enc WHERE r = 1 GROUP BY vec_id
+    ), lut AS (
+        SELECT vec_id, list(dp ORDER BY s, code) AS lut
+        FROM pdp WHERE vec_id < {N_QUERIES} GROUP BY vec_id
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_reduce(
+                   list_transform(range(0, {PQ_REF_M}),
+                                  s -> l.lut[s*{PQ_REF_K}
+                                             + cd.codes[s+1] + 1]),
+                   (x, y) -> x + y) AS adc
+        FROM probes p
+        JOIN assign a USING (cell)
+        JOIN lut l ON l.vec_id = p.query_id
+        JOIN codes cd ON cd.vec_id = a.vec_id
+    ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY adc DESC, neighbor_id
+                   ) AS sr
+            FROM scored
+        ) WHERE sr <= {X19_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, nn_rank FROM (
+        SELECT sl.query_id, sl.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sl.query_id
+                   ORDER BY list_dot_product(qv.e, cv.e)
+                            / (sqrt(list_dot_product(qv.e, qv.e))
+                               * sqrt(list_dot_product(cv.e, cv.e))) DESC,
+                            sl.neighbor_id
+               ) AS nn_rank
+        FROM shortlist sl
+        JOIN v qv ON qv.vec_id = sl.query_id
+        JOIN v cv ON cv.vec_id = sl.neighbor_id
+    ) WHERE nn_rank <= {TOP_K}
+    """
+
+
+@register("x19_ivfpq_serving_topk", oracle=_x19_oracle())
+def x19_ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF+PQ SERVING pipeline (the FAISS-IVFPQ architecture)
+    as one differentially hash-checked operator — x14's Voronoi
+    pruning and x15's ADC scoring COMPOSED, which is how a production
+    vector store actually serves: (1) every candidate sits in its
+    top-1 of {IVF_REF_CELLS} Rademacher cells and encodes to
+    {PQ_REF_M} 4-bit PQ codes, both in ONE scan-local pass (no shuffle
+    for assignment or encoding); (2) each query probes its
+    {IVF_REF_NPROBE} closest cells, so the ADC stage joins on cell and
+    scores only ~{IVF_REF_NPROBE}/{IVF_REF_CELLS} of the code relation
+    — IVF prunes bytes BEFORE ADC ever gathers a table entry, the
+    compounding economics neither x14 nor x15 shows alone; (3)
+    top-{X19_SHORTLIST} per query by (adc, id) then exact cosine
+    rerank of the shortlist to top-{TOP_K}. A candidate has exactly
+    one cell and probe cells are distinct, so no dedup stage exists
+    anywhere (x14's join invariant). Determinism: every dot product is
+    the same sequential fold in both engines (x14/x15 precedent), the
+    ADC sum is a fixed-order fold over {PQ_REF_M} gathers, and all
+    tie-breaks pack (score, id) — hash-exact at the driver.
+
+    At 100 TB: the persisted form partitions the CODE table by cell
+    (x4's index layout) so probes are static partition filters reading
+    {PQ_REF_M} bytes/vector over {IVF_REF_NPROBE}/{IVF_REF_CELLS} of
+    the corpus — ~{PQ_REF_M}/256th of the float bytes per probed cell
+    — and the rerank fetches |queries|*{X19_SHORTLIST} full vectors by
+    point lookup. The trained-codebook production twin is x4+x9 with
+    Arrow GEMM kernels; this reference replays the identical stage
+    DAG with plan-time codebooks so the driver can hash it."""
+    from etl_project_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # --- IVF assignment (x14's scan-local ranked cells) ---
+    cen = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in _ivf_ref_centroid(c)])
+            for c in range(IVF_REF_CELLS)
+        ]
+    )
+    ranked = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(IVF_REF_CELLS - 1)),
+            lambda c: F.struct(
+                dot(
+                    F.col("e"), F.element_at(cen, (c + 1).cast("int"))
+                ).alias("dp"),
+                (-c).alias("negcell"),
+            ),
+        ),
+        asc=False,
+    )
+    # --- PQ encode + query LUT (x15's scan-local expressions) ---
+    cb = _pq_ref_codebook()
+    d, K = PQ_REF_DSUB, PQ_REF_K
+
+    def cw_dot(s, c):
+        return dot(
+            F.slice(F.col("e"), s * d + 1, d),
+            F.element_at(cb, s * K + c + 1),
+        )
+
+    subspaces = F.sequence(F.lit(0), F.lit(PQ_REF_M - 1))
+    codewords = F.sequence(F.lit(0), F.lit(PQ_REF_K - 1))
+    codes = F.transform(
+        subspaces,
+        lambda s: -F.sort_array(
+            F.transform(
+                codewords,
+                lambda c: F.struct(
+                    cw_dot(s, c).alias("dp"), (-c).alias("negc")
+                ),
+            ),
+            asc=False,
+        )[0]["negc"],
+    )
+    lut = F.flatten(
+        F.transform(
+            subspaces,
+            lambda s: F.transform(codewords, lambda c: cw_dot(s, c)),
+        )
+    )
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        (-ranked[0]["negcell"]).alias("cell"),
+        codes.alias("codes"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, IVF_REF_NPROBE),
+                lambda s: -s["negcell"],
+            )
+        ).alias("cell"),
+        lut.alias("lut"),
+    )
+    # --- ADC only inside probed cells (the IVF x PQ composition) ---
+    score = F.aggregate(
+        F.array(*[F.lit(s) for s in range(PQ_REF_M)]),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            s * PQ_REF_K + F.element_at(F.col("codes"), s + F.lit(1)) + 1,
+        ),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "cell")
+        .select("query_id", "neighbor_id", score.alias("adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(ws).alias("sr")
+        )
+        .filter(F.col("sr") <= X19_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv")
+    )
+    sims = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.select(
+            "query_id", "neighbor_id", F.row_number().over(w).alias("nn_rank")
+        )
+        .filter(F.col("nn_rank") <= TOP_K)
+    )

@@ -476,50 +476,92 @@ def query_hll_rollup(
 
 # --- a15: MRL fold-tree quantile sketch, replayable ---------------------------
 
-MRL_B = 64  # level-0 buffers (6-level fixed fold tree)
-MRL_LEVELS = 6
+MRL_FINAL_B = 16  # buffers left when folding stops (final summary spans these)
+MRL_BUF_CAP = 2048  # target level-0 rows per buffer (per-window bound ~2x this)
+MRL_MAX_LEVELS = 24  # covers n up to 16 * 2^24 * 2048 ≈ 5.5e11 rows
 MRL_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
+def mrl_params(n: int) -> "tuple[int, int, int]":
+    """(levels, level0_buckets, weight) for an n-row corpus — the ONE
+    derivation both the Spark loop and the unrolled oracle replay:
+    levels = smallest k in [0, MRL_MAX_LEVELS] with
+    (MRL_FINAL_B << k) * MRL_BUF_CAP >= n (pure integer comparisons, so
+    the engines cannot drift), level-0 buckets = MRL_FINAL_B << levels,
+    weight = 2^levels. Folding pairwise `levels` times takes the
+    buckets down to MRL_FINAL_B while per-bucket size stays ~MRL_BUF_CAP
+    (compaction halves what merging doubles), so EVERY fold window is
+    bounded by ~2*MRL_BUF_CAP rows and the final unpartitioned window
+    orders <= MRL_FINAL_B * (MRL_BUF_CAP + levels) rows — both bounds
+    independent of corpus size."""
+    for k in range(MRL_MAX_LEVELS + 1):
+        if (MRL_FINAL_B << k) * MRL_BUF_CAP >= n:
+            return k, MRL_FINAL_B << k, 1 << k
+    return (
+        MRL_MAX_LEVELS,
+        MRL_FINAL_B << MRL_MAX_LEVELS,
+        1 << MRL_MAX_LEVELS,
+    )
+
+
 def _a15_oracle() -> str:
+    # The oracle cannot loop a data-dependent number of times, so it
+    # unrolls all MRL_MAX_LEVELS folds and makes each a conditional:
+    # level k folds only when the derived `levels` >= k, else it is an
+    # exact identity pass (bucket unchanged, every row kept).
     parts = [
         f"""
-    WITH l0 AS (
+    WITH stats AS (
+        SELECT COUNT(*) AS n FROM lineitem
+    ), lv AS (
+        SELECT COALESCE(MIN(k), {MRL_MAX_LEVELS}) AS levels
+        FROM generate_series(0, {MRL_MAX_LEVELS}) t(k), stats
+        WHERE (CAST({MRL_FINAL_B} AS BIGINT) << k) * {MRL_BUF_CAP}
+              >= stats.n
+    ), l0 AS (
         SELECT l_extendedprice AS value,
                l_orderkey * 8 + l_linenumber AS tid,
                (l_orderkey * 40503 + l_linenumber * 2654435761)
-                   % {MRL_B} AS bucket
-        FROM lineitem
+                   % (CAST({MRL_FINAL_B} AS BIGINT) << lv.levels)
+                   AS bucket,
+               lv.levels AS levels
+        FROM lineitem, lv
     )"""
     ]
-    for lv in range(1, MRL_LEVELS + 1):
-        parts.append(f""", l{lv} AS (
-        SELECT bucket, value, tid FROM (
-            SELECT CAST(FLOOR(bucket / 2) AS BIGINT) AS bucket, value, tid,
+    for lvn in range(1, MRL_MAX_LEVELS + 1):
+        parts.append(f""", l{lvn} AS (
+        SELECT CASE WHEN levels >= {lvn}
+                    THEN CAST(FLOOR(bucket / 2) AS BIGINT)
+                    ELSE bucket END AS bucket,
+               value, tid, levels
+        FROM (
+            SELECT bucket, value, tid, levels,
                    ROW_NUMBER() OVER (
-                       PARTITION BY CAST(FLOOR(bucket / 2) AS BIGINT)
+                       PARTITION BY CASE WHEN levels >= {lvn}
+                           THEN CAST(FLOOR(bucket / 2) AS BIGINT)
+                           ELSE bucket END
                        ORDER BY value, tid) AS rn
-            FROM l{lv - 1}
-        ) WHERE rn % 2 = 1
+            FROM l{lvn - 1}
+        ) WHERE rn % 2 = 1 OR levels < {lvn}
     )""")
-    w = 1 << MRL_LEVELS
     qs_rows = ", ".join(f"({p})" for p in MRL_QS)
     parts.append(f""", fin AS (
-        SELECT value, ROW_NUMBER() OVER (ORDER BY value, tid) AS i
-        FROM l{MRL_LEVELS}
-    ), stats AS (
-        SELECT COUNT(*) AS n FROM lineitem
+        SELECT value, levels,
+               ROW_NUMBER() OVER (ORDER BY value, tid) AS i
+        FROM l{MRL_MAX_LEVELS}
     ), fstats AS (
         SELECT MAX(i) AS fmax FROM fin
     ), targets AS (
         SELECT p,
-               LEAST(GREATEST(CAST(CEIL(p * stats.n / {w} + 0.5)
+               LEAST(GREATEST(CAST(CEIL(p * stats.n /
+                   (CAST(1 AS BIGINT) << lv.levels) + 0.5)
                                    AS BIGINT), 1), fstats.fmax) AS i
-        FROM (VALUES {qs_rows}) AS q(p), stats, fstats
+        FROM (VALUES {qs_rows}) AS q(p), stats, fstats, lv
     ), est AS (
         SELECT t.p, f.value AS est_value,
-               (f.i - 0.5) * {w} AS est_rank
-        FROM targets t JOIN fin f USING (i)
+               (f.i - 0.5) * (CAST(1 AS BIGINT) << f.levels) AS est_rank
+        FROM targets t, fin f
+        WHERE t.i = f.i
     )
     SELECT e.p,
            e.est_value,
@@ -541,47 +583,52 @@ def a15_mrl_quantile_sketch(
 ) -> DataFrame:
     """MRL fold-tree quantile sketch (Manku-Rajagopalan-Lindsay 1998)
     — the RANK-ERROR companion to a14's value-error histogram, and
-    the deterministic replayable twin of a7's Greenwald-Khanna path:
-    {MRL_B} level-0 buffers (integer-mix key assignment — MRL's
-    partition is arbitrary, so no cryptographic hash is spent on it)
-    fold pairwise through a FIXED {MRL_LEVELS}-level tree; each merge
+    the deterministic replayable twin of a7's Greenwald-Khanna path.
+    The tree is CORPUS-ADAPTIVE: mrl_params(n) derives (levels,
+    buckets, weight) from one corpus count via pure integer
+    comparisons, placing ~MRL_BUF_CAP rows in each of
+    MRL_FINAL_B·2^levels level-0 buffers (integer-mix key assignment —
+    MRL's partition is arbitrary, so no cryptographic hash is spent on
+    it); the buffers then fold pairwise `levels` times; each merge
     sorts the pair's union and keeps the odd sorted positions,
     doubling element weight (exact powers of two). MRL's collapse is
-    deterministic given the buffer partition, and the partition here
-    is exact integer arithmetic both engines share, so both walk the
-    identical tree and the driver's exact hash applies to a QUANTILE
-    SKETCH — a7 itself can only ever be rtol-checked. Published per target quantile:
-    estimated value, its sketch rank, the EXACT rank of that value
-    (one corpus aggregate), and the realized rank error — the sketch
-    carries its own honesty column.
+    deterministic given the buffer partition, and both the partition
+    and the depth derivation are exact integer arithmetic both engines
+    share (the oracle unrolls MRL_MAX_LEVELS conditional folds; level
+    k is an identity pass when k > levels), so both walk the identical
+    tree and the driver's exact hash applies to a QUANTILE SKETCH —
+    a7 itself can only ever be rtol-checked. Published per target
+    quantile: estimated value, its sketch rank, the EXACT rank of that
+    value (one corpus aggregate), and the realized rank error — the
+    sketch carries its own honesty column.
 
-    Scale: level L's window partitions by the destination buffer, so
-    partition size is bounded by ~2·corpus/{MRL_B} rows at the first
-    fold and halves thereafter (compaction keeps per-buffer size flat
-    while weight doubles). The tree compresses a fixed 2^{MRL_LEVELS}
-    = {MRL_B}:1, so the final unpartitioned window orders a
-    corpus/{MRL_B}-row summary — fine for the operating envelope here
-    (9.4k rows at sf0.1); at 100 TB MRL depth grows as log(n): bump
-    MRL_LEVELS (one constant — BOTH the Spark loop and the unrolled
-    oracle derive their trees from it, so the engines stay in
-    lockstep) and the summary re-bounds. Error: MRL rank error grows
-    with tree depth over buffer size; the published rank_err column
-    measures the realized error per query against ground truth
-    (≤1.5% at the 6k-row corpus, ≤0.15% at sf0.01, ≤0.1% in the
-    10M-row smoke)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    Scale: every fold window partitions by the destination buffer,
+    whose size stays ~2·MRL_BUF_CAP rows at EVERY level (merging
+    doubles, compaction halves), and folding stops at MRL_FINAL_B
+    buffers, so the final unpartitioned window orders at most
+    MRL_FINAL_B·(MRL_BUF_CAP + levels) ≈ 33k rows REGARDLESS of corpus
+    size — depth grows as log(n) automatically (10 levels at the
+    10M-row smoke, 24 levels ≈ 5.5e11 rows before the cap). Error:
+    MRL rank error grows with tree depth over buffer size
+    (worst-case ~levels·weight/2 ranks = levels/(2^(levels+1)·FINAL_B·
+    BUF_CAP/n) relative); the published rank_err column measures the
+    realized error per query against ground truth (exact below 33k
+    rows where no fold happens, ≤0.1% in the 10M-row smoke)."""
+    base = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("value"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("tid"),
         (
-            (
-                F.col("l_orderkey") * 40503
-                + F.col("l_linenumber") * 2654435761
-            )
-            % MRL_B
-        ).alias("bucket"),
+            F.col("l_orderkey") * 40503
+            + F.col("l_linenumber") * 2654435761
+        ).alias("mix"),
+    )
+    n = base.count()
+    levels, nbuckets, weight = mrl_params(n)
+    li = base.select(
+        "value", "tid", (F.col("mix") % nbuckets).alias("bucket")
     )
     cur = li
-    for _lv in range(MRL_LEVELS):
+    for _lv in range(levels):
         nb = F.floor(F.col("bucket") / 2).cast("long")
         cur = (
             cur.select(
@@ -595,18 +642,17 @@ def a15_mrl_quantile_sketch(
             .filter(F.col("rn") % 2 == 1)
             .select("bucket", "value", "tid")
         )
-    weight = 1 << MRL_LEVELS
-    # MATERIALIZE the folded summary (bounded: ~corpus/2^levels rows):
-    # three consumers follow (fmax collect, the estimate join, the
-    # published plan) and without the checkpoint each re-executes the
-    # whole 6-level fold — measured 3.6 s -> sub-second at sf0.1
+    # MATERIALIZE the folded summary (bounded: <= MRL_FINAL_B *
+    # (MRL_BUF_CAP + levels) rows by construction): three consumers
+    # follow (fmax collect, the estimate join, the published plan) and
+    # without the checkpoint each re-executes the whole fold —
+    # measured 3.6 s -> sub-second at sf0.1
     fin = cur.select(
         "value",
         F.row_number()
         .over(Window.orderBy("value", "tid"))
         .alias("i"),
     ).localCheckpoint()
-    n = li.count()
     fmax = fin.agg(F.max("i")).collect()[0][0]
     targets = spark.createDataFrame(
         [

@@ -24,6 +24,11 @@ Red flags (why each breaks at scale):
 - ``ReadSchema`` wider than the query needs — column pruning failed;
   on a 100 TB columnar table the scan cost is proportional to the
   columns actually decoded.
+- a ``Window`` with an EMPTY partition spec — the whole input is
+  sorted in ONE task; only acceptable when the input relation is
+  provably bounded (a bucket spine, a rank-limited prefilter, a sketch
+  summary). tools/audit_plans.py holds the whitelist of justified
+  sites; anything else is flagged ``GLOBAL-WINDOW``.
 """
 
 from __future__ import annotations
@@ -52,6 +57,8 @@ class PlanStats:
     broadcasts: int = 0  # BroadcastExchange operators
     scans: int = 0  # parquet scans
     pushed_scans: int = 0  # scans with non-empty PushedFilters
+    unpartitioned_windows: int = 0  # Window ops with empty partition spec
+    window_group_limits: int = 0  # WindowGroupLimit prefilter ops
     flags: list[str] = field(default_factory=list)
     plan: str = ""
 
@@ -62,6 +69,57 @@ class PlanStats:
     @property
     def row_python(self) -> bool:
         return "ROW-PYTHON-UDF" in self.flags
+
+
+_ORDER_SUFFIX = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def _split_top_level(s: str) -> "list[str]":
+    """Split ``s`` on commas that sit outside any paren/bracket nesting."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count physical ``Window`` operators whose windowspecdefinition
+    has an EMPTY partition spec — these sort their ENTIRE input in one
+    task. The spec's printed form is
+    ``windowspecdefinition(partExprs..., orderExprs..., frame)``:
+    order expressions carry an ``ASC/DESC NULLS ...`` suffix and the
+    trailing argument is always the frame, so the window is
+    unpartitioned exactly when no suffix-free argument remains."""
+    count = 0
+    for sec in re.finditer(
+        r"^\(\d+\) Window\n(?:(?!\(\d+\) )[^\n]*\n?)*", plan, re.M
+    ):
+        text = sec.group(0)
+        for m in re.finditer(r"windowspecdefinition\(", text):
+            i, depth = m.end(), 1
+            while i < len(text) and depth:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+                i += 1
+            args = _split_top_level(text[m.end() : i - 1])
+            if not [a for a in args[:-1] if not _ORDER_SUFFIX.search(a)]:
+                count += 1
+                break  # one hit marks the node; on to the next Window
+    return count
 
 
 def _connector_col(line: str) -> int:
@@ -139,6 +197,12 @@ def plan_stats(df: DataFrame, wide_scan_cols: int = 10) -> PlanStats:
             stats.flags.append("nested-loop(small-bcast)")
         else:
             stats.flags.append("QUADRATIC-JOIN")
+    stats.unpartitioned_windows = _unpartitioned_windows(plan)
+    stats.window_group_limits = len(
+        re.findall(r"^\(\d+\) WindowGroupLimit\b", plan, re.M)
+    )
+    if stats.unpartitioned_windows:
+        stats.flags.append(f"GLOBAL-WINDOW(x{stats.unpartitioned_windows})")
     if "BatchEvalPython" in plan:
         stats.flags.append("ROW-PYTHON-UDF")
     if "MapInPandas" in plan or "ArrowEvalPython" in plan:

@@ -395,3 +395,85 @@ def test_x18_shortlist_rerank_recovers_exact_topk(spark, sf_dir):
     }
     assert got == exact
     assert len(got) == similarity.N_QUERIES * similarity.TOP_K
+
+
+def test_x19_ivfpq_pipeline_matches_python_replay(spark, sf_dir):
+    """The ENTIRE IVF+PQ serving pipeline (cell assignment, probe
+    selection, PQ encoding, LUT build, ADC within probed cells,
+    shortlist, exact rerank) replayed independently in pure Python
+    with the same sequential left-to-right float folds — the discrete
+    output (query, neighbor, rank) must match exactly. Catches any
+    stage composition bug the per-stage twins (x14, x15) can't see."""
+    import math
+
+    sim = similarity
+    rows = (
+        dedup.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    emb = {r[0]: list(r[1]) for r in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cen = [
+        [float(v) for v in sim._ivf_ref_centroid(c)]
+        for c in range(sim.IVF_REF_CELLS)
+    ]
+    cw = {
+        (s, c): [float(v) for v in sim._pq_ref_codeword(s, c)]
+        for s in range(sim.PQ_REF_M)
+        for c in range(sim.PQ_REF_K)
+    }
+    d = sim.PQ_REF_DSUB
+    cells, codes, luts = {}, {}, {}
+    for vid, e in emb.items():
+        ranked = sorted(
+            ((fold_dot(e, cen[c]), -c) for c in range(sim.IVF_REF_CELLS)),
+            reverse=True,
+        )
+        cells[vid] = [-negc for _, negc in ranked]
+        codes[vid] = [
+            max(
+                ((fold_dot(e[s * d : s * d + d], cw[(s, c)]), -c)
+                 for c in range(sim.PQ_REF_K))
+            )[1] * -1
+            for s in range(sim.PQ_REF_M)
+        ]
+        if vid < sim.N_QUERIES:
+            luts[vid] = [
+                fold_dot(e[s * d : s * d + d], cw[(s, c)])
+                for s in range(sim.PQ_REF_M)
+                for c in range(sim.PQ_REF_K)
+            ]
+    expect = set()
+    for q in range(sim.N_QUERIES):
+        probe = set(cells[q][: sim.IVF_REF_NPROBE])
+        cand = [
+            v for v in emb
+            if v >= sim.N_QUERIES and cells[v][0] in probe
+        ]
+        adc = {}
+        for v in cand:
+            acc = 0.0
+            for s in range(sim.PQ_REF_M):
+                acc = acc + luts[q][s * sim.PQ_REF_K + codes[v][s]]
+            adc[v] = acc
+        short = sorted(cand, key=lambda v: (-adc[v], v))[: sim.X19_SHORTLIST]
+
+        def cos(a, b):
+            na, nb = math.sqrt(fold_dot(a, a)), math.sqrt(fold_dot(b, b))
+            return fold_dot(a, b) / (na * nb) if na and nb else 0.0
+
+        rer = sorted(short, key=lambda v: (-cos(emb[q], emb[v]), v))
+        for rank, v in enumerate(rer[: sim.TOP_K], start=1):
+            expect.add((q, v, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.nn_rank)
+        for r in get("x19_ivfpq_serving_topk").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -2325,3 +2325,204 @@ def test_qualify_over_group_named_windows_differential(
     opdf = con.sql(sql_duck).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql_duck
     assert _canon(spdf) == _canon(opdf), sql_duck
+
+
+# ---- grammar 34: LATERAL correlated subquery joins (VERDICT r10 #7) ---------
+# The join grammars (2, 11) only compose uncorrelated relations; the
+# subquery grammar (12) correlates in WHERE/SELECT position. LATERAL
+# correlates in FROM position — per outer row the inner subquery
+# re-evaluates — and is the declarative form of j6/t1-style
+# top-k-per-key. Both engines accept the identical text for the
+# comma-lateral and LEFT JOIN LATERAL forms; the inner query is either
+# a fully-tie-broken ORDER BY ... LIMIT k (deterministic set) or an
+# exact-integer aggregate. Outer side bounded (c_custkey % 31 = r) so
+# 60 examples stay fast at sf0.001.
+
+_G34_INNER_PREDS = [
+    "TRUE",
+    "o.o_orderstatus = 'O'",
+    "o.o_totalprice > 100000.0",
+    "o.o_orderkey % 2 = 0",
+]
+
+
+@given(
+    r=st.integers(0, 30),
+    k=st.integers(1, 3),
+    desc=st.booleans(),
+    ipred=st.sampled_from(_G34_INNER_PREDS),
+    left=st.booleans(),
+    agg_form=st.booleans(),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lateral_join_differential(
+    join_engines, r, k, desc, ipred, left, agg_form
+):
+    """One LATERAL spec, one SQL text, two engines: per-customer
+    top-k orders (tie-broken to a deterministic set) or a per-customer
+    exact-integer aggregate, under comma-LATERAL (inner semantics:
+    customers with no qualifying order vanish) and LEFT JOIN LATERAL
+    (they survive with NULLs)."""
+    spark, con = join_engines
+    direction = "DESC" if desc else "ASC"
+    if agg_form:
+        inner = (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT) AS cents,"
+            " MIN(o.o_orderkey) AS first_key"
+            " FROM orders o"
+            f" WHERE o.o_custkey = c.c_custkey AND {ipred}"
+        )
+        proj = "t.n, t.cents, t.first_key"
+    else:
+        inner = (
+            "SELECT o.o_orderkey AS okey,"
+            " CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents"
+            " FROM orders o"
+            f" WHERE o.o_custkey = c.c_custkey AND {ipred}"
+            f" ORDER BY o.o_totalprice {direction}, o.o_orderkey"
+            f" LIMIT {k}"
+        )
+        proj = "t.okey, t.cents"
+    outer = "customer c"
+    if left:
+        sql = (
+            f"SELECT c.c_custkey, {proj} FROM {outer}"
+            f" LEFT JOIN LATERAL ({inner}) t ON TRUE"
+            f" WHERE c.c_custkey % 31 = {r}"
+        )
+    else:
+        sql = (
+            f"SELECT c.c_custkey, {proj} FROM {outer},"
+            f" LATERAL ({inner}) t"
+            f" WHERE c.c_custkey % 31 = {r}"
+        )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql
+
+
+# ---- grammar 35: windowed DISTINCT aggregates (dialect pair) ----------------
+# Spark rejects DISTINCT inside window aggregates outright
+# ("Distinct window functions are not supported"); DuckDB runs them
+# natively. The SPEC — per-frame distinct count — is expressible in
+# both: DuckDB COUNT(DISTINCT x) OVER w vs Spark
+# SIZE(collect_set(x) OVER w) (collect_set drops NULLs exactly like
+# COUNT DISTINCT). ROWS frames are only deterministic when the ORDER
+# BY is a total order, so every ordered spec ends in the unique
+# event_id.
+
+_G35_KEYS = ["user_id % 7", "event_type", "user_id % 23"]
+_G35_PARTS = ["event_type", "user_id % 5", None]
+
+
+@given(
+    key=st.sampled_from(_G35_KEYS),
+    part=st.sampled_from(_G35_PARTS),
+    framed=st.booleans(),
+    desc=st.booleans(),
+    pre=st.sampled_from([None, "value > 0.0", "user_id % 2 = 0"]),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_windowed_distinct_dialect_pair_differential(
+    event_engines, key, part, framed, desc, pre
+):
+    """Distinct-count-over-window: one spec, per-dialect rendering,
+    exact compare. Whole-partition and running-frame variants, with
+    and without partitioning (the unpartitioned case stays bounded —
+    sf0.001 fuzz corpus only)."""
+    spark, con = event_engines
+    where = f" WHERE {pre}" if pre else ""
+    by = f"PARTITION BY {part} " if part else ""
+    if framed:
+        direction = "DESC" if desc else "ASC"
+        spec = (
+            f"({by}ORDER BY ts {direction}, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        proj = "event_id"
+    else:
+        spec = f"({by.strip()})" if by else "()"
+        proj = part if part else "1 AS grp"
+    duck = (
+        f"SELECT {proj}, CAST(COUNT(DISTINCT {key}) OVER {spec} AS BIGINT)"
+        f" AS dc FROM events{where}"
+    )
+    sp = (
+        f"SELECT {proj}, CAST(SIZE(collect_set({key}) OVER {spec})"
+        f" AS BIGINT) AS dc FROM events{where}"
+    )
+    spdf = spark.sql(sp).toPandas()
+    opdf = con.sql(duck).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), duck
+    assert _canon(spdf) == _canon(opdf), duck
+
+
+# ---- grammar 36: set ops over grouped + windowed arms -----------------------
+# Grammar 5 fuzzes set ops over raw projections; this composes each
+# arm from GROUP BY + a ranking window (the registry's a3g/t2 shape)
+# before the set op, so the engines must agree on the INTERACTION:
+# aggregate typing x window tie-break x bag-vs-set semantics of
+# UNION/INTERSECT/EXCEPT [ALL]. Arms differ only in predicate, making
+# INTERSECT/EXCEPT nontrivial (overlap = rows whose group survives
+# both filters with equal stats).
+
+_G36_OPS = [
+    "UNION",
+    "UNION ALL",
+    "INTERSECT",
+    "INTERSECT ALL",
+    "EXCEPT",
+    "EXCEPT ALL",
+]
+_G36_PREDS = [
+    "TRUE",
+    "o_orderstatus <> 'P'",
+    "o_totalprice < 150000.0",
+    "o_orderkey % 3 <> 1",
+    "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+]
+
+
+def _g36_arm(pred: str, desc: bool) -> str:
+    direction = "DESC" if desc else "ASC"
+    return (
+        "SELECT grp, n, CAST(ROW_NUMBER() OVER (ORDER BY n"
+        f" {direction}, grp) AS BIGINT) AS r FROM ("
+        "SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM orders WHERE {pred} GROUP BY o_orderpriority)"
+    )
+
+
+@given(
+    op=st.sampled_from(_G36_OPS),
+    p1=st.sampled_from(_G36_PREDS),
+    p2=st.sampled_from(_G36_PREDS),
+    d1=st.booleans(),
+    d2=st.booleans(),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_setop_grouped_windowed_differential(engines, op, p1, p2, d1, d2):
+    """UNION/INTERSECT/EXCEPT [ALL] where each arm is a grouped +
+    ranked relation — identical SQL text through both engines, exact
+    compare (all columns BIGINT/VARCHAR)."""
+    spark, con = engines
+    sql = f"({_g36_arm(p1, d1)}) {op} ({_g36_arm(p2, d2)})"
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql

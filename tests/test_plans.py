@@ -5,12 +5,59 @@ can."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from etl_project_spark.catalog import load_table
 from etl_project_spark.plans import assert_scalable, plan_stats
 from etl_project_spark.registry import all_queries
+
+
+def test_unpartitioned_window_detector(spark):
+    """plan_stats must count Window ops with an EMPTY partition spec
+    and ONLY those — across every windowspecdefinition print shape
+    (ordered rank, partition+order, partition-only, global frame,
+    order-only running sum)."""
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("g")
+    )
+    cases = [
+        # (frame, expected unpartitioned count)
+        (df.select(F.row_number().over(
+            Window.partitionBy("g").orderBy("id")).alias("r")), 0),
+        (df.select(F.sum("id").over(Window.partitionBy("g")).alias("s")), 0),
+        (df.select(F.row_number().over(Window.orderBy("id")).alias("r")), 1),
+        (df.select(F.sum("id").over(Window.partitionBy()).alias("s")), 1),
+        (df.select(F.sum("id").over(Window.orderBy("id")).alias("s")), 1),
+        # partitioned on an EXPRESSION (the fold-tree shape)
+        (df.select(F.row_number().over(
+            Window.partitionBy(F.floor(F.col("g") / 2))
+            .orderBy("id")).alias("r")), 0),
+    ]
+    for frame, want in cases:
+        s = plan_stats(frame)
+        assert s.unpartitioned_windows == want, (want, s.plan)
+        assert (f"GLOBAL-WINDOW(x{want})" in s.flags) == (want > 0)
+
+
+def test_global_window_whitelist_matches_plans(spark, sf_dir):
+    """Every BOUNDED_GLOBAL_WINDOW whitelist entry must name a real
+    registry query that actually plans an unpartitioned window at
+    sf0.001 — a stale entry would silently re-admit a future
+    corpus-sized single-task sort under an old name."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import audit_plans
+
+    qs = all_queries()
+    for name in audit_plans.BOUNDED_GLOBAL_WINDOW:
+        assert name in qs, name
+        s = plan_stats(qs[name](spark, sf_dir))
+        assert s.unpartitioned_windows > 0, (name, s.plan)
 
 
 def test_broadcast_dim_join_has_no_fact_shuffle(spark, sf_dir):
@@ -404,20 +451,26 @@ def test_aqe_splits_skewed_join_partition(spark):
 
 
 def test_smp4_weighted_sample_plans_as_take_ordered(spark, sf_dir):
-    """smp4 (VERDICT r6 #6): the rank<=R filter over a GLOBAL ordered
-    window must physically plan as TakeOrderedAndProject — per-
-    partition top-R heaps merged on the driver side, 0 shuffles. The
-    pin matters because it rides Catalyst's
-    LimitPushDownThroughWindow: if the filter shape drifts (e.g. the
-    predicate stops being a constant comparison on the row_number
-    output), Spark silently regresses to ONE exchange collapsing the
-    whole corpus into a single-partition WindowExec sort — fine at
-    sf0.1, fatal at 100 TB."""
+    """smp4 (VERDICT r6 #6, hardened r11): the rank<=R filter over a
+    GLOBAL ordered window must be BOUNDED below the window by one of
+    Catalyst's two rank-limit rewrites — LimitPushDownThroughWindow
+    (a TakeOrderedAndProject feeding the window: per-partition top-R
+    heaps merged driver-side, 0 shuffles — the plan Spark 4.1 emits
+    here) or InferWindowGroupLimit (a WindowGroupLimit prefilter). If
+    BOTH rewrites stop firing (filter shape drift, Spark upgrade),
+    the unpartitioned Window sorts the whole corpus in one task —
+    fine at sf0.1, fatal at 100 TB. The old assertion only checked
+    TakeOrderedAndProject existed SOMEWHERE; this pins it below the
+    Window node in the plan tree."""
     df = all_queries()["smp4_weighted_sample"](spark, sf_dir)
     stats = assert_scalable(df, max_shuffles=0)
-    assert "TakeOrderedAndProject" in stats.plan, stats.plan
-    assert "WindowExec" not in stats.plan.replace(
-        "WindowGroupLimit", ""
+    assert stats.unpartitioned_windows == 1, stats.plan
+    tree = stats.plan.split("\n\n", 1)[0].splitlines()
+    win = [i for i, l in enumerate(tree) if re.search(r"\bWindow \(", l)]
+    assert len(win) == 1, stats.plan
+    below = "\n".join(tree[win[0] + 1 :])
+    assert (
+        "TakeOrderedAndProject" in below or "WindowGroupLimit" in below
     ), stats.plan
 
 

@@ -111,6 +111,9 @@ def test_ann_twins_are_drop_in_compatible(spark, sf_dir):
         ("x4_ivf_topk", "x14_ivf_reference_topk"),
         ("x9_pq_topk", "x15_pq_reference_topk"),
         ("x3_lsh_bucketed_topk", "x6_rademacher_lsh_topk"),
+        # the composed serving pipeline serves the same contract as
+        # the production IVF path it prunes for
+        ("x4_ivf_topk", "x19_ivfpq_serving_topk"),
     ]:
         p = qs[prod](spark, sf_dir)
         t = qs[twin](spark, sf_dir)
@@ -130,42 +133,42 @@ def test_ann_twins_are_drop_in_compatible(spark, sf_dir):
 
 
 def test_mrl_sketch_matches_python_fold_and_bounds_error(spark, sf_dir):
-    """a15's fold tree replayed from scratch in Python (integer-mix
-    buckets, sorted-merge odd-position compaction) must select the
-    identical summary elements, and every published rank_err must stay
-    inside a loose MRL bound for this tree (~2% at the sf0.001 buffer
-    sizes)."""
+    """a15's fold tree replayed from scratch in Python (adaptive
+    mrl_params depth, integer-mix buckets, sorted-merge odd-position
+    compaction) must select the identical summary elements, and every
+    published rank_err must stay inside a loose MRL bound for this
+    tree (~2% at the sf0.001 buffer sizes)."""
     import math
 
     from etl_project_spark.catalog import load_table
     from etl_project_spark.operators.sketches import (
-        MRL_B,
-        MRL_LEVELS,
         MRL_QS,
+        mrl_params,
     )
     from etl_project_spark.registry import get
 
     rows = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     ).collect()
-    buckets: dict[int, list] = {b: [] for b in range(MRL_B)}
+    n = len(rows)
+    levels, nbuckets, w = mrl_params(n)
+    buckets: dict[int, list] = {b: [] for b in range(nbuckets)}
     for r in rows:
-        b = (r.l_orderkey * 40503 + r.l_linenumber * 2654435761) % MRL_B
+        b = (
+            r.l_orderkey * 40503 + r.l_linenumber * 2654435761
+        ) % nbuckets
         buckets[b].append(
             (r.l_extendedprice, r.l_orderkey * 8 + r.l_linenumber)
         )
     cur = buckets
-    for _ in range(MRL_LEVELS):
+    for _ in range(levels):
         nxt: dict[int, list] = {}
         for b, els in cur.items():
             nxt.setdefault(b // 2, []).extend(els)
         cur = {
             b: sorted(els)[::2] for b, els in nxt.items()
         }  # odd sorted positions (1st, 3rd, ... 1-indexed)
-    (final,) = cur.values()
-    fin = sorted(final)
-    w = 1 << MRL_LEVELS
-    n = len(rows)
+    fin = sorted(el for els in cur.values() for el in els)
     want = {}
     for p in MRL_QS:
         i = min(max(int(math.ceil(p * n / w + 0.5)), 1), len(fin))
@@ -183,3 +186,75 @@ def test_mrl_sketch_matches_python_fold_and_bounds_error(spark, sf_dir):
         assert r.exact_rank == exact_rank
         assert abs(r.rank_err - round(abs(exact_rank - p * n) / n, 6)) == 0
         assert r.rank_err <= 0.02, (p, r.rank_err)
+
+
+def test_mrl_adaptive_fold_replay_midsize(spark, tmp_path):
+    """The sf0.001 corpus sits below the no-fold threshold
+    (MRL_FINAL_B*MRL_BUF_CAP rows), so the replay above never folds;
+    this synthetic 150k-row lineitem forces levels=3 and replays the
+    full adaptive tree element-for-element, plus pins mrl_params'
+    derivation at the exact power-of-two boundaries."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_project_spark.operators.sketches import (
+        MRL_BUF_CAP,
+        MRL_FINAL_B,
+        MRL_MAX_LEVELS,
+        MRL_QS,
+        mrl_params,
+    )
+    from etl_project_spark.registry import get
+
+    # derivation pins: no fold at/below the threshold, one more level
+    # exactly when the count crosses a power-of-two boundary, capped
+    thr = MRL_FINAL_B * MRL_BUF_CAP
+    assert mrl_params(1) == (0, MRL_FINAL_B, 1)
+    assert mrl_params(thr) == (0, MRL_FINAL_B, 1)
+    assert mrl_params(thr + 1) == (1, MRL_FINAL_B * 2, 2)
+    assert mrl_params(4 * thr) == (2, MRL_FINAL_B * 4, 4)
+    assert mrl_params(4 * thr + 1) == (3, MRL_FINAL_B * 8, 8)
+    assert mrl_params(10**18)[0] == MRL_MAX_LEVELS
+
+    n = 150_000
+    levels, nbuckets, w = mrl_params(n)
+    assert levels == 3, (levels, nbuckets)
+    spark.range(n).select(
+        F.col("id").alias("l_orderkey"),
+        (F.col("id") % 7 + 1).alias("l_linenumber"),
+        (((F.col("id") * 48271 + 11) % n)).cast("double").alias(
+            "l_extendedprice"
+        ),
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = [
+        (i, int(i % 7 + 1), float((i * 48271 + 11) % n))
+        for i in range(n)
+    ]
+    buckets: dict[int, list] = {}
+    for ok, ln, v in rows:
+        b = (ok * 40503 + ln * 2654435761) % nbuckets
+        buckets.setdefault(b, []).append((v, ok * 8 + ln))
+    cur = buckets
+    for _ in range(levels):
+        nxt: dict[int, list] = {}
+        for b, els in cur.items():
+            nxt.setdefault(b // 2, []).extend(els)
+        cur = {b: sorted(els)[::2] for b, els in nxt.items()}
+    assert len(cur) == MRL_FINAL_B
+    assert all(len(els) <= MRL_BUF_CAP + levels for els in cur.values())
+    fin = sorted(el for els in cur.values() for el in els)
+    got = {
+        r.p: r
+        for r in get("a15_mrl_quantile_sketch")
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    for p in MRL_QS:
+        i = min(max(int(math.ceil(p * n / w + 0.5)), 1), len(fin))
+        r = got[p]
+        assert r.est_value == fin[i - 1][0], p
+        # values are a bijection onto 0..n-1: exact rank == value
+        assert r.exact_rank == int(r.est_value)
+        assert r.rank_err <= 0.002, (p, r.rank_err)

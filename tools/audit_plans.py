@@ -59,15 +59,50 @@ INTENDED_QUADRATIC = {"dd3_jaccard_pairs", "dd6_embedding_neardup",
                       # stage 2 reranks only the bounded shortlist
                       "x18_binary_shortlist_rerank"}
 
+# queries whose unpartitioned Window ops (GLOBAL-WINDOW flag) run over
+# a PROVABLY BOUNDED relation — each site verified by reading the plan
+# subtree feeding the window (VERDICT r10 #3). Anything flagged
+# GLOBAL-WINDOW and NOT in this dict is an unexplained single-task
+# sort and fails the audit (printed as FLAG).
+BOUNDED_GLOBAL_WINDOW = {
+    # two-phase bucketed prefix sums: the window orders the
+    # bucket-TOTALS relation (corpus/PACK_BUCKET rows), never the corpus
+    "pp1_token_shard_packing": "bucket spine",
+    "pp6_epoch_shuffle": "bucket spine",
+    "pp8_sequence_packing": "bucket spine",
+    "pp12_seq_composition": "bucket spine",
+    "pp13_curriculum_phases": "bucket spine",
+    "pp15_dedup_weighted_mixture": "bucket spine",
+    "bpe3_cached_shard_packing": "bucket spine",
+    "smp8_systematic_pps_sample": "bucket spine",
+    # per-source aggregates: #sources rows at any corpus scale
+    "pp4_source_mixture": "per-source rows",
+    "smp6_temperature_mixture": "per-source rows",
+    # rank<=R bounded BELOW the window by LimitPushDownThroughWindow /
+    # InferWindowGroupLimit (pinned in tests/test_plans.py)
+    "smp4_weighted_sample": "rank-limited",
+    # calendar-hour spine + 24 hour-of-day rows
+    "ts10_seasonal_decomposition": "calendar spine",
+    # counts-of-counts relation (distinct per-user event counts)
+    "an11_engagement_gini": "counts-of-counts",
+}
+
 
 def audit(name: str, fn, spark, sf_dir: str) -> dict:
     s = plan_stats(fn(spark, sf_dir))
-    flags = [
-        "quadratic-join(intended)"
-        if f == "QUADRATIC-JOIN" and name in INTENDED_QUADRATIC
-        else f
-        for f in s.flags
-    ]
+    flags = []
+    for f in s.flags:
+        if f == "QUADRATIC-JOIN" and name in INTENDED_QUADRATIC:
+            flags.append("quadratic-join(intended)")
+        elif (
+            f.startswith("GLOBAL-WINDOW")
+            and name in BOUNDED_GLOBAL_WINDOW
+        ):
+            flags.append(
+                f"global-window(bounded: {BOUNDED_GLOBAL_WINDOW[name]})"
+            )
+        else:
+            flags.append(f)
     return {
         "name": name,
         "shuffles": s.shuffles,
@@ -123,6 +158,14 @@ def main() -> None:
             "joins whose build side is provably tiny (scalar-subquery "
             "aggregate or driver-local frame) — the correct plan for "
             "1-row threshold comparisons, not a hazard.\n"
+            "- **global-window(bounded: …)** marks unpartitioned "
+            "Window ops whose input relation is provably bounded "
+            "(bucket-totals spine, per-source rows, rank-limited "
+            "prefilter, calendar spine) — the single-task sort never "
+            "sees the corpus. Every such site is whitelisted per-query "
+            "in tools/audit_plans.py (BOUNDED_GLOBAL_WINDOW); an "
+            "unpartitioned window in ANY other query prints as a "
+            "GLOBAL-WINDOW failure.\n"
             "- **arrow-python(ok)** marks Arrow-batched mapInPandas "
             "stages (one numpy GEMM per batch); no row-at-a-time Python "
             "exists in any plan.\n"

@@ -128,7 +128,7 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_rowsonly = n_approx = n_tol = 0
+    n_pass = n_fail = n_rowsonly = n_approx = n_tol = n_skip = 0
     # optional committed artifact (SPARK_GRAFT_CHECK_JSON=path): the
     # full-sweep evidence for queries outside the driver's ~50 window
     results: dict[str, dict] = {}
@@ -159,6 +159,7 @@ def main() -> int:
         if skip_why and not only:
             print(f"SKIP  {name}: {skip_why}")
             rec(name, "oracle_cost_skip", None, skip_why)
+            n_skip += 1
             continue
         t0 = time.time()
         try:
@@ -262,6 +263,7 @@ def main() -> int:
     print(
         f"\n{n_pass} pass, {n_approx} approx-pass, {n_tol} tolerant-only, "
         f"{n_rowsonly} rows-only, {n_fail} fail"
+        + (f", {n_skip} oracle-cost-skip" if n_skip else "")
     )
     import os
 
@@ -279,6 +281,7 @@ def main() -> int:
                         "tolerant_only": n_tol,
                         "rows_only": n_rowsonly,
                         "fail": n_fail,
+                        "oracle_cost_skip": n_skip,
                     },
                     "results": results,
                 },

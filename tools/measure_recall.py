@@ -137,6 +137,10 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
         "x3_lsh_bucketed_topk",
         "x4_ivf_topk",
         "x9_pq_topk",
+        # x19 is hash-green (deterministic reference codebooks) but its
+        # IVF pruning + ADC shortlist still trade recall for bytes —
+        # this row prices the COMPOSED serving pipeline vs exact
+        "x19_ivfpq_serving_topk",
     ):
         approx = pair_set(
             get(name).fn(spark, sf_dir), "query_id", "neighbor_id"
