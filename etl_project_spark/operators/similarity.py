@@ -2659,10 +2659,10 @@ def _x19_oracle() -> str:
 
 @register("x19_ivfpq_serving_topk", oracle=_x19_oracle())
 def x19_ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full IVF+PQ SERVING pipeline (the FAISS-IVFPQ architecture)
-    as one differentially hash-checked operator — x14's Voronoi
-    pruning and x15's ADC scoring COMPOSED, which is how a production
-    vector store actually serves: (1) every candidate sits in its
+    """The IVF+PQ serving ARCHITECTURE (FAISS-IVFPQ) as one
+    differentially hash-checked operator — x14's Voronoi pruning and
+    x15's ADC scoring COMPOSED, the stage DAG a production vector
+    store serves with: (1) every candidate sits in its
     top-1 of {IVF_REF_CELLS} Rademacher cells and encodes to
     {PQ_REF_M} 4-bit PQ codes, both in ONE scan-local pass (no shuffle
     for assignment or encoding); (2) each query probes its
@@ -2678,6 +2678,17 @@ def x19_ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC sum is a fixed-order fold over {PQ_REF_M} gathers, and all
     tie-breaks pack (score, id) — hash-exact at the driver.
 
+    Quality: with PLAN-TIME Rademacher codebooks the coarse quantizer
+    is a direction hash, not trained structure, so measured recall
+    (RECALL.json, serving_path=false) prices the reference codebooks —
+    0.22-0.5 on the near-uniform corpora, the same regime that puts
+    x17's signature-only row at ~0.2. The TRAINED twins of this exact
+    stage DAG are x4 (k-means centroids, recall 0.96-1.0) + x9
+    (trained ADC, recall 1.0); the deterministic serving reference
+    with recall 1.0 is x18. x19's contribution is that the COMPOSED
+    pruning pipeline itself — probe selection x encode x LUT gather x
+    shortlist x rerank — sits under the driver's exact hash.
+
     At 100 TB: the persisted form partitions the CODE table by cell
     (x4's index layout) so probes are static partition filters reading
     {PQ_REF_M} bytes/vector over {IVF_REF_NPROBE}/{IVF_REF_CELLS} of
@@ -2685,7 +2696,8 @@ def x19_ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the rerank fetches |queries|*{X19_SHORTLIST} full vectors by
     point lookup. The trained-codebook production twin is x4+x9 with
     Arrow GEMM kernels; this reference replays the identical stage
-    DAG with plan-time codebooks so the driver can hash it."""
+    DAG with plan-time codebooks so the driver can hash it.
+    Reference parity: extension scope (SURVEY §2h X3)."""
     from etl_project_spark.functions.vectors import dot
 
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -2526,3 +2526,67 @@ def test_setop_grouped_windowed_differential(engines, op, p1, p2, d1, d2):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# ---- grammar 37: SCD2 changelog state machine under drawn slicings ----------
+# scd2_history_stream claims its changelog reproduces the batch SCD2
+# rebuild under ANY micro-batch slicing INCLUDING out-of-order arrival
+# (the retro-insert case the batch watermark contract excludes). The
+# engine-level replay pins one slicing; this grammar draws (a) a user,
+# (b) a permutation seed that SHUFFLES the key's events before
+# slicing, (c) random cut positions — so versions genuinely arrive
+# late — and applies the changelog against a closed-form rebuild.
+
+
+@given(
+    user_pick=st.integers(0, 10_000),
+    seed=st.integers(0, 2**31 - 1),
+    cuts=st.lists(st.integers(0, 500), min_size=1, max_size=6),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_changelog_under_random_slicing(
+    twin_events, user_pick, seed, cuts
+):
+    """Apply scd2_update's accumulated changelog (last emission per
+    version identity wins) over a shuffled, randomly-sliced event
+    stream for one (user, event_type) key — must equal the sorted
+    closed-form SCD2 spine regardless of arrival order."""
+    from etl_project_spark.streaming.stateful import scd2_update
+
+    users = sorted(twin_events["user_id"].unique())
+    uid = int(users[user_pick % len(users)])
+    sub = twin_events[twin_events["user_id"] == uid]
+    et = sorted(sub["event_type"].unique())[0]
+    sub = (
+        sub[sub["event_type"] == et]
+        .sample(frac=1.0, random_state=seed)
+        .reset_index(drop=True)
+    )
+    batches = _cut(sub, cuts)
+    applied = {}
+    for pdf in _drive(scd2_update, (uid, et), batches):
+        for _, r in pdf.iterrows():
+            applied[(int(r["event_id"]),)] = (
+                r["valid_from"].value,
+                None if pd.isna(r["valid_to"]) else r["valid_to"].value,
+                round(float(r["value"]), 9),
+                bool(r["is_current"]),
+            )
+    got = {
+        (eid[0],) + v for eid, v in applied.items()
+    }
+    spine = sorted(
+        (int(t), int(e), float(v))
+        for t, e, v in zip(
+            sub["ts"].astype("int64"), sub["event_id"], sub["value"]
+        )
+    )
+    expected = set()
+    for i, (t, e, v) in enumerate(spine):
+        nxt = spine[i + 1][0] if i + 1 < len(spine) else None
+        expected.add((e, t, nxt, round(v, 9), i + 1 == len(spine)))
+    assert got == expected

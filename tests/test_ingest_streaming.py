@@ -1435,3 +1435,42 @@ def test_hourly_state_invariant_under_random_slicing(
         .collect()
     }
     assert got == want
+
+
+def test_streaming_scd2_changelog_matches_batch_cdc2(spark, sf_dir, tmp_path):
+    """scd2_history_stream after an AvailableNow replay: applying the
+    emitted changelog (last emission per version identity wins, in
+    sink order) must equal the batch cdc2 SCD2 rebuild row-for-row —
+    the same (ts, event_id) total order, intervals and is_current."""
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.registry import get
+    from etl_project_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_scd2")
+    ev.write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = sp.file_event_stream(spark, src_dir, schema)
+    out = stateful.scd2_history_stream(stream)
+    sp.run_available_now(
+        out, str(tmp_path / "ck_scd2"), output_mode="update",
+        queryName="scd2_test",
+    )
+    applied = {}
+    for r in spark.sql("SELECT * FROM scd2_test").collect():
+        applied[(r["user_id"], r["event_type"], r["valid_from"],
+                 r["event_id"])] = (
+            round(r["value"], 9), r["valid_to"], r["is_current"]
+        )
+    got = {
+        (k[0], k[1], k[2], v[0], v[1], v[2])
+        for k, v in applied.items()
+    }
+    expected = {
+        (
+            r["user_id"], r["event_type"], r["valid_from"],
+            round(r["value"], 9), r["valid_to"], r["is_current"],
+        )
+        for r in get("cdc2_scd2_history").fn(spark, sf_dir).collect()
+    }
+    assert got == expected
