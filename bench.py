@@ -157,6 +157,7 @@ EXTENDED_QUERIES = [
     "x18_binary_shortlist_rerank",
     # r11 additions
     "x19_ivfpq_serving_topk",
+    "x20_ivfpq_trained_serving",
 ]
 
 

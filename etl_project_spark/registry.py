@@ -98,9 +98,9 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r11 window (generated from artifacts through round 10): x19 (the
-# new IVF+PQ serving pipeline — never-attested, scheduled first by
-# policy), then the ENTIRE remaining r6-attested block (tx14, ts1/ts4/ts7, s1–s3, sk3,
+# r11 window (generated from artifacts through round 10): x19 + x20
+# (the new IVF+PQ serving pipelines — never-attested, scheduled first
+# by policy), then the ENTIRE remaining r6-attested block (tx14, ts1/ts4/ts7, s1–s3, sk3,
 # mm1/8/9/11, bpe3, pp9/10/12, rk5/rk6, lm3/lm4, cdc1, j10, an5/an9,
 # km1, x11, ly2 — landing these puts every oracle-able query inside
 # the 5-round staleness bound permanently, VERDICT r10 #1),
@@ -108,6 +108,7 @@ def register(
 # dq2/4/7/8, a9/a10/a11, dd5c, x12–x15).
 _FRONT_QUERIES = [
     "x19_ivfpq_serving_topk",
+    "x20_ivfpq_trained_serving",
     "tx14_quality_logit",
     "ts1_tumbling_5min",
     "ts4_ohlcv_resample",
@@ -156,7 +157,6 @@ _FRONT_QUERIES = [
     "dq8_split_leakage_audit",
     "x12_ann_recall_eval",
     "x13_dim_truncation_eval",
-    "x14_ivf_reference_topk",
 ]
 
 

@@ -477,3 +477,122 @@ def test_x19_ivfpq_pipeline_matches_python_replay(spark, sf_dir):
         for r in get("x19_ivfpq_serving_topk").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_x20_trained_ivfpq_matches_python_replay(spark, sf_dir):
+    """x20's ENTIRE pipeline replayed independently in pure Python —
+    INCLUDING the km1 Lloyd training (int64 quantization, exact
+    integer distances, packed dist*K+cl tie-breaks, floor(sum/n+0.5)
+    centroid requantization), the nprobe cell selection, PQ encoding,
+    ADC within probed cells, shortlist and exact rerank. The discrete
+    output must match exactly — this is the strongest composition
+    check in the suite (training + serving, no shared code with the
+    operator)."""
+    import math
+
+    from etl_project_spark.operators import clustering as km
+
+    sim = similarity
+    rows = (
+        dedup.load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    emb = {r[0]: list(r[1]) for r in rows}
+    q = {
+        vid: [math.floor(x * km.KM_QSCALE + 0.5) for x in e]
+        for vid, e in emb.items()
+    }
+
+    def idist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # --- independent Lloyd replay (km1's integer rules) ---
+    cls = sorted(v for v in emb if v < km.KM_K)
+    C = {c: q[c] for c in cls}
+    for _ in range(km.KM_ITERS - 1):
+        assign = {
+            vid: min(cls, key=lambda c: idist(q[vid], C[c]) * km.KM_K + c)
+            for vid in q
+        }
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for vid, c in assign.items():
+            s = sums.setdefault(c, [0] * km.KM_DIM)
+            for i, x in enumerate(q[vid]):
+                s[i] += x
+            counts[c] = counts.get(c, 0) + 1
+        cls = sorted(sums)
+        C = {
+            c: [math.floor(s / counts[c] + 0.5) for s in sums[c]]
+            for c in cls
+        }
+    hard = {
+        vid: min(cls, key=lambda c: idist(q[vid], C[c]) * km.KM_K + c)
+        for vid in q
+    }
+    probes = {
+        vid: sorted(
+            cls, key=lambda c: idist(q[vid], C[c]) * km.KM_K + c
+        )[: sim.X20_NPROBE]
+        for vid in q
+        if vid < sim.N_QUERIES
+    }
+
+    # --- PQ encode / LUT / ADC / shortlist / rerank (x19's folds) ---
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cw = {
+        (s, c): [float(v) for v in sim._pq_ref_codeword(s, c)]
+        for s in range(sim.PQ_REF_M)
+        for c in range(sim.PQ_REF_K)
+    }
+    d = sim.PQ_REF_DSUB
+    codes, luts = {}, {}
+    for vid, e in emb.items():
+        if vid >= sim.N_QUERIES:
+            codes[vid] = [
+                max(
+                    ((fold_dot(e[s * d : s * d + d], cw[(s, c)]), -c)
+                     for c in range(sim.PQ_REF_K))
+                )[1] * -1
+                for s in range(sim.PQ_REF_M)
+            ]
+        else:
+            luts[vid] = [
+                fold_dot(e[s * d : s * d + d], cw[(s, c)])
+                for s in range(sim.PQ_REF_M)
+                for c in range(sim.PQ_REF_K)
+            ]
+    expect = set()
+    for qid in range(sim.N_QUERIES):
+        probe = set(probes[qid])
+        cand = [
+            v for v in emb if v >= sim.N_QUERIES and hard[v] in probe
+        ]
+        adc = {}
+        for v in cand:
+            acc = 0.0
+            for s in range(sim.PQ_REF_M):
+                acc = acc + luts[qid][s * sim.PQ_REF_K + codes[v][s]]
+            adc[v] = acc
+        short = sorted(cand, key=lambda v: (-adc[v], v))[
+            : sim.X20_SHORTLIST
+        ]
+
+        def cos(a, b):
+            na, nb = math.sqrt(fold_dot(a, a)), math.sqrt(fold_dot(b, b))
+            return fold_dot(a, b) / (na * nb) if na and nb else 0.0
+
+        rer = sorted(short, key=lambda v: (-cos(emb[qid], emb[v]), v))
+        for rank, v in enumerate(rer[: sim.TOP_K], start=1):
+            expect.add((qid, v, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.nn_rank)
+        for r in get("x20_ivfpq_trained_serving").fn(spark, sf_dir).collect()
+    }
+    assert got == expect

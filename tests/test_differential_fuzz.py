@@ -2590,3 +2590,132 @@ def test_scd2_changelog_under_random_slicing(
         nxt = spine[i + 1][0] if i + 1 < len(spine) else None
         expected.add((e, t, nxt, round(v, 9), i + 1 == len(spine)))
     assert got == expected
+
+
+# ---- grammar 38: recursive CTEs (new in Spark 4) ---------------------------
+# WITH RECURSIVE is new engine surface in Spark 4 (DuckDB has had it
+# for years) — exactly the kind of young codepath a differential
+# grammar should hammer. Two drawn shapes, identical SQL text through
+# both engines: (a) integer linear-congruential recurrences folded to
+# an aggregate (pure-integer state, no float drift possible), and (b)
+# bounded-depth transitive closure over a small orders-derived edge
+# relation with a depth counter (UNION ALL + depth guard — the
+# termination form both dialects agree on).
+
+
+@given(
+    a=st.integers(1, 7),
+    b=st.integers(0, 96),
+    m=st.sampled_from([97, 101, 1009]),
+    n=st.integers(5, 60),
+    seed=st.integers(0, 95),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_recursive_cte_recurrence_differential(engines, a, b, m, n, seed):
+    """Drawn LCG recurrence via WITH RECURSIVE: both engines must
+    produce the identical integer trajectory and fold."""
+    spark, con = engines
+    sql = f"""
+    WITH RECURSIVE t(i, x) AS (
+        SELECT 1, CAST({seed} AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (x * {a} + {b}) % {m} FROM t WHERE i < {n}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS steps,
+           CAST(SUM(x) AS BIGINT) AS total,
+           CAST(MIN(x) AS BIGINT) AS lo,
+           CAST(MAX(x) AS BIGINT) AS hi
+    FROM t
+    """
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
+
+
+@given(
+    r=st.integers(0, 96),
+    depth=st.integers(2, 5),
+    mod=st.sampled_from([23, 37, 50]),
+)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_recursive_cte_closure_differential(engines, r, depth, mod):
+    """Bounded-depth reachability over a drawn orders-derived edge set
+    (distinct (custkey%mod -> orderkey%mod) edges from a 1-in-97
+    order slice): node frontier counts per depth must match."""
+    spark, con = engines
+    sql = f"""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT o_custkey % {mod} AS src,
+               o_orderkey % {mod} AS dst
+        FROM orders WHERE o_orderkey % 97 = {r}
+    ), walk(node, d) AS (
+        SELECT src, 0 FROM e
+        UNION ALL
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.d < {depth}
+    )
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS paths,
+           CAST(COUNT(DISTINCT node) AS BIGINT) AS nodes
+    FROM walk GROUP BY d
+    """
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert _canon(spdf) == _canon(opdf), sql
+
+
+# ---- grammar 39: GROUP BY ALL / ORDER BY ALL dialect probes ----------------
+# Both engines accept the ALL shorthand; the differential risk is how
+# each infers "all non-aggregate columns" once expressions, aliases
+# and HAVING enter. Identical SQL text, drawn projections.
+
+_G39_DIMS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderkey % 5 AS bucket",
+    "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr",
+]
+_G39_AGGS = [
+    "CAST(COUNT(*) AS BIGINT) AS cnt",
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sk",
+    "MIN(o_totalprice) AS mn",
+    "ROUND(CAST(SUM(o_custkey) AS DOUBLE) / COUNT(*), 6) AS avg_ck",
+]
+
+
+@given(
+    dims=st.lists(st.sampled_from(_G39_DIMS), min_size=1, max_size=3,
+                  unique=True),
+    aggs=st.lists(st.sampled_from(_G39_AGGS), min_size=1, max_size=2,
+                  unique=True),
+    pred=st.sampled_from(PREDS),
+    having=st.sampled_from([None, "COUNT(*) > 3", "COUNT(*) >= 1"]),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_group_by_all_differential(engines, dims, aggs, pred, having):
+    """GROUP BY ALL with drawn dimension expressions (including
+    aliased computed columns), aggregates, WHERE and HAVING — the ALL
+    inference must resolve identically in both engines."""
+    spark, con = engines
+    where = f" WHERE {pred}" if pred else ""
+    hav = f" HAVING {having}" if having else ""
+    sql = (
+        f"SELECT {', '.join(dims + aggs)} FROM orders{where}"
+        f" GROUP BY ALL{hav}"
+    )
+    spdf = spark.sql(sql).toPandas()
+    opdf = con.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), sql
+    assert _canon(spdf) == _canon(opdf), sql

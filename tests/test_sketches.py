@@ -111,9 +111,10 @@ def test_ann_twins_are_drop_in_compatible(spark, sf_dir):
         ("x4_ivf_topk", "x14_ivf_reference_topk"),
         ("x9_pq_topk", "x15_pq_reference_topk"),
         ("x3_lsh_bucketed_topk", "x6_rademacher_lsh_topk"),
-        # the composed serving pipeline serves the same contract as
-        # the production IVF path it prunes for
+        # the composed serving pipelines serve the same contract as
+        # the production IVF path they prune for
         ("x4_ivf_topk", "x19_ivfpq_serving_topk"),
+        ("x4_ivf_topk", "x20_ivfpq_trained_serving"),
     ]:
         p = qs[prod](spark, sf_dir)
         t = qs[twin](spark, sf_dir)

@@ -165,8 +165,25 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
         "returned_pairs": len(x19),
         "serving_path": False,
         "note": "reference-codebook price of the composed IVF+PQ"
-        " pipeline; trained serving = x4/x9, recall-1.0 deterministic"
-        " serving reference = x18",
+        " pipeline; trained serving = x4/x9/x20, recall-1.0"
+        " deterministic serving reference = x18",
+    }
+    # x20 swaps x19's random cells for km1's TRAINED integer-exact
+    # Lloyd centroids — still hash-checked end to end; its recall
+    # equals the probe-stage ceiling (shortlist-400 ADC loses nothing
+    # at these corpora)
+    x20 = pair_set(
+        get("x20_ivfpq_trained_serving").fn(spark, sf_dir),
+        "query_id",
+        "neighbor_id",
+    )
+    out["x20_ivfpq_trained_serving"] = {
+        "recall_at_k": round(len(x20 & exact) / len(exact), 4),
+        "exact_pairs": len(exact),
+        "returned_pairs": len(x20),
+        "serving_path": True,
+        "note": "trained (km1) coarse quantizer, nprobe 3 of 8,"
+        " ADC shortlist 400, exact rerank — hash-checked end to end",
     }
     # x17 rides the same metric with a different meaning: its Hamming
     # ranking is EXACT over the {X17_BITS} packed projections
