@@ -494,3 +494,17 @@ def test_cdc5_scd2_merge_shuffle_budget(spark, sf_dir):
     df = all_queries()["cdc5_scd2_merge"](spark, sf_dir)
     stats = assert_scalable(df, max_shuffles=3)
     assert stats.shuffles <= 3, stats.plan
+
+
+def test_ivfpq_serving_plans_are_pruned_and_bounded(spark, sf_dir):
+    """x19/x20: the serving plans must keep the IVF economics visible
+    in the physical tree — the query side broadcasts (candidates never
+    shuffle for the ADC join), at most one exchange feeds the
+    per-query shortlist window (which must be partitioned — no global
+    sort anywhere), and no quadratic join exists (the cell equi-join
+    IS the pruning)."""
+    for name in ("x19_ivfpq_serving_topk", "x20_ivfpq_trained_serving"):
+        df = all_queries()[name](spark, sf_dir)
+        stats = assert_scalable(df, max_shuffles=1)
+        assert stats.broadcasts >= 2, (name, stats.plan)
+        assert stats.unpartitioned_windows == 0, (name, stats.plan)
