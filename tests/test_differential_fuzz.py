@@ -2425,7 +2425,7 @@ _G35_PARTS = ["event_type", "user_id % 5", None]
 @given(
     key=st.sampled_from(_G35_KEYS),
     part=st.sampled_from(_G35_PARTS),
-    framed=st.booleans(),
+    mode=st.sampled_from(["whole", "rows", "range"]),
     desc=st.booleans(),
     pre=st.sampled_from([None, "value > 0.0", "user_id % 2 = 0"]),
 )
@@ -2435,20 +2435,30 @@ _G35_PARTS = ["event_type", "user_id % 5", None]
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_windowed_distinct_dialect_pair_differential(
-    event_engines, key, part, framed, desc, pre
+    event_engines, key, part, mode, desc, pre
 ):
     """Distinct-count-over-window: one spec, per-dialect rendering,
-    exact compare. Whole-partition and running-frame variants, with
-    and without partitioning (the unpartitioned case stays bounded —
-    sf0.001 fuzz corpus only)."""
+    exact compare. Whole-partition, running ROWS-frame (total order —
+    ties broken by event_id) and trailing RANGE-frame variants (value
+    ranges make tied rows share a frame, so no tie-break is needed —
+    the r11 handoff's missing case), with and without partitioning
+    (the unpartitioned cases stay bounded — sf0.001 fuzz corpus
+    only)."""
     spark, con = event_engines
     where = f" WHERE {pre}" if pre else ""
     by = f"PARTITION BY {part} " if part else ""
-    if framed:
+    if mode == "rows":
         direction = "DESC" if desc else "ASC"
         spec = (
             f"({by}ORDER BY ts {direction}, event_id"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        proj = "event_id"
+    elif mode == "range":
+        # ascending only: a trailing interval frame over event time
+        spec = (
+            f"({by}ORDER BY ts RANGE BETWEEN INTERVAL '1' HOUR"
+            " PRECEDING AND CURRENT ROW)"
         )
         proj = "event_id"
     else:
@@ -2719,3 +2729,17 @@ def test_group_by_all_differential(engines, dims, aggs, pred, having):
     opdf = con.sql(sql).df()
     assert sorted(spdf.columns) == sorted(opdf.columns), sql
     assert _canon(spdf) == _canon(opdf), sql
+
+
+# ---- TABLESAMPLE: probed, documented, deliberately NOT a grammar -----------
+# Probe results (r11): Spark accepts `TABLESAMPLE (p PERCENT)
+# REPEATABLE (seed)` and returns a row-level Bernoulli sample; DuckDB
+# parses the same text but routes it to its default (system/reservoir)
+# sampler and returned 0 rows over a parquet view; DuckDB's explicit
+# `TABLESAMPLE BERNOULLI(p PERCENT)` is a parse error in Spark. Even
+# where both parse, the drawn row SETS differ (different RNGs behind
+# the same seed), so no exact differential is possible BY DESIGN.
+# The engine's deterministic-sampling operators (smp2/smp3/smp7 hash
+# gates, smp4 A-ES, smp8 systematic PPS) exist precisely because
+# TABLESAMPLE is not reproducible across engines — they are the
+# differential-checkable replacements, all hash-green.
