@@ -75,12 +75,24 @@ _ORDER_SUFFIX = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)$")
 
 
 def _split_top_level(s: str) -> "list[str]":
-    """Split ``s`` on commas that sit outside any paren/bracket nesting."""
+    """Split ``s`` on commas that sit outside any paren/bracket nesting.
+
+    Quoted segments (``'...'`` / ``"..."``, as printed for string
+    literals in plan expressions) are opaque: parens, brackets, and
+    commas inside them never affect nesting depth or splitting."""
     parts: list[str] = []
     depth = 0
+    quote: str | None = None
     cur: list[str] = []
     for ch in s:
-        if ch in "([":
+        if quote is not None:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
@@ -109,10 +121,17 @@ def _unpartitioned_windows(plan: str) -> int:
         text = sec.group(0)
         for m in re.finditer(r"windowspecdefinition\(", text):
             i, depth = m.end(), 1
+            quote: str | None = None
             while i < len(text) and depth:
-                if text[i] == "(":
+                ch = text[i]
+                if quote is not None:
+                    if ch == quote:
+                        quote = None
+                elif ch in "'\"":
+                    quote = ch
+                elif ch == "(":
                     depth += 1
-                elif text[i] == ")":
+                elif ch == ")":
                     depth -= 1
                 i += 1
             args = _split_top_level(text[m.end() : i - 1])

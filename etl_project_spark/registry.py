@@ -98,65 +98,65 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r11 window (generated from artifacts through round 10): x19 + x20
-# (the new IVF+PQ serving pipelines — never-attested, scheduled first
-# by policy), then the ENTIRE remaining r6-attested block (tx14, ts1/ts4/ts7, s1–s3, sk3,
-# mm1/8/9/11, bpe3, pp9/10/12, rk5/rk6, lm3/lm4, cdc1, j10, an5/an9,
-# km1, x11, ly2 — landing these puts every oracle-able query inside
-# the 5-round staleness bound permanently, VERDICT r10 #1),
-# back-filled with the oldest r7 rows (p2–p5, f1–f3, a1, smp2/3/7,
-# dq2/4/7/8, a9/a10/a11, dd5c, x12–x15).
+# r12 window (generated from artifacts through round 11): pure
+# staleness rotation — the oldest-attested rows are now the r7 block
+# (x14/x15, tx11/tx13/tx15, w7, ts8, fn3, mm10/mm12, smp6, pp8, x7,
+# smp5, pp13, rk1–rk3, lm5, rk7, cdc2/cdc3, an1–an4, an7/an8) followed
+# by the r8 block (p1, a2, a3/a3g, t1–t3, dq1, smp4, dq12, j12, dd6,
+# dd12, x2, x5, x8, dq10, x16, tx12, tx16, lm6, tx17). Every
+# oracle-able query stays inside the provable staleness bound
+# (ROTATION.md), per VERDICT r11 #1.
 _FRONT_QUERIES = [
-    "x19_ivfpq_serving_topk",
-    "x20_ivfpq_trained_serving",
-    "tx14_quality_logit",
-    "ts1_tumbling_5min",
-    "ts4_ohlcv_resample",
-    "ts7_rolling_zscore",
-    "s1_union_all",
-    "s2_intersect",
-    "s3_except",
-    "sk3_skew_profile",
-    "mm1_media_metadata",
-    "mm8_scene_cuts",
-    "mm9_silence_spans",
-    "mm11_video_neardup",
-    "bpe3_cached_shard_packing",
-    "pp9_dup_span_mask",
-    "pp10_trim_dup_spans",
-    "pp12_seq_composition",
-    "rk5_retrieval_eval",
-    "lm3_perplexity_buckets",
-    "rk6_ndcg",
-    "lm4_kneser_ney",
-    "cdc1_latest_snapshot",
-    "j10_fuzzy_blocked_join",
-    "an5_nation_pagerank",
-    "an9_attribution",
-    "km1_kmeans_lloyd",
-    "x11_cluster_eval",
-    "ly2_pruning_stats",
-    "p2_projection",
-    "p4_derived_date",
-    "p3_timestamp_parse",
-    "p5_json_extract",
-    "f1_eq_date_filter",
-    "f2_date_arith_filter",
-    "f3_categorical_filter",
-    "a1_count_yesterday",
-    "smp2_hash_stratified_sample",
-    "dq2_iqr_outliers",
-    "smp3_train_val_test",
-    "a9_value_histogram",
-    "a10_bivariate_stats",
-    "dq4_corpus_report",
-    "dq7_categorical_drift",
-    "a11_rolling_active_users",
-    "dd5c_simhash_md5_reference",
-    "smp7_leakage_safe_split",
-    "dq8_split_leakage_audit",
-    "x12_ann_recall_eval",
-    "x13_dim_truncation_eval",
+    "x14_ivf_reference_topk",
+    "x15_pq_reference_topk",
+    "tx11_rabin_winnowing",
+    "tx13_shared_span_index",
+    "tx15_tfidf_keywords",
+    "w7_running_drawdown",
+    "ts8_ewma_forecast",
+    "fn3_array_funcs",
+    "mm10_shot_keyframes",
+    "mm12_audio_neardup",
+    "smp6_temperature_mixture",
+    "pp8_sequence_packing",
+    "x7_int8_quantize",
+    "smp5_dsir_resample",
+    "pp13_curriculum_phases",
+    "rk1_bm25_score",
+    "rk2_tfidf_postings",
+    "rk3_doc_chunking",
+    "lm5_bigram_eval",
+    "rk7_prf_expansion",
+    "cdc2_scd2_history",
+    "cdc3_exactly_once_ingest",
+    "an1_event_funnel",
+    "an2_cohort_retention",
+    "an3_session_paths",
+    "an4_twap",
+    "an7_rfm_segmentation",
+    "an8_copurchase_pairs",
+    "p1_select_all",
+    "a2_global_minmax",
+    "a3_daily_stats",
+    "a3g_keyed_daily_stats",
+    "t1_top1_by_value",
+    "t2_topk_by_value",
+    "t3_ordered_series",
+    "dq1_constraint_audit",
+    "smp4_weighted_sample",
+    "dq12_corpus_diff",
+    "j12_asof_tolerance_join",
+    "dd6_embedding_neardup",
+    "dd12_containment_pairs",
+    "x2_vector_norms",
+    "x5_centroid_per_label",
+    "x8_hard_negative_mining",
+    "dq10_embedding_drift",
+    "x16_range_search",
+    "tx12_heavy_hitters",
+    "tx16_code_detection",
+    "lm6_tokenizer_fertility",
+    "tx17_repetition_ratios",
 ]
 
 

@@ -36,11 +36,57 @@ def test_unpartitioned_window_detector(spark):
         (df.select(F.row_number().over(
             Window.partitionBy(F.floor(F.col("g") / 2))
             .orderBy("id")).alias("r")), 0),
+        # partition/order expressions over string literals (Spark hoists
+        # these into a _w0 projection, so only the alias reaches the
+        # spec — pinned here so a future print-shape change is caught)
+        (df.select(F.row_number().over(
+            Window.partitionBy(
+                F.concat(F.lit("a(b,"), F.col("g").cast("string"))
+            ).orderBy("id")).alias("r")), 0),
+        (df.select(F.row_number().over(
+            Window.orderBy(
+                F.concat(F.lit("x,(y"), F.col("id").cast("string"))
+            )).alias("r")), 1),
     ]
     for frame, want in cases:
         s = plan_stats(frame)
         assert s.unpartitioned_windows == want, (want, s.plan)
         assert (f"GLOBAL-WINDOW(x{want})" in s.flags) == (want > 0)
+
+
+def test_windowspec_parser_skips_quoted_segments():
+    """The windowspecdefinition walker must treat quoted string literals
+    as opaque: a '(' or ',' INSIDE a literal must not shift paren depth
+    or split arguments. Current Spark hoists such expressions into _w0
+    projections, but the parser shouldn't depend on that print shape."""
+    from etl_project_spark.plans.audit import (
+        _split_top_level,
+        _unpartitioned_windows,
+    )
+
+    assert _split_top_level("concat('a(b,', g#1), id#0L ASC NULLS FIRST") == [
+        "concat('a(b,', g#1)",
+        "id#0L ASC NULLS FIRST",
+    ]
+    # partitioned window whose partition expr embeds a quoted '(' and ','
+    part = (
+        "(3) Window\n"
+        "Arguments: [row_number() windowspecdefinition("
+        "concat('a(b,', g#1), id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS r#2]\n"
+    )
+    assert _unpartitioned_windows(part) == 0
+    # global window whose ORDER expr embeds a quoted ')' — naive depth
+    # tracking would close the spec early and mis-read the args
+    glob = (
+        "(3) Window\n"
+        "Arguments: [row_number() windowspecdefinition("
+        "concat('x)y', cast(id#0L as string)) ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS r#2]\n"
+    )
+    assert _unpartitioned_windows(glob) == 1
 
 
 def test_global_window_whitelist_matches_plans(spark, sf_dir):
@@ -49,8 +95,9 @@ def test_global_window_whitelist_matches_plans(spark, sf_dir):
     sf0.001 — a stale entry would silently re-admit a future
     corpus-sized single-task sort under an old name."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     import audit_plans
 
     qs = all_queries()
