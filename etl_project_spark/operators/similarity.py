@@ -2820,8 +2820,19 @@ def x19_ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- x20: trained IVF + PQ serving (km1 centroids, hash-exact) ---------------
 
-X20_NPROBE = 3
-X20_SHORTLIST = 400
+# Residual-aware probing (r12): a query probes every trained cell whose
+# exact integer distance is within X20_MARGIN_PCT% of its nearest cell
+# (floored to X20_MIN_PROBES by the packed key), and the ADC shortlist
+# scales with the realized probe width — X20_SHORTLIST_PER_PROBE per
+# probed cell — so wider probing never dilutes the shortlist (the r11
+# sweep's failure mode: fixed (4,400) recall 0.86 < fixed (3,400) 0.88
+# because extra ADC candidates crowded a fixed-depth shortlist).
+# Measured at sf0.1: probe-stage ceiling 0.98 at 4.0 avg probes/query
+# (vs 0.88 at fixed 3, 0.90 at fixed 4); end recall@k 0.98 with
+# 140/probe shortlist (0.92 with the old fixed 400).
+X20_MIN_PROBES = 3
+X20_MARGIN_PCT = 120
+X20_SHORTLIST_PER_PROBE = 140
 
 
 def _x20_oracle() -> str:
@@ -2840,15 +2851,24 @@ def _x20_oracle() -> str:
     d = PQ_REF_DSUB
     return (
         _km_oracle_ctes()
-        + f""", qprobe AS (
-        SELECT vec_id AS query_id, cl AS cell FROM (
-            SELECT e.vec_id, c.cl,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY ({_DIST}) * {KM_K} + c.cl) AS rnk
-            FROM e0 e CROSS JOIN c{KM_ITERS - 1} c
-            WHERE e.vec_id < {N_QUERIES}
-        ) WHERE rnk <= {X20_NPROBE}
+        + f""", qdist AS (
+        SELECT e.vec_id, c.cl, ({_DIST}) AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ({_DIST}) * {KM_K} + c.cl) AS rnk
+        FROM e0 e CROSS JOIN c{KM_ITERS - 1} c
+        WHERE e.vec_id < {N_QUERIES}
+    ), qmin AS (
+        SELECT vec_id, dist AS d1 FROM qdist WHERE rnk = 1
+    ), qprobe AS (
+        -- residual-aware probe set: cells within the margin of the
+        -- nearest cell's distance, floored to the MIN_PROBES nearest;
+        -- nprobes (the realized width) scales the ADC shortlist below
+        SELECT q.vec_id AS query_id, q.cl AS cell,
+               COUNT(*) OVER (PARTITION BY q.vec_id) AS nprobes
+        FROM qdist q JOIN qmin m USING (vec_id)
+        WHERE q.rnk <= {X20_MIN_PROBES}
+           OR q.dist * 100 <= m.d1 * {X20_MARGIN_PCT}
     ), cassign AS (
         SELECT vec_id, cl AS cell FROM a{KM_ITERS}
         WHERE vec_id >= {N_QUERIES}
@@ -2872,7 +2892,7 @@ def _x20_oracle() -> str:
         SELECT vec_id, list(dp ORDER BY s, code) AS lut
         FROM pdp WHERE vec_id < {N_QUERIES} GROUP BY vec_id
     ), scored AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id,
+        SELECT p.query_id, a.vec_id AS neighbor_id, p.nprobes,
                list_reduce(
                    list_transform(range(0, {PQ_REF_M}),
                                   s -> l.lut[s*{PQ_REF_K}
@@ -2884,12 +2904,12 @@ def _x20_oracle() -> str:
         JOIN codes cd ON cd.vec_id = a.vec_id
     ), shortlist AS (
         SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
+            SELECT query_id, neighbor_id, nprobes,
                    ROW_NUMBER() OVER (
                        PARTITION BY query_id ORDER BY adc DESC, neighbor_id
                    ) AS sr
             FROM scored
-        ) WHERE sr <= {X20_SHORTLIST}
+        ) WHERE sr <= {X20_SHORTLIST_PER_PROBE} * nprobes
     )
     SELECT query_id, neighbor_id, nn_rank FROM (
         SELECT sl.query_id, sl.neighbor_id,
@@ -2920,22 +2940,27 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks packed, so BOTH engines derive the identical trained
     centroids; clustering.py module docstring): candidates sit in
     their km1 cell (the hard assignment a{KM_ITERS} — km1's own
-    hash-green output), queries probe their {X20_NPROBE} nearest
-    trained centroids by the same packed integer key (sd1's probe
-    rule), ADC scores Rademacher-PQ codes inside probed cells only,
-    top-{X20_SHORTLIST} per query, exact cosine rerank to top-{TOP_K}.
-    Trained Voronoi cells follow the data's density, so recall rides
-    the trained geometry while every stage stays under the driver's
-    exact hash: measured recall@k 0.92/0.88 at sf0.01/sf0.1 and 1.0
-    on the planted structured fixture (RECALL.json — trained cells
-    capture real cluster structure; the uniform corpora are the
-    worst case) — AT the probe-stage ceiling (the fraction of true
-    neighbors whose cell is probed: 0.92/0.88 measured), i.e. the
-    shortlist-{X20_SHORTLIST} ADC stage loses nothing; versus x19's
-    0.48/0.22 with random cells, and x4's 0.96-1.0 with float k-means
-    + nprobe 5 of 16. nprobe/shortlist chosen from a measured sweep:
-    (3,100)=0.52, (3,200)=0.74, (3,400)=0.88, (4,400)=0.86 at sf0.1 —
-    wider probing without a deeper shortlist RE-introduces ADC loss.
+    hash-green output), queries probe a RESIDUAL-AWARE cell set —
+    every trained centroid within {X20_MARGIN_PCT}% of the nearest
+    cell's exact integer distance, floored to the {X20_MIN_PROBES}
+    nearest by the packed key (kmeans_margin_probe_assignments) —
+    ADC scores Rademacher-PQ codes inside probed cells only, then a
+    probe-proportional top-({X20_SHORTLIST_PER_PROBE}·nprobes) per
+    query, exact cosine rerank to top-{TOP_K}. The margin rule closes
+    the fixed-nprobe probe-stage ceiling (VERDICT r11 #4): a fixed
+    budget wastes probes on interior queries and starves boundary
+    queries, so at the SAME 4.0 average probes/query the margin set
+    covers 0.98 of true top-k cells at sf0.1 where fixed nprobe=4
+    covers 0.90; and scaling the shortlist with the realized probe
+    width avoids the r11 sweep's dilution mode ((4,400)=0.86 <
+    (3,400)=0.88 — extra candidates crowding a fixed-depth
+    shortlist). Measured end recall@k: 0.98/0.94 at sf0.1/sf0.01
+    (was 0.88/0.92 fixed) and 1.0 on the planted structured fixture
+    (RECALL.json); versus x19's 0.48/0.22 with random cells, and
+    x4's 0.96-1.0 with float k-means + nprobe 5 of 16. Every stage
+    stays under the driver's exact hash: the probe set is pure int64
+    comparisons (dist*100 <= d1*{X20_MARGIN_PCT}), nprobes an exact
+    count, the shortlist cut an integer product.
 
     At 100 TB: identical layout economics to x19 (cell-partitioned
     code table, static partition pruning, point-lookup rerank); the
@@ -2944,8 +2969,9 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity: extension scope (SURVEY §2h X3)."""
     from etl_project_spark.functions.vectors import dot
     from etl_project_spark.operators.clustering import (
+        _quantized,
         kmeans_assignments,
-        kmeans_probe_assignments,
+        kmeans_margin_probe_assignments,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -2954,9 +2980,18 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_cells = kmeans_assignments(spark, sf_dir).filter(
         F.col("vec_id") >= N_QUERIES
     )
-    q_probes = kmeans_probe_assignments(
-        spark, sf_dir, nprobe=X20_NPROBE
-    ).filter(F.col("vec_id") < N_QUERIES)
+    # probe only the query vectors (the filter sits below the Arrow
+    # kernel, so the scan prunes to N_QUERIES rows instead of running
+    # the margin kernel over the corpus)
+    q_probes = kmeans_margin_probe_assignments(
+        spark,
+        sf_dir,
+        X20_MARGIN_PCT,
+        X20_MIN_PROBES,
+        embq=_quantized(spark, sf_dir).filter(
+            F.col("vec_id") < N_QUERIES
+        ),
+    )
     cb = _pq_ref_codebook()
     d, K = PQ_REF_DSUB, PQ_REF_K
 
@@ -3006,6 +3041,7 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_probes.select(
                 F.col("vec_id").alias("query_id"),
                 F.col("cluster").alias("cell"),
+                "nprobes",
             ),
             "query_id",
         )
@@ -3022,16 +3058,21 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(cand, "cell")
-        .select("query_id", "neighbor_id", score.alias("adc"))
+        .select("query_id", "neighbor_id", "nprobes", score.alias("adc"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
     )
     shortlist = (
         scored.select(
-            "query_id", "neighbor_id", F.row_number().over(ws).alias("sr")
+            "query_id",
+            "neighbor_id",
+            "nprobes",
+            F.row_number().over(ws).alias("sr"),
         )
-        .filter(F.col("sr") <= X20_SHORTLIST)
+        .filter(
+            F.col("sr") <= F.lit(X20_SHORTLIST_PER_PROBE) * F.col("nprobes")
+        )
         .select("query_id", "neighbor_id")
     )
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -480,6 +480,10 @@ MRL_FINAL_B = 16  # buffers left when folding stops (final summary spans these)
 MRL_BUF_CAP = 2048  # target level-0 rows per buffer (per-window bound ~2x this)
 MRL_MAX_LEVELS = 24  # covers n up to 16 * 2^24 * 2048 ≈ 5.5e11 rows
 MRL_QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+# value-range width of the rank buckets that replace the final global
+# window (r12): floor(value / STEP) is monotone in value, so
+# bucket-major + in-bucket (value, tid) order IS the global order
+A15_RANK_STEP = 4096
 
 
 def mrl_params(n: int) -> "tuple[int, int, int]":
@@ -605,10 +609,14 @@ def a15_mrl_quantile_sketch(
     Scale: every fold window partitions by the destination buffer,
     whose size stays ~2·MRL_BUF_CAP rows at EVERY level (merging
     doubles, compaction halves), and folding stops at MRL_FINAL_B
-    buffers, so the final unpartitioned window orders at most
+    buffers, so the final summary holds at most
     MRL_FINAL_B·(MRL_BUF_CAP + levels) ≈ 33k rows REGARDLESS of corpus
     size — depth grows as log(n) automatically (10 levels at the
-    10M-row smoke, 24 levels ≈ 5.5e11 rows before the cap). Error:
+    10M-row smoke, 24 levels ≈ 5.5e11 rows before the cap). The
+    summary's global (value, tid) rank is composed bucket-major over a
+    value-monotone key with driver-folded prefix offsets (see the
+    inline comment), so NO unpartitioned WindowExec exists anywhere in
+    the operator — every window partitions on a bounded key. Error:
     MRL rank error grows with tree depth over buffer size
     (worst-case ~levels·weight/2 ranks = levels/(2^(levels+1)·FINAL_B·
     BUF_CAP/n) relative); the published rank_err column measures the
@@ -643,17 +651,48 @@ def a15_mrl_quantile_sketch(
             .select("bucket", "value", "tid")
         )
     # MATERIALIZE the folded summary (bounded: <= MRL_FINAL_B *
-    # (MRL_BUF_CAP + levels) rows by construction): three consumers
-    # follow (fmax collect, the estimate join, the published plan) and
-    # without the checkpoint each re-executes the whole fold —
-    # measured 3.6 s -> sub-second at sf0.1
-    fin = cur.select(
+    # (MRL_BUF_CAP + levels) rows by construction): multiple consumers
+    # follow (bucket-totals collect, the estimate join) and without
+    # the checkpoint each re-executes the whole fold — measured 3.6 s
+    # -> sub-second at sf0.1.
+    summary = cur.localCheckpoint()
+    # The global (value, tid) rank over the summary is composed WITHOUT
+    # an unpartitioned window (VERDICT r11 #5 — the fold's one
+    # remaining single-task sort): rows bucket by the value-MONOTONE
+    # key floor(value / A15_RANK_STEP), so bucket-major + in-bucket
+    # order IS the global order (equal values share a bucket and sort
+    # by tid inside it); rank-in-bucket comes from a PARTITIONED
+    # window, and the per-bucket prefix offsets fold driver-side over
+    # the bounded bucket-totals pull — the same collect budget the old
+    # fmax pull already spent (fmax is now the totals' sum, free). No
+    # WindowExec ever sees an empty partition spec.
+    loc = summary.select(
         "value",
-        F.row_number()
-        .over(Window.orderBy("value", "tid"))
-        .alias("i"),
-    ).localCheckpoint()
-    fmax = fin.agg(F.max("i")).collect()[0][0]
+        "tid",
+        F.floor(F.col("value") / A15_RANK_STEP).cast("long").alias("vb"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vb").orderBy("value", "tid")
+        ),
+    )
+    totals = sorted(
+        (r["vb"], r["n"])
+        for r in loc.groupBy("vb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded: <= summary rows; ~26 price-range buckets in practice
+    offsets, acc = [], 0
+    for b, nrows in totals:
+        offsets.append((b, acc))
+        acc += nrows
+    fmax = acc
+    fin = loc.join(
+        F.broadcast(
+            spark.createDataFrame(offsets or [(0, 0)], "vb long, off long")
+        ),
+        "vb",
+    ).select("value", (F.col("off") + F.col("rn")).alias("i"))
     targets = spark.createDataFrame(
         [
             (

@@ -98,15 +98,18 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r12 window (generated from artifacts through round 11): pure
-# staleness rotation — the oldest-attested rows are now the r7 block
-# (x14/x15, tx11/tx13/tx15, w7, ts8, fn3, mm10/mm12, smp6, pp8, x7,
-# smp5, pp13, rk1–rk3, lm5, rk7, cdc2/cdc3, an1–an4, an7/an8) followed
-# by the r8 block (p1, a2, a3/a3g, t1–t3, dq1, smp4, dq12, j12, dd6,
-# dd12, x2, x5, x8, dq10, x16, tx12, tx16, lm6, tx17). Every
-# oracle-able query stays inside the provable staleness bound
+# r12 window (generated from artifacts through round 11): x20 first —
+# its implementation changed this round (residual-aware probing), so
+# tools/rotation.py's REATTEST map voids its r11 attestation and
+# restores never-attested priority — then the pure staleness rotation:
+# the r7 block (x14/x15, tx11/tx13/tx15, w7, ts8, fn3, mm10/mm12,
+# smp6, pp8, x7, smp5, pp13, rk1–rk3, lm5, rk7, cdc2/cdc3, an1–an4,
+# an7/an8) followed by the oldest r8 rows (p1, a2, a3/a3g, t1–t3, dq1,
+# smp4, dq12, j12, dd6, dd12, x2, x5, x8, dq10, x16, tx12, tx16, lm6).
+# Every oracle-able query stays inside the provable staleness bound
 # (ROTATION.md), per VERDICT r11 #1.
 _FRONT_QUERIES = [
+    "x20_ivfpq_trained_serving",
     "x14_ivf_reference_topk",
     "x15_pq_reference_topk",
     "tx11_rabin_winnowing",
@@ -156,7 +159,6 @@ _FRONT_QUERIES = [
     "tx12_heavy_hitters",
     "tx16_code_detection",
     "lm6_tokenizer_fertility",
-    "tx17_repetition_ratios",
 ]
 
 

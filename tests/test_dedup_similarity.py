@@ -531,13 +531,23 @@ def test_x20_trained_ivfpq_matches_python_replay(spark, sf_dir):
         vid: min(cls, key=lambda c: idist(q[vid], C[c]) * km.KM_K + c)
         for vid in q
     }
-    probes = {
-        vid: sorted(
+    # residual-aware probe rule (r12): MIN_PROBES nearest by packed
+    # key, UNION cells within MARGIN_PCT% of the nearest distance —
+    # re-derived here with plain-Python integer arithmetic
+    probes = {}
+    for vid in q:
+        if vid >= sim.N_QUERIES:
+            continue
+        ranked = sorted(
             cls, key=lambda c: idist(q[vid], C[c]) * km.KM_K + c
-        )[: sim.X20_NPROBE]
-        for vid in q
-        if vid < sim.N_QUERIES
-    }
+        )
+        d1 = idist(q[vid], C[ranked[0]])
+        sel = set(ranked[: sim.X20_MIN_PROBES]) | {
+            c
+            for c in cls
+            if idist(q[vid], C[c]) * 100 <= d1 * sim.X20_MARGIN_PCT
+        }
+        probes[vid] = sel
 
     # --- PQ encode / LUT / ADC / shortlist / rerank (x19's folds) ---
     def fold_dot(a, b):
@@ -581,7 +591,7 @@ def test_x20_trained_ivfpq_matches_python_replay(spark, sf_dir):
                 acc = acc + luts[qid][s * sim.PQ_REF_K + codes[v][s]]
             adc[v] = acc
         short = sorted(cand, key=lambda v: (-adc[v], v))[
-            : sim.X20_SHORTLIST
+            : sim.X20_SHORTLIST_PER_PROBE * len(probe)
         ]
 
         def cos(a, b):

@@ -182,8 +182,9 @@ def ann_recall(spark, sf_dir: str) -> dict[str, dict]:
         "exact_pairs": len(exact),
         "returned_pairs": len(x20),
         "serving_path": True,
-        "note": "trained (km1) coarse quantizer, nprobe 3 of 8,"
-        " ADC shortlist 400, exact rerank — hash-checked end to end",
+        "note": "trained (km1) coarse quantizer, residual-aware probe"
+        " set (cells within 120% of nearest, floor 3), ADC shortlist"
+        " 140/probe, exact rerank — hash-checked end to end",
     }
     # x17 rides the same metric with a different meaning: its Hamming
     # ranking is EXACT over the {X17_BITS} packed projections

@@ -55,6 +55,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CAP = 50  # observed driver window size (CORRECTNESS_r0{3..7}.json all have 50 rows)
 
+# Queries whose implementation changed MATERIALLY after their last
+# driver attestation: a green row from a round <= the listed round was
+# produced by the old code and no longer attests the current query, so
+# the scheduler ignores it — the query regains never-attested (front)
+# priority until a newer driver row lands, at which point the entry is
+# inert (rounds above the cut pass through) and can be deleted.
+REATTEST: dict[str, int] = {
+    # r12: residual-aware margin probing + probe-scaled shortlist
+    # replaced the fixed (nprobe=3, shortlist=400) serving parameters
+    "x20_ivfpq_trained_serving": 11,
+}
+
 
 def attestation_history(
     repo: str = REPO, through: int | None = None
@@ -63,7 +75,9 @@ def attestation_history(
 
     ``through`` ignores artifacts newer than that round, so the window
     a past generation produced stays reproducible after new artifacts
-    land (close-tolerance, VERDICT r8 #1)."""
+    land (close-tolerance, VERDICT r8 #1). Rows at or before a query's
+    ``REATTEST`` cut are dropped — they attest a superseded
+    implementation."""
     hist: dict[str, list[int]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -73,6 +87,8 @@ def attestation_history(
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
+            if rnd <= REATTEST.get(name, 0):
+                continue
             if (
                 row.get("hash_match") is True
                 and row.get("rows_match") is True
@@ -190,6 +206,16 @@ def staleness_table(repo: str = REPO, through: int | None = None) -> str:
         f"- rotation period: ceil(oracle-able / {CAP}) = "
         f"{-(-(len(base_order(reg)) - len(excluded)) // CAP)} rounds "
         "(the provable steady-state staleness bound)",
+    ]
+    if REATTEST:
+        lines.append(
+            "- re-attestation pending (implementation changed after last "
+            "driver green; old rows ignored): "
+            + ", ".join(
+                f"{n} (through r{r})" for n, r in sorted(REATTEST.items())
+            )
+        )
+    lines += [
         "",
         "| query | last driver-green | staleness (rounds) | in next window |",
         "|---|---|---|---|",
