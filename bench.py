@@ -158,6 +158,10 @@ EXTENDED_QUERIES = [
     # r11 additions
     "x19_ivfpq_serving_topk",
     "x20_ivfpq_trained_serving",
+    # r12 additions
+    "gr1_node_triangles",
+    "gr2_kcore_layers",
+    "gr3_graph_profile",
 ]
 
 
