@@ -128,3 +128,40 @@ def test_probe_assignment_contract(spark, sf_dir):
         assert len(cells) == 2 and len(set(cells)) == 2, (vec_id, cells)
         # mapInPandas emits the nprobe cells in rank order per vector
         assert cells[0] == hard[vec_id], (vec_id, cells)
+
+
+def test_margin_probe_assignment_contract(spark, sf_dir):
+    """kmeans_margin_probe_assignments: brute-force numpy replay of the
+    residual-aware rule — the probe set must equal {min_probes nearest
+    by packed key} UNION {cells with dist*100 <= d1*margin_pct}, with
+    nprobes the exact set size on every row, and rank-1 membership
+    (the hard assignment's cell) always present."""
+    clusters, C = km._kmeans_final_state(spark, sf_dir)
+    q = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in km._quantized(spark, sf_dir).collect()
+    }
+    cls = np.array(clusters, dtype=np.int64)
+    margin_pct, min_probes = 120, 3
+    rows = km.kmeans_margin_probe_assignments(
+        spark, sf_dir, margin_pct, min_probes
+    ).collect()
+    by_vec: dict[int, set] = {}
+    nprobes: dict[int, int] = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], set()).add(r["cluster"])
+        nprobes[r["vec_id"]] = r["nprobes"]
+    assert set(by_vec) == set(q)
+    for vid, qv in q.items():
+        d = ((C - qv[None, :]) ** 2).sum(axis=1)
+        packed = d * km.KM_K + cls
+        order = np.argsort(packed)
+        d1 = d[order[0]]
+        expect = set(cls[order[:min_probes]]) | {
+            int(cls[i])
+            for i in range(len(cls))
+            if d[i] * 100 <= d1 * margin_pct
+        }
+        assert by_vec[vid] == expect, vid
+        assert nprobes[vid] == len(expect), vid
+        assert int(cls[order[0]]) in by_vec[vid]
