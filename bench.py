@@ -162,6 +162,9 @@ EXTENDED_QUERIES = [
     "gr1_node_triangles",
     "gr2_kcore_layers",
     "gr3_graph_profile",
+    "dq14_ks_drift",
+    "an13_kaplan_meier",
+    "a16_grouped_ols",
 ]
 
 
