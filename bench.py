@@ -165,6 +165,8 @@ EXTENDED_QUERIES = [
     "dq14_ks_drift",
     "an13_kaplan_meier",
     "a16_grouped_ols",
+    "gr4_edge_embeddedness",
+    "dq15_mannwhitney_u",
 ]
 
 

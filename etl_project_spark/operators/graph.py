@@ -436,3 +436,108 @@ def gr3_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+@register(
+    "gr4_edge_embeddedness",
+    oracle=f"""
+    WITH {_EDGE_SQL}, deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY node
+    ), tri AS (
+        SELECT e1.a AS c1, e1.b AS c2, e2.b AS c3
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), et AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+            SELECT c1 AS a, c2 AS b FROM tri
+            UNION ALL SELECT c1, c3 FROM tri
+            UNION ALL SELECT c2, c3 FROM tri
+        ) GROUP BY a, b
+    )
+    SELECT e.a, e.b, da.degree AS deg_a, db.degree AS deg_b,
+           CAST(COALESCE(et.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN da.degree + db.degree - 2 - COALESCE(et.n_tri, 0)
+                     = 0
+                THEN 0.0
+                ELSE ROUND(CAST(COALESCE(et.n_tri, 0) AS DOUBLE)
+                     / (da.degree + db.degree - 2
+                        - COALESCE(et.n_tri, 0)), 6)
+           END AS jaccard
+    FROM e
+    JOIN deg da ON da.node = e.a
+    JOIN deg db ON db.node = e.b
+    LEFT JOIN et ON et.a = e.a AND et.b = e.b
+    """,
+)
+def gr4_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE embeddedness: for every co-purchase edge, the number
+    of triangles it sits in (= common neighbors of its endpoints) and
+    the neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)\\{{a,b}}| — the
+    classic link-strength / link-prediction feature (an embedded tie
+    is reinforced by mutual context; a zero-embeddedness edge is a
+    bridge). gr1 credits triangle corners to NODES; this credits them
+    to EDGES — the same enumeration, a different fold.
+
+    Shape: one pass over the edge-iterator intersect stage
+    (_edge_common_outnbrs): each oriented edge (u, v) with common set
+    W contributes (u,v)→|W| plus, per w ∈ W, (u,w)→1 and (v,w)→1 —
+    all three packed into one struct array and exploded ONCE (volume
+    = |E| + 2·triangles, never wedges), canonicalized to id-order
+    (least, greatest) so the fold is orientation-free and matches the
+    oracle's a<b<c enumeration. Degrees attach via two joins of the
+    V-row degree relation (broadcast below the cap); the Jaccard
+    denominator (deg_a−1)+(deg_b−1)−n_tri is exact int64 with a
+    guarded zero case, the ratio one ROUND(6) division."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    closed = _edge_common_outnbrs(edges, n_edges=edges.count())
+    pair = lambda x, y, c: F.struct(  # noqa: E731
+        F.least(x, y).alias("a"),
+        F.greatest(x, y).alias("b"),
+        c.cast("long").alias("c"),
+    )
+    contrib = F.concat(
+        F.array(pair(F.col("u"), F.col("v"), F.size("common"))),
+        F.flatten(
+            F.transform(
+                "common",
+                lambda w: F.array(
+                    pair(F.col("u"), w, F.lit(1)),
+                    pair(F.col("v"), w, F.lit(1)),
+                ),
+            )
+        ),
+    )
+    et = (
+        closed.select(F.explode(contrib).alias("x"))
+        .select("x.a", "x.b", "x.c")
+        .groupBy("a", "b")
+        .agg(F.sum("c").alias("n_tri"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    denom = (
+        F.col("deg_a") + F.col("deg_b") - 2 - F.coalesce("n_tri", F.lit(0))
+    )
+    return (
+        edges.join(da, "a")
+        .join(db, "b")
+        .join(et, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "deg_a",
+            "deg_b",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_tri", F.lit(0)).cast("double") / denom, 6
+                )
+            )
+            .alias("jaccard"),
+        )
+    )

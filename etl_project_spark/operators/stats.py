@@ -363,3 +363,132 @@ def a16_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ay - (cov / varx) * ax, 6).alias("intercept"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+MW_TYPE_A = "click"  # event-type samples for the rank-sum test
+MW_TYPE_B = "error"
+MW_STEP = 32  # value-bucket width (events.value spans ~0-500)
+
+
+@register(
+    "dq15_mannwhitney_u",
+    oracle=f"""
+    WITH pool AS (
+        SELECT v, CAST(SUM(ca) AS BIGINT) AS ca,
+               CAST(SUM(cb) AS BIGINT) AS cb
+        FROM (
+            SELECT value AS v,
+                   CASE WHEN event_type = '{MW_TYPE_A}' THEN 1
+                        ELSE 0 END AS ca,
+                   CASE WHEN event_type = '{MW_TYPE_B}' THEN 1
+                        ELSE 0 END AS cb
+            FROM events
+            WHERE event_type IN ('{MW_TYPE_A}', '{MW_TYPE_B}')
+              AND value IS NOT NULL
+        ) GROUP BY v
+    ), n AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+               CAST(SUM(cb) AS BIGINT) AS n2
+        FROM pool
+    ), ranked AS (
+        SELECT v, ca, cb,
+               CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY v ROWS
+                    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS prior
+        FROM pool
+    ), r1 AS (
+        SELECT CAST(SUM(ca * (2 * prior + (ca + cb) + 1)) AS BIGINT)
+            AS r1_2x
+        FROM ranked
+    )
+    SELECT n.n1, n.n2,
+           CAST(r1.r1_2x - n.n1 * (n.n1 + 1) AS BIGINT) AS u1_2x,
+           CAST(2 * n.n1 * n.n2 - (r1.r1_2x - n.n1 * (n.n1 + 1))
+                AS BIGINT) AS u2_2x,
+           ROUND(CAST(r1.r1_2x - n.n1 * (n.n1 + 1) AS DOUBLE)
+                 / CAST(2 * n.n1 * n.n2 AS DOUBLE), 6) AS auc
+    FROM n, r1
+    """,
+)
+def dq15_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between the '{MW_TYPE_A}' and
+    '{MW_TYPE_B}' event-value samples — the nonparametric location
+    test that pairs with dq14's KS: KS asks "are the distributions
+    different anywhere", U asks "does one stochastically dominate",
+    and U/(n1·n2) IS the AUC / probability-of-superiority effect size
+    a monitoring dashboard actually thresholds on.
+
+    Exactness — the DOUBLED-RANK trick: with ties averaged, a tie
+    group of t values after `prior` predecessors has average rank
+    prior + (t+1)/2, so TWICE the rank sum is the pure integer
+    Σ ca·(2·prior + t + 1) — no fractional rank ever exists; U is
+    published in the same 2× units (u1_2x + u2_2x = 2·n1·n2 as the
+    built-in identity check) and the AUC is one ROUND(6) division.
+
+    Shape: per-value pooled counts, cross-value prefix via the same
+    window-free bucketed pattern as dq14 (value-monotone buckets +
+    driver-folded offsets; the EXCLUSIVE prior uses a 1-PRECEDING
+    frame inside the bucket), then ONE global aggregate — no top-k,
+    no unpartitioned window, nothing corpus-sized on the driver."""
+    ev = load_table(spark, sf_dir, "events")
+    pool = (
+        ev.filter(
+            F.col("event_type").isin(MW_TYPE_A, MW_TYPE_B)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("value").alias("v"),
+            (F.col("event_type") == MW_TYPE_A).cast("long").alias("ca"),
+            (F.col("event_type") == MW_TYPE_B).cast("long").alias("cb"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        .withColumn("vb", F.floor(F.col("v") / MW_STEP).cast("long"))
+        .localCheckpoint()
+    )
+    totals = sorted(
+        (r["vb"], r["st"])
+        for r in pool.groupBy("vb")
+        .agg(F.sum(F.col("ca") + F.col("cb")).alias("st"))
+        .collect()
+    )  # bounded: ~16 value-range buckets
+    offsets, acc = [], 0
+    for vb, st in totals:
+        offsets.append((vb, acc))
+        acc += st
+    odf = spark.createDataFrame(offsets or [(0, 0)], "vb long, off long")
+    w = (
+        Window.partitionBy("vb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = pool.join(F.broadcast(odf), "vb").select(
+        "ca",
+        "cb",
+        (
+            F.coalesce(
+                F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)
+            )
+            + F.col("off")
+        ).alias("prior"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(
+            F.col("ca")
+            * (2 * F.col("prior") + (F.col("ca") + F.col("cb")) + 1)
+        ).alias("r1_2x"),
+    )
+    u1 = F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u1.cast("long").alias("u1_2x"),
+        (2 * F.col("n1") * F.col("n2") - u1).cast("long").alias("u2_2x"),
+        F.round(
+            u1.cast("double")
+            / (2 * F.col("n1") * F.col("n2")).cast("double"),
+            6,
+        ).alias("auc"),
+    )

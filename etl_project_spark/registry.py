@@ -102,11 +102,12 @@ def register(
 # never-attested first — x20 (implementation changed this round:
 # residual-aware probing; tools/rotation.py's REATTEST map voids its
 # r11 attestation), the new graph family gr1–gr3, and the new
-# statistics family dq14/an13/a16 — then the pure staleness rotation:
+# statistics family dq14/dq15/an13/a16 plus gr4 — then the pure
+# staleness rotation:
 # the r7 block (x14/x15, tx11/tx13/tx15, w7, ts8, fn3, mm10/mm12,
 # smp6, pp8, x7, smp5, pp13, rk1–rk3, lm5, rk7, cdc2/cdc3, an1–an4,
 # an7/an8) followed by the oldest r8 rows (p1, a2, a3/a3g, t1–t3,
-# dq1, smp4, dq12, j12, dd6, dd12, x2, x5). Every oracle-able query
+# dq1, smp4, dq12, j12, dd6, dd12). Every oracle-able query
 # stays inside the provable staleness bound (ROTATION.md), per
 # VERDICT r11 #1.
 _FRONT_QUERIES = [
@@ -114,9 +115,11 @@ _FRONT_QUERIES = [
     "gr1_node_triangles",
     "gr2_kcore_layers",
     "gr3_graph_profile",
+    "gr4_edge_embeddedness",
     "dq14_ks_drift",
     "an13_kaplan_meier",
     "a16_grouped_ols",
+    "dq15_mannwhitney_u",
     "x14_ivf_reference_topk",
     "x15_pq_reference_topk",
     "tx11_rabin_winnowing",
@@ -158,8 +161,6 @@ _FRONT_QUERIES = [
     "j12_asof_tolerance_join",
     "dd6_embedding_neardup",
     "dd12_containment_pairs",
-    "x2_vector_norms",
-    "x5_centroid_per_label",
 ]
 
 

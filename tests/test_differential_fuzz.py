@@ -2911,3 +2911,64 @@ def test_recursive_cte_union_distinct_fixpoint_differential(
 # gates, smp4 A-ES, smp8 systematic PPS) exist precisely because
 # TABLESAMPLE is not reproducible across engines — they are the
 # differential-checkable replacements, all hash-green.
+
+
+# ---- grammar 42: ORDER BY ALL (ordered-output differential) ----------------
+# g39 covers GROUP BY ALL under the usual canonicalized (sorted)
+# compare, which cannot see ORDERING bugs. This grammar checks the
+# actual row ORDER both engines produce for ORDER BY ALL [DESC] over
+# GROUP BY ALL results — compared as ordered tuple lists, not sets.
+# Projections are integer/string only (exact equality) and the
+# ordering keys are non-null by construction: the engines' NULL
+# ordering DEFAULTS differ (Spark ASC = NULLS FIRST, DuckDB = NULLS
+# LAST), a dialect divergence this grammar sidesteps rather than
+# tests. GROUP BY ALL makes dim combinations unique, so ORDER BY ALL
+# is a total order and the comparison is deterministic.
+
+_G42_DIMS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderkey % 7 AS b7",
+    "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr",
+    "o_custkey % 11 AS c11",
+]
+_G42_AGGS = [
+    "CAST(COUNT(*) AS BIGINT) AS cnt",
+    "CAST(SUM(o_orderkey % 1000) AS BIGINT) AS sk",
+    "CAST(MIN(o_orderkey) AS BIGINT) AS mn",
+    "CAST(MAX(o_custkey) AS BIGINT) AS mx",
+]
+
+
+@given(
+    dims=st.lists(st.sampled_from(_G42_DIMS), min_size=1, max_size=3,
+                  unique=True),
+    aggs=st.lists(st.sampled_from(_G42_AGGS), min_size=1, max_size=2,
+                  unique=True),
+    pred=st.sampled_from(PREDS),
+    desc=st.booleans(),
+    limit=st.sampled_from([None, 7, 50]),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_order_by_all_ordered_differential(
+    engines, dims, aggs, pred, desc, limit
+):
+    """ORDER BY ALL [DESC] [LIMIT k]: the engines must emit the
+    IDENTICAL row sequence (ordered compare — the one thing the
+    canonicalizing grammars cannot check), including the interaction
+    with LIMIT (top-k under the inferred whole-row order)."""
+    spark, con = engines
+    where = f" WHERE {pred}" if pred else ""
+    tail = " DESC" if desc else ""
+    lim = f" LIMIT {limit}" if limit else ""
+    sql = (
+        f"SELECT {', '.join(dims + aggs)} FROM orders{where}"
+        f" GROUP BY ALL ORDER BY ALL{tail}{lim}"
+    )
+    sp = [tuple(r) for r in spark.sql(sql).collect()]
+    du = [tuple(r) for r in con.sql(sql).df().itertuples(index=False)]
+    assert sp == du, sql

@@ -6,10 +6,17 @@ degree-oriented triangle join."""
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 
 import duckdb
 import pytest
+
+
+def _round6(x: float) -> float:
+    """Half-away-from-zero 6dp round — Spark/DuckDB ROUND semantics
+    (Python's round() is half-even and disagrees on exact halves)."""
+    return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
 
 from etl_project_spark.plans import assert_scalable
 from etl_project_spark.registry import all_queries, get
@@ -97,7 +104,7 @@ def test_gr3_profile_matches_closed_form(spark, sf_dir, pygraph):
     assert row["wedges"] == wedges
     assert row["n_triangles"] == tri_total
     assert row["transitivity"] == pytest.approx(
-        round(3 * tri_total / wedges, 6), abs=1e-9
+        _round6(3 * tri_total / wedges), abs=1e-9
     )
 
 
@@ -148,3 +155,20 @@ def test_gr_oracles_match_duckdb(spark, sf_dir):
             for r in con.sql(spec.oracle).df().itertuples(index=False)
         }
         assert spark_rows == oracle_rows, name
+
+
+def test_gr4_matches_bruteforce_embeddedness(spark, sf_dir, pygraph):
+    adj, edges = pygraph
+    got = {
+        (r["a"], r["b"]): (r["deg_a"], r["deg_b"], r["n_tri"], r["jaccard"])
+        for r in all_queries()["gr4_edge_embeddedness"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == edges
+    for (a, b), (da, db, nt, jc) in got.items():
+        common = len(adj[a] & adj[b])
+        assert (da, db, nt) == (len(adj[a]), len(adj[b]), common)
+        denom = (da - 1) + (db - 1) - common
+        want = 0.0 if denom == 0 else _round6(common / denom)
+        assert jc == pytest.approx(want, abs=1e-9)

@@ -11,6 +11,11 @@ import duckdb
 import numpy as np
 import pytest
 
+
+def _round6(x: float) -> float:
+    """Half-away-from-zero 6dp round (Spark/DuckDB ROUND semantics)."""
+    return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
 from etl_project_spark.plans import assert_scalable
 from etl_project_spark.registry import all_queries
 
@@ -37,7 +42,7 @@ def test_dq14_matches_numpy_ecdf(spark, sf_dir):
     assert (row["n1"], row["n2"]) == (n1, n2)
     assert row["d_num"] == dmax
     assert row["ks_at"] == pytest.approx(at, abs=0)
-    assert row["ks"] == pytest.approx(round(dmax / (n1 * n2), 6), abs=1e-9)
+    assert row["ks"] == pytest.approx(_round6(dmax / (n1 * n2)), abs=1e-9)
 
 
 def test_an13_matches_python_replay(spark, sf_dir):
@@ -135,3 +140,31 @@ def test_stats_plans_are_bounded(spark, sf_dir):
         df = all_queries()[name](spark, sf_dir)
         stats = assert_scalable(df, allow_quadratic=False)
         assert stats.unpartitioned_windows == 0, (name, stats.plan)
+
+
+def test_dq15_matches_pairwise_u(spark, sf_dir):
+    """Independent cross-check via the PAIRWISE definition of U
+    (different formula than the operator's rank-sum): 2*U1 =
+    sum over a in A of (2*#{b < a} + #{b = a}) — exact integers."""
+    from etl_project_spark.operators.stats import MW_TYPE_A, MW_TYPE_B
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT event_type t, value v FROM "
+        f"read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE event_type IN ('{MW_TYPE_A}', '{MW_TYPE_B}') "
+        f"AND value IS NOT NULL"
+    ).df()
+    a = np.sort(df[df["t"] == MW_TYPE_A]["v"].to_numpy())
+    b = np.sort(df[df["t"] == MW_TYPE_B]["v"].to_numpy())
+    n1, n2 = len(a), len(b)
+    lt = np.searchsorted(b, a, side="left")
+    le = np.searchsorted(b, a, side="right")
+    u1_2x = int((2 * lt + (le - lt)).sum())
+    row = all_queries()["dq15_mannwhitney_u"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["u1_2x"] == u1_2x
+    assert row["u1_2x"] + row["u2_2x"] == 2 * n1 * n2  # identity
+    assert row["auc"] == pytest.approx(
+        _round6(u1_2x / (2 * n1 * n2)), abs=1e-9
+    )
