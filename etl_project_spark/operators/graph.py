@@ -135,7 +135,17 @@ def _edge_common_outnbrs(
     ~7 s; this form runs the same enumeration in under 2 s). The
     V-row adjacency broadcasts below GR_BCAST_EDGE_CAP total
     endpoints; above it the two attachment joins degrade to shuffled
-    equi-joins on the node key (2 linear shuffles)."""
+    equi-joins on the node key (2 linear shuffles).
+
+    r12: ``oriented`` and ``adj`` are materialized once per query call
+    (eager localCheckpoint) — the relation has THREE consumers (the
+    probe side plus the two adjacency attachments), and without the
+    checkpoint each broadcast build re-ran the deg-join/orientation
+    subtree from the edge relation (isolated at sf0.1: the
+    unmaterialized intersect pass cost 3.4 s vs 0.86 s oriented build
+    + 0.32 s adj build + 1.75 s probe when each is computed once —
+    guide §2.4 "share one exchange" applied to a checkpointed
+    relation)."""
     deg = _degrees(edges)
     e = edges.join(
         deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
@@ -149,9 +159,11 @@ def _edge_common_outnbrs(
     oriented = e.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    ).localCheckpoint(eager=True)
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
     )
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
@@ -315,7 +327,18 @@ def gr2_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     — linear per round, {GR_KCORE_ROUNDS} rounds, every intermediate
     eagerly checkpointed so lineage stays flat. The |V|-row survivor
     relations never leave the cluster; only |E| and |V| (two scalars)
-    are pulled to the driver for k."""
+    are pulled to the driver for k.
+
+    r12 micro-wins (guide §2.4): the two per-round semi-join probes
+    broadcast CANONICALLY IDENTICAL projections of the checkpointed
+    survivor set (a bare column rename), so exchange reuse builds one
+    broadcast per round instead of two; the final |V|-row layer-count
+    attach broadcasts below the cap (before: sort-merge join — 2
+    Exchange + 2 Sort on |V| rows). Chaining the rounds as nested
+    broadcasts without checkpoints was prototyped and REJECTED: the
+    unrolled plan doubles per round (2^R subtree copies), and at R=8
+    the 6.3k-node plan made planning itself the bottleneck (noop sink
+    13.8 s vs 3.5 s here)."""
     edges = _copurchase_edges(spark, sf_dir)
     adj = (
         edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
@@ -335,9 +358,10 @@ def gr2_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above the cap the rounds degrade to shuffled semi joins
     bcast = n_nodes <= GR_BCAST_EDGE_CAP
     for _r in range(GR_KCORE_ROUNDS):
-        alive_n = F.broadcast(cur) if bcast else cur
+        alive_n = cur.select("node")
         alive_b = cur.select(F.col("node").alias("nbr"))
         if bcast:
+            alive_n = F.broadcast(alive_n)
             alive_b = F.broadcast(alive_b)
         deg = (
             adj.join(alive_n, "node", "leftsemi")
@@ -355,6 +379,8 @@ def gr2_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in survivals[1:]:
         rollup = rollup.unionAll(s)
     counts = rollup.groupBy("node").agg(F.count(F.lit(1)).alias("c"))
+    if bcast:
+        counts = F.broadcast(counts)
     return a0.join(counts, "node", "left").select(
         F.col("node").alias("pkey"),
         (F.lit(1) + F.coalesce(F.col("c"), F.lit(0)))
@@ -485,18 +511,27 @@ def gr4_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_edge_common_outnbrs): each oriented edge (u, v) with common set
     W contributes (u,v)→|W| plus, per w ∈ W, (u,w)→1 and (v,w)→1 —
     all three packed into one struct array and exploded ONCE (volume
-    = |E| + 2·triangles, never wedges), canonicalized to id-order
-    (least, greatest) so the fold is orientation-free and matches the
-    oracle's a<b<c enumeration. Degrees attach via two joins of the
-    V-row degree relation (broadcast below the cap); the Jaccard
-    denominator (deg_a−1)+(deg_b−1)−n_tri is exact int64 with a
-    guarded zero case, the ratio one ROUND(6) division."""
+    = |E| + 2·triangles, never wedges). r12: every credited pair is
+    itself an ORIENTED edge (w ∈ N+(u) ∩ N+(v) means u→w and v→w are
+    oriented edges, as is u→v), so the fold groups by the oriented
+    key directly — no per-element least/greatest canonicalization —
+    and ONE projection after the aggregate maps (u,v) to id-order
+    (least, greatest), matching the oracle's a<b<c enumeration. The
+    aggregated per-edge relation (≤ |E| rows) then BROADCASTS into
+    the final attach below GR_BCAST_EDGE_CAP, so the edge scan joins
+    degrees and triangle counts in a single exchange-free stage
+    (before: sort-merge join of two |E|-row sides — 2 Exchange + 2
+    Sort). Degrees attach via two joins of the V-row degree relation
+    (broadcast below the cap); the Jaccard denominator
+    (deg_a−1)+(deg_b−1)−n_tri is exact int64 with a guarded zero
+    case, the ratio one ROUND(6) division."""
     edges = _copurchase_edges(spark, sf_dir)
+    n_edges = edges.count()
     deg = _degrees(edges)
-    closed = _edge_common_outnbrs(edges, n_edges=edges.count())
+    closed = _edge_common_outnbrs(edges, n_edges=n_edges)
     pair = lambda x, y, c: F.struct(  # noqa: E731
-        F.least(x, y).alias("a"),
-        F.greatest(x, y).alias("b"),
+        x.alias("u2"),
+        y.alias("v2"),
         c.cast("long").alias("c"),
     )
     contrib = F.concat(
@@ -513,10 +548,17 @@ def gr4_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     et = (
         closed.select(F.explode(contrib).alias("x"))
-        .select("x.a", "x.b", "x.c")
-        .groupBy("a", "b")
+        .select("x.u2", "x.v2", "x.c")
+        .groupBy("u2", "v2")
         .agg(F.sum("c").alias("n_tri"))
+        .select(
+            F.least("u2", "v2").alias("a"),
+            F.greatest("u2", "v2").alias("b"),
+            "n_tri",
+        )
     )
+    if n_edges <= GR_BCAST_EDGE_CAP:
+        et = F.broadcast(et)
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
     denom = (
