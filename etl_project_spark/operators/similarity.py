@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_project_spark.catalog import load_table
@@ -22,6 +22,60 @@ from etl_project_spark.registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query set in the test corpus
 TOP_K = 5
+
+
+def _query_cosine_scores(cand: DataFrame, queries: DataFrame) -> DataFrame:
+    """Cosine of every (query, candidate) pair via ONE Arrow pass over
+    the CANDIDATE side (r12, guide §4.2/§8): the bounded query set
+    (N_QUERIES rows — the serving contract's small side; the km1
+    512-row centroid-pull precedent for driver-bounded constants) is
+    collected once and closed over by the kernel, so each candidate
+    vector crosses the Python boundary exactly once instead of once
+    per pair — the crossJoin + interpreted cosine fold shipped both
+    64-dim vectors per PAIR and evaluated three HOF folds per row
+    outside codegen (measured at sf0.1: 0.83 s -> 0.55 s end-to-end
+    for x1). Bit-exactness contract: dimensions accumulate IN ORDER
+    per (query, candidate) accumulator — the identical IEEE
+    multiply/add sequence as cosine_sim's sequential folds, then the
+    same num / (sqrt(qq) * sqrt(cc)) scalar chain (verified
+    bit-for-bit against the fold over every sf0.1 pair).
+
+    cand/queries: (vec_id, e). Output: (query_id, neighbor_id, sim)
+    for the full pair set."""
+    qrows = sorted(queries.select("vec_id", "e").collect(), key=lambda r: r[0])
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    nq, dim = qmat.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            c_mat = np.vstack(pdf["e"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            num = np.zeros((n, nq))
+            qq = np.zeros((n, nq))
+            cc = np.zeros(n)
+            for i in range(dim):
+                num += c_mat[:, i : i + 1] * qmat[:, i]
+                qq += qmat[:, i] * qmat[:, i]
+                cc += c_mat[:, i] * c_mat[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = num / (np.sqrt(qq) * np.sqrt(cc)[:, None])
+            nid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(nid, nq),
+                    "sim": sim.reshape(-1),
+                }
+            )
+
+    return cand.mapInPandas(
+        kernel, "query_id long, neighbor_id long, sim double"
+    )
 
 
 @register(
@@ -52,23 +106,20 @@ def x1_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join against candidates, rank per query. Only ids + rank are
     output so float ulp noise cannot perturb the hash.
 
-    Scale: the crossJoin side never shuffles (queries broadcast); ranking
-    shuffles (query_id, sim) pairs — k·|queries| rows survive. For large
-    query sets, switch to per-partition top-k heaps + merge
+    Scale: the corpus side never shuffles — scoring happens scan-local
+    in the `_query_cosine_scores` Arrow kernel (r12: each candidate
+    crosses the Python boundary once and is scored against the whole
+    bounded query set; before, the crossJoin shipped both vectors per
+    PAIR into an interpreted cosine fold); ranking shuffles
+    (query_id, sim) pairs — k·|queries| rows survive. For large query
+    sets, switch to per-partition top-k heaps + merge
     (see x3_topk_batched)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
-    )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv")
-    )
-    sims = F.broadcast(q).crossJoin(c).select(
-        "query_id",
-        "neighbor_id",
-        cosine_sim(F.col("qv"), F.col("cv")).alias("sim"),
+    sims = _query_cosine_scores(
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        emb.filter(F.col("vec_id") < N_QUERIES),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1576,53 +1627,31 @@ def x14_ivf_reference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells. Identical join shape to x4 and the persisted IVF index;
     only the centroid source differs.
 
-    The centroid matrix is a single constant nested array gathered with
-    element_at inside a higher-order transform (x15's r8 rewrite — one
-    folded Literal instead of {IVF_REF_CELLS} separately-inlined 64-lit
-    dot expansions that the q/c branches then each re-evaluate); the
-    dot fold is the same sequential zip_with+aggregate, so results are
-    bit-identical."""
-    from etl_project_spark.functions.vectors import dot
-
+    r12: the ranking stage runs in the `_ref_scan` Arrow kernel
+    (bit-identical sequential-order dot folds in numpy, stable-argsort
+    tie-break to the lowest cell id — see its docstring; the r8
+    constant-array + HOF form evaluated interpreted at ~0.45 s per
+    2,000-row ranking pass)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cen = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in _ivf_ref_centroid(c)])
-            for c in range(IVF_REF_CELLS)
-        ]
-    )
-    # (dp desc, cell asc) ranking, scan-local: sort desc on
-    # struct(dp, -cell) — float negation is exact, so ties on dp fall
-    # to the lowest cell id exactly like the oracle's ORDER BY.
-    ranked = F.sort_array(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(IVF_REF_CELLS - 1)),
-            lambda c: F.struct(
-                dot(
-                    F.col("e"), F.element_at(cen, (c + 1).cast("int"))
-                ).alias("dp"),
-                (-c).alias("negcell"),
-            ),
-        ),
-        asc=False,
-    )
-    b = emb.select("vec_id", "e", ranked.alias("cells"))
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+    q = _ref_scan(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        want_ivf=True,
+        keep_e=True,
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qv"),
-        F.explode(
-            F.transform(
-                F.slice(F.col("cells"), 1, IVF_REF_NPROBE),
-                lambda s: -s["negcell"],
-            )
-        ).alias("cell"),
+        F.explode("probes").alias("cell"),
     )
-    c = b.filter(F.col("vec_id") >= N_QUERIES).select(
+    c = _ref_scan(
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        want_ivf=True,
+        keep_e=True,
+    ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("cv"),
-        (-F.col("cells")[0]["negcell"]).alias("cell"),
+        "cell",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -1735,6 +1764,119 @@ def _pq_ref_codebook():
     )
 
 
+def _ref_scan(
+    emb: DataFrame,
+    want_ivf: bool = False,
+    want_pq: bool = False,
+    keep_e: bool = False,
+) -> DataFrame:
+    """Arrow-batched replacement for the scan-local reference IVF/PQ
+    expression stage (r12, guide §4.2): the r8 constant-array +
+    higher-order-function form evaluates INTERPRETED (HOFs never enter
+    whole-stage codegen — measured 0.45 s for the 16-cell ranking and
+    1.05 s for the 128-codeword encode over 2,000 rows at sf0.1), and
+    the r7 inline-literal expression forest before it paid ~8 s of
+    codegen. This kernel computes the same dot products in numpy at
+    ~20 ms, preserving the driver-hash contract BIT-FOR-BIT:
+
+    - every dot is vectorized ACROSS rows but accumulated over
+      dimensions IN ORDER — per row, the identical IEEE multiply/add
+      sequence as the sequential zip_with+aggregate fold (acc starts
+      0.0, one product + one add rounding per dimension);
+    - ``cell``/``probes`` replicate (dp DESC, cell ASC): a stable
+      argsort on the negated dp keys ties to the lowest cell id,
+      exactly like sort_array desc over struct(dp, -cell);
+    - ``codes`` replicate (dp DESC, code ASC) per subspace via argmax
+      (first maximal index);
+    - ``lut`` is the flat (s-major, code-minor) dp table, same order
+      as the oracle's list(dp ORDER BY s, code).
+
+    Only (vec_id, e) crosses into Python (project before the opaque
+    node — guide §4.1); output carries just the requested columns."""
+    fields = ["vec_id long"]
+    if keep_e:
+        fields.append("e array<double>")
+    if want_ivf:
+        fields += ["cell int", "probes array<int>"]
+    if want_pq:
+        fields += ["codes array<int>", "lut array<double>"]
+    schema = ", ".join(fields)
+    nprobe, ncell, ndim = IVF_REF_NPROBE, IVF_REF_CELLS, EMB_DIM
+    m, k, dsub = PQ_REF_M, PQ_REF_K, PQ_REF_DSUB
+
+    def kernel(batches):
+        cen = (
+            np.array(
+                [_ivf_ref_centroid(c) for c in range(ncell)],
+                dtype=np.float64,
+            )
+            if want_ivf
+            else None
+        )
+        cw = (
+            np.array(
+                [
+                    [_pq_ref_codeword(s, c) for c in range(k)]
+                    for s in range(m)
+                ],
+                dtype=np.float64,
+            )
+            if want_pq
+            else None
+        )
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            e_mat = np.vstack(pdf["e"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            if keep_e:
+                out["e"] = pdf["e"].to_numpy()
+            if want_ivf:
+                dp = np.zeros((n, ncell))
+                for i in range(ndim):
+                    dp += e_mat[:, i : i + 1] * cen[:, i]
+                order = np.argsort(-dp, axis=1, kind="stable").astype(
+                    np.int32
+                )
+                out["cell"] = order[:, 0]
+                out["probes"] = list(order[:, :nprobe])
+            if want_pq:
+                lut = np.zeros((n, m, k))
+                for s in range(m):
+                    base = s * dsub
+                    for i in range(dsub):
+                        lut[:, s, :] += (
+                            e_mat[:, base + i : base + i + 1] * cw[s, :, i]
+                        )
+                out["codes"] = list(lut.argmax(axis=2).astype(np.int32))
+                out["lut"] = list(lut.reshape(n, m * k))
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(kernel, schema)
+
+
+def _adc_sum() -> Column:
+    """ADC score: Σ_s lut[s·K + codes[s] + 1] as an UNROLLED codegen
+    sum chain over the fixed PQ_REF_M gathers (r12) — the F.aggregate
+    fold form evaluated interpreted per joined pair. Left-associated
+    addition reproduces the fold's accumulation order exactly (the
+    fold's leading 0.0 + x0 equals x0 for every float the dp sums can
+    produce)."""
+    from functools import reduce
+
+    terms = [
+        F.element_at(
+            F.col("lut"),
+            s * PQ_REF_K + F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        for s in range(PQ_REF_M)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
 @register("x15_pq_reference_topk", oracle=_x15_oracle())
 def x15_pq_reference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC top-k with plan-time Rademacher codebooks — the
@@ -1751,71 +1893,26 @@ def x15_pq_reference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 vs trained k-means) and the scoring kernel (expression fold vs
     Arrow GEMM) differ.
 
-    The codebook is a single constant nested array gathered with
-    element_at inside higher-order functions (not the broadcast-relation
-    join VERDICT r7 #4 sketched: a join would add an encode shuffle this
-    scan-local form doesn't need, and the dot fold stays the same
-    sequential zip_with+aggregate, so results are bit-identical to the
-    r7 expression forest)."""
-    from etl_project_spark.functions.vectors import dot
-
+    r12: the encode/LUT stage runs in the `_ref_scan` Arrow kernel
+    (bit-identical sequential-order dot folds in numpy — see its
+    docstring; the r8 constant-array + HOF form evaluated interpreted
+    at ~1.05 s per 2,000-row encode pass), and the ADC fold is the
+    `_adc_sum` unrolled codegen chain instead of an interpreted
+    per-pair F.aggregate."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cb = _pq_ref_codebook()
-    d, K = PQ_REF_DSUB, PQ_REF_K
-
-    def cw_dot(s, c):
-        """dp of subspace s against codeword c (s, c: int columns)."""
-        return dot(
-            F.slice(F.col("e"), s * d + 1, d),
-            F.element_at(cb, s * K + c + 1),
-        )
-
-    subspaces = F.sequence(F.lit(0), F.lit(PQ_REF_M - 1))
-    codewords = F.sequence(F.lit(0), F.lit(PQ_REF_K - 1))
-    # (dp desc, code asc) argmax per subspace, scan-local: sort desc on
-    # struct(dp, -code) exactly like the oracle's ORDER BY dp DESC, code
-    codes = F.transform(
-        subspaces,
-        lambda s: -F.sort_array(
-            F.transform(
-                codewords,
-                lambda c: F.struct(
-                    cw_dot(s, c).alias("dp"), (-c).alias("negc")
-                ),
-            ),
-            asc=False,
-        )[0]["negc"],
-    )
-    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
-    )
-    # flat (s-major, c-minor) LUT — same order as the oracle's
-    # list(dp ORDER BY s, code)
-    lut = F.flatten(
-        F.transform(
-            subspaces,
-            lambda s: F.transform(codewords, lambda c: cw_dot(s, c)),
-        )
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), lut.alias("lut")
-    )
+    cand = _ref_scan(
+        emb.filter(F.col("vec_id") >= N_QUERIES), want_pq=True
+    ).select(F.col("vec_id").alias("neighbor_id"), "codes")
+    q = _ref_scan(
+        emb.filter(F.col("vec_id") < N_QUERIES), want_pq=True
+    ).select(F.col("vec_id").alias("query_id"), "lut")
     # ADC scan: queries broadcast against the 4-byte code relation only
-    score = F.aggregate(
-        F.array(*[F.lit(s) for s in range(PQ_REF_M)]),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("lut"),
-            s * PQ_REF_K + F.element_at(F.col("codes"), s + F.lit(1)) + 1,
-        ),
-    )
     scored = (
         F.broadcast(q)
         .crossJoin(cand)
-        .select("query_id", "neighbor_id", score.alias("adc"))
+        .select("query_id", "neighbor_id", _adc_sum().alias("adc"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
@@ -2698,89 +2795,34 @@ def x19_ivfpq_serving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow GEMM kernels; this reference replays the identical stage
     DAG with plan-time codebooks so the driver can hash it.
     Reference parity: extension scope (SURVEY §2h X3)."""
-    from etl_project_spark.functions.vectors import dot
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # --- IVF assignment (x14's scan-local ranked cells) ---
-    cen = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in _ivf_ref_centroid(c)])
-            for c in range(IVF_REF_CELLS)
-        ]
-    )
-    ranked = F.sort_array(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(IVF_REF_CELLS - 1)),
-            lambda c: F.struct(
-                dot(
-                    F.col("e"), F.element_at(cen, (c + 1).cast("int"))
-                ).alias("dp"),
-                (-c).alias("negcell"),
-            ),
-        ),
-        asc=False,
-    )
-    # --- PQ encode + query LUT (x15's scan-local expressions) ---
-    cb = _pq_ref_codebook()
-    d, K = PQ_REF_DSUB, PQ_REF_K
-
-    def cw_dot(s, c):
-        return dot(
-            F.slice(F.col("e"), s * d + 1, d),
-            F.element_at(cb, s * K + c + 1),
-        )
-
-    subspaces = F.sequence(F.lit(0), F.lit(PQ_REF_M - 1))
-    codewords = F.sequence(F.lit(0), F.lit(PQ_REF_K - 1))
-    codes = F.transform(
-        subspaces,
-        lambda s: -F.sort_array(
-            F.transform(
-                codewords,
-                lambda c: F.struct(
-                    cw_dot(s, c).alias("dp"), (-c).alias("negc")
-                ),
-            ),
-            asc=False,
-        )[0]["negc"],
-    )
-    lut = F.flatten(
-        F.transform(
-            subspaces,
-            lambda s: F.transform(codewords, lambda c: cw_dot(s, c)),
-        )
-    )
-    cand = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        (-ranked[0]["negcell"]).alias("cell"),
-        codes.alias("codes"),
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # --- IVF assignment + PQ encode + query LUT in ONE Arrow kernel
+    # pass per branch (r12: `_ref_scan` — bit-identical numpy dot
+    # folds; the r8 HOF expression stage evaluated interpreted at
+    # ~1.5 s over the sf0.1 corpus) ---
+    cand = _ref_scan(
+        emb.filter(F.col("vec_id") >= N_QUERIES),
+        want_ivf=True,
+        want_pq=True,
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+    q = _ref_scan(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        want_ivf=True,
+        want_pq=True,
+    ).select(
         F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.transform(
-                F.slice(ranked, 1, IVF_REF_NPROBE),
-                lambda s: -s["negcell"],
-            )
-        ).alias("cell"),
-        lut.alias("lut"),
+        F.explode("probes").alias("cell"),
+        "lut",
     )
-    # --- ADC only inside probed cells (the IVF x PQ composition) ---
-    score = F.aggregate(
-        F.array(*[F.lit(s) for s in range(PQ_REF_M)]),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("lut"),
-            s * PQ_REF_K + F.element_at(F.col("codes"), s + F.lit(1)) + 1,
-        ),
-    )
+    # --- ADC only inside probed cells (the IVF x PQ composition);
+    # unrolled codegen sum chain (`_adc_sum`) instead of the
+    # interpreted per-pair fold ---
     scored = (
         F.broadcast(q)
         .join(cand, "cell")
-        .select("query_id", "neighbor_id", score.alias("adc"))
+        .select("query_id", "neighbor_id", _adc_sum().alias("adc"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
@@ -2967,7 +3009,6 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     training loop itself is km1's — one corpus scan per Lloyd
     iteration with driver-bounded 512-row centroid pulls. Reference
     parity: extension scope (SURVEY §2h X3)."""
-    from etl_project_spark.functions.vectors import dot
     from etl_project_spark.operators.clustering import (
         _quantized,
         kmeans_assignments,
@@ -2992,40 +3033,11 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") < N_QUERIES
         ),
     )
-    cb = _pq_ref_codebook()
-    d, K = PQ_REF_DSUB, PQ_REF_K
-
-    def cw_dot(s, c):
-        return dot(
-            F.slice(F.col("e"), s * d + 1, d),
-            F.element_at(cb, s * K + c + 1),
-        )
-
-    subspaces = F.sequence(F.lit(0), F.lit(PQ_REF_M - 1))
-    codewords = F.sequence(F.lit(0), F.lit(PQ_REF_K - 1))
-    codes = F.transform(
-        subspaces,
-        lambda s: -F.sort_array(
-            F.transform(
-                codewords,
-                lambda c: F.struct(
-                    cw_dot(s, c).alias("dp"), (-c).alias("negc")
-                ),
-            ),
-            asc=False,
-        )[0]["negc"],
-    )
-    lut = F.flatten(
-        F.transform(
-            subspaces,
-            lambda s: F.transform(codewords, lambda c: cw_dot(s, c)),
-        )
-    )
+    # PQ encode + query LUT via the `_ref_scan` Arrow kernel (r12 —
+    # bit-identical numpy dot folds; see x15)
     cand = (
-        emb.filter(F.col("vec_id") >= N_QUERIES)
-        .select(
-            F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
-        )
+        _ref_scan(emb.filter(F.col("vec_id") >= N_QUERIES), want_pq=True)
+        .select(F.col("vec_id").alias("neighbor_id"), "codes")
         .join(
             cand_cells.select(
                 F.col("vec_id").alias("neighbor_id"),
@@ -3035,8 +3047,8 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), lut.alias("lut"))
+        _ref_scan(emb.filter(F.col("vec_id") < N_QUERIES), want_pq=True)
+        .select(F.col("vec_id").alias("query_id"), "lut")
         .join(
             q_probes.select(
                 F.col("vec_id").alias("query_id"),
@@ -3046,19 +3058,10 @@ def x20_ivfpq_trained_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
     )
-    score = F.aggregate(
-        F.array(*[F.lit(s) for s in range(PQ_REF_M)]),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("lut"),
-            s * PQ_REF_K + F.element_at(F.col("codes"), s + F.lit(1)) + 1,
-        ),
-    )
     scored = (
         F.broadcast(q)
         .join(cand, "cell")
-        .select("query_id", "neighbor_id", "nprobes", score.alias("adc"))
+        .select("query_id", "neighbor_id", "nprobes", _adc_sum().alias("adc"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id")
