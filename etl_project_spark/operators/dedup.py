@@ -325,11 +325,13 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partitioning so the window needs no exchange. At corpus
         # scale the shingle vocabulary outgrows a broadcast and this
         # becomes a shuffle join on s — the window then re-shuffles by
-        # doc_id, the standard two-exchange prefix build.
+        # doc_id, the standard two-exchange prefix build. rn (the
+        # shingle's rank in the doc's rarity order) rides along for
+        # the positional filter below.
         post.join(F.broadcast(freq), "s")
         .withColumn("rn", F.row_number().over(by_rarity))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "sz", "s")
+        .select("doc_id", "sz", "s", "rn")
     )
     # ONE pre-partitioned prefix relation feeds BOTH sides of the
     # self-join, so neither side needs an EnsureRequirements exchange on
@@ -339,6 +341,22 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref_s = prefix.repartition(par, "s")
     a = pref_s.alias("a")
     b = pref_s.alias("b")
+    # PPJoin positional filter (r12, Xiao et al.): a match at rarity
+    # ranks (ra, rb) bounds the overlap by min(sz_a-ra, sz_b-rb) + 1,
+    # which must reach ceil(tau/(1+tau)·(sz_a+sz_b)) for J >= tau —
+    # purely conservative (only candidates that provably cannot
+    # qualify are dropped, so the verified result set is unchanged;
+    # measured at sf0.1: 310k -> 125k candidate pairs into the dedup
+    # exchange and the verify joins, same 256 output pairs).
+    alpha = F.ceil(
+        F.lit(tau / (1.0 + tau)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    overlap_ub = (
+        F.least(
+            F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+        )
+        + 1
+    )
     cand = (
         a.join(
             b,
@@ -346,7 +364,8 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: J >= tau forces tau <= |B|/|A| <= 1/tau
             & (F.col("b.sz") * F.lit(1.0) >= F.col("a.sz") * tau)
-            & (F.col("a.sz") * F.lit(1.0) >= F.col("b.sz") * tau),
+            & (F.col("a.sz") * F.lit(1.0) >= F.col("b.sz") * tau)
+            & (overlap_ub >= alpha),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1327,18 +1346,31 @@ def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
     # A may miss at most sz - ceil(tau*sz) shingles of B
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
-    prefix = (
-        post.join(F.broadcast(freq), "s")
-        .withColumn("rn", F.row_number().over(by_rarity))
-        .filter(F.col("rn") <= prefix_len)
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("sz").alias("sz_a"),
-            "s",
-        )
+    # every posting carries its rarity rank (r12): the container side
+    # needs ranks for the positional filter, and ranking the full list
+    # is the same single window pass the prefix build already ran
+    ranked = post.join(F.broadcast(freq), "s").withColumn(
+        "rn", F.row_number().over(by_rarity)
     )
-    full = post.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "s"
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        "s",
+        F.col("rn").alias("rn_a"),
+    )
+    full = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        "s",
+        F.col("rn").alias("rn_b"),
+    )
+    # positional filter (r12, dd12's asymmetric PPJoin bound): at the
+    # globally-first common element the overlap is bounded by
+    # min(sz_a-rn_a, sz_b-rn_b) + 1, which must reach ceil(tau·sz_a)
+    # — conservative, result set unchanged (see dd12)
+    overlap_ub = (
+        F.least(F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b"))
+        + 1
     )
     # both sides shuffled on the shingle key once; candidates dedup
     # into the verify partitioning (dd8's fused exchange)
@@ -1351,6 +1383,7 @@ def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_a") != F.col("doc_b"),
                 # containment needs >= ceil(tau*|A|) distinct hits in B
                 F.col("sz_b") >= F.ceil(F.col("sz_a") * tau),
+                overlap_ub >= F.ceil(F.col("sz_a") * tau),
             ],
         )
         .select("doc_a", "doc_b")
@@ -1830,27 +1863,51 @@ def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    # every posting carries its rarity rank (r12): the dst side needs
+    # ranks too for the positional filter below, and ranking the full
+    # posting list is the same single window pass the prefix build
+    # already ran
+    ranked = post.join(F.broadcast(freq), "s").withColumn(
+        "rn", F.row_number().over(by_rarity)
+    )
     src_prefix = (
-        post.join(F.broadcast(freq), "s")
-        .withColumn("rn", F.row_number().over(by_rarity))
-        .filter(F.col("rn") <= prefix_len)
+        ranked.filter(F.col("rn") <= prefix_len)
         .select(
             F.col("doc_id").alias("doc_src"),
             F.col("sz").alias("sz_src"),
             "s",
+            F.col("rn").alias("rn_src"),
         )
         .repartition(par, "s")
     )
-    dst_full = post.select(
+    dst_full = ranked.select(
         F.col("doc_id").alias("doc_dst"),
         F.col("sz").alias("sz_dst"),
         "s",
+        F.col("rn").alias("rn_dst"),
     ).repartition(par, "s")
+    # positional filter (r12, the asymmetric PPJoin bound): at the
+    # globally-first common element, ranks (rn_src, rn_dst) bound the
+    # overlap by min(sz_src-rn_src, sz_dst-rn_dst) + 1, which must
+    # reach ceil(tau·sz_src) — conservative (a qualifying pair's first
+    # common posting always passes: no common element can precede it
+    # in either rarity-sorted list), so the verified result set is
+    # unchanged (measured at sf0.1: 2.0-2.6 s -> ~1.5 s, identical
+    # 512 output pairs; frequent-shingle matches sit late in the dst
+    # list and are exactly the ones the bound kills)
+    overlap_ub = (
+        F.least(
+            F.col("sz_src") - F.col("rn_src"),
+            F.col("sz_dst") - F.col("rn_dst"),
+        )
+        + 1
+    )
     cand = (
         src_prefix.join(dst_full, "s")
         .filter(
             (F.col("doc_src") != F.col("doc_dst"))
             & (F.col("sz_dst") * F.lit(1.0) >= F.col("sz_src") * tau)
+            & (overlap_ub >= F.ceil(F.col("sz_src") * tau))
         )
         .select("doc_src", "doc_dst")
         .repartition(par, "doc_src")
