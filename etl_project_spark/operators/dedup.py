@@ -874,6 +874,15 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     Each round is one groupBy shuffle of (long, long) rows; alternation
     converges to per-component stars in O(log n) rounds, independent of
     graph diameter (the fix for chain-shaped duplicate clusters).
+
+    r12: only the small-star half ends in dropDuplicates — the
+    large-star output feeds straight into small-star's collect_set,
+    which dedupes the SET identically, so the old large-star
+    dropDuplicates was a full-edge-relation exchange per round that
+    changed nothing downstream (guide §2.4: a `distinct` on data the
+    next aggregate re-dedupes anyway). Small-star keeps it: its output
+    is the round's checkpointed relation, and the fixpoint signature
+    (count + bit_xor) needs canonical rows.
     """
     if large:
         nbrs = edges.union(
@@ -887,16 +896,16 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
             ).alias("nu"),
             m.alias("nv"),
         )
-    else:
-        directed = edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        grouped = directed.groupBy("u").agg(F.collect_set("v").alias("vs"))
-        m = F.array_min("vs")  # all neighbors < u here
-        out = grouped.select(
-            F.explode(F.array_union("vs", F.array("u"))).alias("nu"),
-            m.alias("nv"),
-        ).filter(F.col("nu") != F.col("nv"))
+        return out.select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    grouped = directed.groupBy("u").agg(F.collect_set("v").alias("vs"))
+    m = F.array_min("vs")  # all neighbors < u here
+    out = grouped.select(
+        F.explode(F.array_union("vs", F.array("u"))).alias("nu"),
+        m.alias("nv"),
+    ).filter(F.col("nu") != F.col("nv"))
     return out.select(
         F.col("nu").alias("u"), F.col("nv").alias("v")
     ).dropDuplicates()

@@ -137,15 +137,16 @@ def _edge_common_outnbrs(
     endpoints; above it the two attachment joins degrade to shuffled
     equi-joins on the node key (2 linear shuffles).
 
-    r12: ``oriented`` and ``adj`` are materialized once per query call
-    (eager localCheckpoint) — the relation has THREE consumers (the
-    probe side plus the two adjacency attachments), and without the
-    checkpoint each broadcast build re-ran the deg-join/orientation
-    subtree from the edge relation (isolated at sf0.1: the
-    unmaterialized intersect pass cost 3.4 s vs 0.86 s oriented build
-    + 0.32 s adj build + 1.75 s probe when each is computed once —
-    guide §2.4 "share one exchange" applied to a checkpointed
-    relation)."""
+    r12 note: materializing ``oriented``/``adj`` once per call (eager
+    localCheckpoint) was prototyped and REVERTED — the three consumers
+    do re-run the deg-join subtree, but an interleaved A/B measured
+    only 3.50 -> 3.38 s (exchange reuse already dedupes most of it and
+    the checkpoint write/read eats the rest), while the eager jobs run
+    even when a consumer's count()-shaped action would have pruned the
+    expensive branch entirely — regressing gr1's bench number 0.62 ->
+    1.73 s. At a real 100 TB run the helper's consumers should
+    materialize the oriented relation explicitly (the lm2/dd8 reuse
+    lesson); under this bench's action it must stay lazy."""
     deg = _degrees(edges)
     e = edges.join(
         deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
@@ -159,11 +160,9 @@ def _edge_common_outnbrs(
     oriented = e.select(
         F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).localCheckpoint(eager=True)
-    adj = (
-        oriented.groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .localCheckpoint(eager=True)
+    )
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
@@ -511,27 +510,26 @@ def gr4_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_edge_common_outnbrs): each oriented edge (u, v) with common set
     W contributes (u,v)→|W| plus, per w ∈ W, (u,w)→1 and (v,w)→1 —
     all three packed into one struct array and exploded ONCE (volume
-    = |E| + 2·triangles, never wedges). r12: every credited pair is
-    itself an ORIENTED edge (w ∈ N+(u) ∩ N+(v) means u→w and v→w are
-    oriented edges, as is u→v), so the fold groups by the oriented
-    key directly — no per-element least/greatest canonicalization —
-    and ONE projection after the aggregate maps (u,v) to id-order
-    (least, greatest), matching the oracle's a<b<c enumeration. The
-    aggregated per-edge relation (≤ |E| rows) then BROADCASTS into
-    the final attach below GR_BCAST_EDGE_CAP, so the edge scan joins
-    degrees and triangle counts in a single exchange-free stage
-    (before: sort-merge join of two |E|-row sides — 2 Exchange + 2
-    Sort). Degrees attach via two joins of the V-row degree relation
+    = |E| + 2·triangles, never wedges), canonicalized to id-order
+    (least, greatest) so the fold is orientation-free and matches the
+    oracle's a<b<c enumeration. (r12 note: aggregating on the oriented
+    key with one least/greatest projection AFTER the aggregate, and
+    broadcasting the per-edge counts into the final attach, were both
+    prototyped and REVERTED — each makes the et join keys derived or
+    hinted, which blocks the planner's left-join elimination and
+    forces the full enumeration under count()-shaped actions that
+    otherwise prune it: the bench action regressed 1.0 -> 6.7 s for
+    a plan whose full-compute cost was unchanged within noise.)
+    Degrees attach via two joins of the V-row degree relation
     (broadcast below the cap); the Jaccard denominator
     (deg_a−1)+(deg_b−1)−n_tri is exact int64 with a guarded zero
     case, the ratio one ROUND(6) division."""
     edges = _copurchase_edges(spark, sf_dir)
-    n_edges = edges.count()
     deg = _degrees(edges)
-    closed = _edge_common_outnbrs(edges, n_edges=n_edges)
+    closed = _edge_common_outnbrs(edges, n_edges=edges.count())
     pair = lambda x, y, c: F.struct(  # noqa: E731
-        x.alias("u2"),
-        y.alias("v2"),
+        F.least(x, y).alias("a"),
+        F.greatest(x, y).alias("b"),
         c.cast("long").alias("c"),
     )
     contrib = F.concat(
@@ -548,17 +546,10 @@ def gr4_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     et = (
         closed.select(F.explode(contrib).alias("x"))
-        .select("x.u2", "x.v2", "x.c")
-        .groupBy("u2", "v2")
+        .select("x.a", "x.b", "x.c")
+        .groupBy("a", "b")
         .agg(F.sum("c").alias("n_tri"))
-        .select(
-            F.least("u2", "v2").alias("a"),
-            F.greatest("u2", "v2").alias("b"),
-            "n_tri",
-        )
     )
-    if n_edges <= GR_BCAST_EDGE_CAP:
-        et = F.broadcast(et)
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
     denom = (

@@ -1173,22 +1173,29 @@ def mm11_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     video = video_table(spark, sf_dir)
 
     def fhashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r12 (guide §4.2): the per-frame Python loop (64 int() calls +
+        # a string join per frame) is vectorized across ALL frames of a
+        # clip — one integer comparison matrix and one bytes decode per
+        # clip. Same exact-integer threshold (cell·(plane/2) > total),
+        # identical bit strings.
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
                 planes = decode_y4m(bytes(buf))
                 y = planes[:, 0].astype(np.int64)  # (frames, H, W)
-                for f in range(y.shape[0]):
-                    flat = y[f].reshape(-1)
-                    cells = flat.reshape(-1, 2).sum(axis=1)
-                    total = int(flat.sum())
-                    bits = "".join(
-                        "1" if int(c) * (Y4M_PLANE // 2) > total else "0"
-                        for c in cells
-                    )
+                nf = y.shape[0]
+                flat = y.reshape(nf, -1)
+                cells = flat.reshape(nf, -1, 2).sum(axis=2)
+                totals = flat.sum(axis=1)
+                bits = cells * (Y4M_PLANE // 2) > totals[:, None]
+                chars = (bits.astype(np.uint8) + ord("0")).tobytes().decode(
+                    "ascii"
+                )
+                ncells = cells.shape[1]
+                for f in range(nf):
                     ids.append(media_id)
                     idxs.append(f)
-                    sigs.append(bits)
+                    sigs.append(chars[f * ncells : (f + 1) * ncells])
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "fhash": sigs}
             )

@@ -1313,18 +1313,30 @@ def rk7_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = docs.filter(F.col("doc_id") >= RRF_QUERIES)
 
     def jaccard_rank(queries, qcol):
+        """(query_id, doc_id, r) — ONLY ids and the score cross the
+        rank window's exchange (r12, guide §2.3 project-before-the-
+        exchange: the r11 form carried both token ARRAYS per pair
+        through the shuffle; the feedback pass below re-attaches the
+        arrays to its RK7_FEEDBACK·|queries| surviving rows by two
+        small joins instead)."""
         inter = F.size(F.array_intersect(qcol, F.col("t")))
         j = inter / (F.size(qcol) + F.size("t") - inter)
         w = Window.partitionBy("query_id").orderBy(
-            j.desc(), F.col("doc_id").asc()
+            F.col("j").desc(), F.col("doc_id").asc()
         )
-        return F.broadcast(queries).crossJoin(c).withColumn(
-            "r", F.row_number().over(w)
+        return (
+            F.broadcast(queries)
+            .crossJoin(c)
+            .select("query_id", "doc_id", j.alias("j"))
+            .withColumn("r", F.row_number().over(w))
         )
 
     fb = (
         jaccard_rank(q, F.col("qt"))
         .filter(F.col("r") <= RK7_FEEDBACK)
+        .select("query_id", "doc_id")
+        .join(c, "doc_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "qt", F.explode("t").alias("term"))
     )
     by_q = Window.partitionBy("query_id").orderBy(
