@@ -606,3 +606,90 @@ def test_x20_trained_ivfpq_matches_python_replay(spark, sf_dir):
         for r in get("x20_ivfpq_trained_serving").fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_ref_scan_kernel_matches_hof_fold_bit_for_bit(spark, sf_dir):
+    """r12: the `_ref_scan` Arrow kernel replaced the interpreted
+    higher-order-function IVF/PQ expressions; its cells, probes, codes
+    and LUT values must be BIT-identical to the sequential
+    zip_with+aggregate fold form it displaced (the driver-hash
+    contract)."""
+    from pyspark.sql import functions as F
+
+    import etl_project_spark.operators.similarity as S
+    from etl_project_spark.catalog import load_table
+    from etl_project_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # old HOF forms (the r8 constant-array expressions)
+    cen = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in S._ivf_ref_centroid(c)])
+            for c in range(S.IVF_REF_CELLS)
+        ]
+    )
+    ranked = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(S.IVF_REF_CELLS - 1)),
+            lambda c: F.struct(
+                dot(F.col("e"), F.element_at(cen, (c + 1).cast("int"))).alias(
+                    "dp"
+                ),
+                (-c).alias("negcell"),
+            ),
+        ),
+        asc=False,
+    )
+    cb = S._pq_ref_codebook()
+    d, k = S.PQ_REF_DSUB, S.PQ_REF_K
+
+    def cw_dot(s, c):
+        return dot(
+            F.slice(F.col("e"), s * d + 1, d), F.element_at(cb, s * k + c + 1)
+        )
+
+    subspaces = F.sequence(F.lit(0), F.lit(S.PQ_REF_M - 1))
+    codewords = F.sequence(F.lit(0), F.lit(S.PQ_REF_K - 1))
+    codes = F.transform(
+        subspaces,
+        lambda s: -F.sort_array(
+            F.transform(
+                codewords,
+                lambda c: F.struct(cw_dot(s, c).alias("dp"), (-c).alias("negc")),
+            ),
+            asc=False,
+        )[0]["negc"],
+    )
+    lut = F.flatten(
+        F.transform(
+            subspaces, lambda s: F.transform(codewords, lambda c: cw_dot(s, c))
+        )
+    )
+    old = (
+        emb.select(
+            "vec_id",
+            (-ranked[0]["negcell"]).alias("cell"),
+            F.transform(
+                F.slice(ranked, 1, S.IVF_REF_NPROBE), lambda s: -s["negcell"]
+            ).alias("probes"),
+            codes.alias("codes"),
+            lut.alias("lut"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    new = (
+        S._ref_scan(emb, want_ivf=True, want_pq=True)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(old) == len(new) > 0
+    for o, n in zip(old, new):
+        assert o["vec_id"] == n["vec_id"]
+        assert o["cell"] == n["cell"]
+        assert list(o["probes"]) == list(n["probes"])
+        assert list(o["codes"]) == list(n["codes"])
+        # exact float equality — the kernel's fold-order contract
+        assert o["lut"] == n["lut"]

@@ -259,3 +259,17 @@ def test_mrl_adaptive_fold_replay_midsize(spark, tmp_path):
         # values are a bijection onto 0..n-1: exact rank == value
         assert r.exact_rank == int(r.est_value)
         assert r.rank_err <= 0.002, (p, r.rank_err)
+
+
+def test_mrl_chunked_fold_matches_per_level_fold(spark, sf_dir, monkeypatch):
+    """r12: the blocked fold (MRL_FOLD_CHUNK levels per shuffle) must
+    produce the identical summary/output as the per-level fold — the
+    chunk key only pins partitioning; the pairwise merges are the same
+    tree either way."""
+    from etl_project_spark.operators import sketches as SK
+
+    monkeypatch.setattr(SK, "MRL_FOLD_CHUNK", 1)
+    per_level = SK.a15_mrl_quantile_sketch(spark, sf_dir).orderBy("p").collect()
+    monkeypatch.setattr(SK, "MRL_FOLD_CHUNK", 5)
+    blocked = SK.a15_mrl_quantile_sketch(spark, sf_dir).orderBy("p").collect()
+    assert per_level == blocked
