@@ -694,21 +694,22 @@ def rk4_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    from etl_project_spark.functions.vectors import cosine_sim
+    # r12: the semantic ranker scores through x1's `_query_cosine_scores`
+    # Arrow kernel (each candidate crosses the Python boundary once and
+    # is scored against the bounded query set; bit-identical to the
+    # crossJoin + sequential cosine fold it replaces — see the kernel's
+    # docstring and tests)
+    from etl_project_spark.operators.similarity import _query_cosine_scores
 
-    qe = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    ce = emb.filter(F.col("vec_id") >= RRF_QUERIES).select(
-        F.col("vec_id").alias("doc_id"), F.col("e").alias("ce")
-    )
     sem = (
-        F.broadcast(qe)
-        .crossJoin(ce)
+        _query_cosine_scores(
+            emb.filter(F.col("vec_id") >= RRF_QUERIES),
+            emb.filter(F.col("vec_id") < RRF_QUERIES),
+        )
         .select(
             "query_id",
-            "doc_id",
-            cosine_sim(F.col("qe"), F.col("ce")).alias("s"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("sim").alias("s"),
         )
         .withColumn(
             "r",
