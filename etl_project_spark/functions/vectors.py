@@ -46,41 +46,6 @@ def l2_dist(a: Column, b: Column) -> Column:
     )
 
 
-def cosine_sim_seq_batched() -> "Column":
-    """Arrow-batched cosine that is BIT-IDENTICAL to ``cosine_sim``'s
-    sequential fold (and so to DuckDB's list_dot_product): the kernel
-    vectorizes ACROSS rows but accumulates the dimensions IN ORDER —
-    per row, the same IEEE multiply/add sequence as the zip_with +
-    aggregate fold (acc starts 0.0; one product rounding + one add
-    rounding per dimension), then num / (sqrt(aa) * sqrt(bb)) as the
-    identical scalar op chain. Interpreted HOF folds don't enter
-    whole-stage codegen and measure ~10-30x slower than this kernel on
-    wide candidate sets (guide §4.2: batch work belongs in vectorized
-    native code); use THIS on hash-checked exact paths with large pair
-    counts, `cosine_sim` for small relations (no Arrow hop), and
-    `cosine_sim_batched` (einsum, unordered) only where fold order is
-    not contracted."""
-    @F.pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        m_a = np.vstack(a.to_numpy()).astype(np.float64, copy=False)
-        m_b = np.vstack(b.to_numpy()).astype(np.float64, copy=False)
-        n, dim = m_a.shape
-        num = np.zeros(n)
-        aa = np.zeros(n)
-        bb = np.zeros(n)
-        for i in range(dim):
-            num += m_a[:, i] * m_b[:, i]
-            aa += m_a[:, i] * m_a[:, i]
-            bb += m_b[:, i] * m_b[:, i]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            res = num / (np.sqrt(aa) * np.sqrt(bb))
-        return pd.Series(res)
-
-    return _cos
-
-
 def cosine_sim_batched() -> "Column":
     """Arrow-batched numpy cosine: one einsum per batch instead of an
     interpreted per-element fold (HigherOrderFunctions don't participate

@@ -242,6 +242,13 @@ def dd3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DD8_TAU = 0.5  # same threshold/metric as dd4 — dd8 is its exact twin
+# tau as an exact rational (num, den): every prefix-length / positional
+# / length bound cross-multiplies to pure int64 comparisons (r13,
+# ADVICE r12 #1 — a float ceil(fl(tau)·sz) overshoots the true bound by
+# 1 whenever fl(tau) rounds up and tau·sz is an integer, silently
+# dropping a qualifying pair at exactly tau; integer arithmetic cannot)
+DD8_TAU_FRAC = (1, 2)
+assert DD8_TAU_FRAC[0] / DD8_TAU_FRAC[1] == DD8_TAU
 
 
 @register(
@@ -315,11 +322,17 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (three times; SURVEY §12.1 — the known scale tax, now paid once
     # for the whole family). The checkpoint preserves the doc_id
     # partitioning, so the rarity window below still needs no exchange.
+    num, den = DD8_TAU_FRAC
     sizes = _shingle_sizes(spark, sf_dir)
     post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    # prefix rule rn <= sz - ceil(tau*sz) + 1, cross-multiplied to pure
+    # int64 (r13, ADVICE r12 #1: F.ceil(sz * fl(tau)) overshoots the
+    # true bound by 1 whenever fl(tau) rounds up and tau*sz is an
+    # integer — num*sz <= den*(sz - rn + 1) is the exact equivalent
+    # with no float anywhere)
+    in_prefix = F.col("sz") * num <= (F.col("sz") - F.col("rn") + 1) * den
     prefix = (
         # broadcast the frequency map: post keeps its doc_id
         # partitioning so the window needs no exchange. At corpus
@@ -330,46 +343,84 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the positional filter below.
         post.join(F.broadcast(freq), "s")
         .withColumn("rn", F.row_number().over(by_rarity))
-        .filter(F.col("rn") <= prefix_len)
+        .filter(in_prefix)
         .select("doc_id", "sz", "s", "rn")
     )
     # ONE pre-partitioned prefix relation feeds BOTH sides of the
     # self-join, so neither side needs an EnsureRequirements exchange on
     # top (r3's plan exchanged the probe side separately); the shingle
     # subtree underneath is the sizes checkpoint, scanned — not
-    # recomputed — per side.
-    pref_s = prefix.repartition(par, "s")
+    # recomputed — per side. r13: the relation is MATERIALIZED
+    # (localCheckpoint, preserves the hash(s) partitioning) — the
+    # planner broadcasts one join side from size estimates, and a
+    # BroadcastExchange cannot reuse the other side's shuffle Exchange,
+    # so the whole freq-agg + rarity-window pipeline ran TWICE (the
+    # r13 before-plan has two Window subtrees; after: one Window, the
+    # checkpoint scanned per side).
+    pref_s = prefix.repartition(par, "s").localCheckpoint()
     a = pref_s.alias("a")
     b = pref_s.alias("b")
+    # PPJoin INDEX-prefix shortening (r13, Xiao et al. §indexing): when
+    # the pair is oriented smaller-first by (sz, doc_id), the SMALL
+    # side s of any qualifying pair satisfies O >= tau/(1+tau)·(sz_s +
+    # sz_l) >= 2tau/(1+tau)·sz_s, so its first common element sits in
+    # its first sz_s - ceil(2tau/(1+tau)·sz_s) + 1 rarest shingles —
+    # a strictly shorter prefix than the probe bound (sz/3 vs sz/2 at
+    # tau=0.5). The a-side therefore keeps only that short prefix
+    # (int64 form: 2·num·sz <= (num+den)·(sz - rn + 1)); the b-side
+    # keeps the regular prefix. Honest sf0.1 measurement: the a-side
+    # posting relation drops 134.0k -> 90.1k rows but join rows
+    # (131,671) and candidate pairs (124,979) are UNCHANGED — on this
+    # corpus every match already sits inside the short prefix (the
+    # positional filter killed the tail matches first), so the win is
+    # the smaller probe relation, not candidate pruning; output pairs
+    # byte-identical either way.
+    a = a.filter(
+        F.col("a.sz") * (2 * num)
+        <= (F.col("a.sz") - F.col("a.rn") + 1) * (num + den)
+    )
     # PPJoin positional filter (r12, Xiao et al.): a match at rarity
     # ranks (ra, rb) bounds the overlap by min(sz_a-ra, sz_b-rb) + 1,
     # which must reach ceil(tau/(1+tau)·(sz_a+sz_b)) for J >= tau —
     # purely conservative (only candidates that provably cannot
     # qualify are dropped, so the verified result set is unchanged;
     # measured at sf0.1: 310k -> 125k candidate pairs into the dedup
-    # exchange and the verify joins, same 256 output pairs).
-    alpha = F.ceil(
-        F.lit(tau / (1.0 + tau)) * (F.col("a.sz") + F.col("b.sz"))
-    )
+    # exchange and the verify joins, same 256 output pairs). r13: the
+    # bound is cross-multiplied to pure int64 — overlap_ub·(num+den) >=
+    # num·(sz_a+sz_b) ⟺ overlap_ub >= ceil(num(sz_a+sz_b)/(num+den))
+    # for integer overlap_ub (tau/(1+tau) = num/(num+den)); no float
+    # rounding can over- or under-shoot (ADVICE r12 #1).
     overlap_ub = (
         F.least(
             F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
         )
         + 1
     )
+    pair_sz = F.col("a.sz") + F.col("b.sz")
+    # smaller-first orientation (sz, doc_id) — the order that licenses
+    # the a-side's short index prefix; output pairs re-canonicalize to
+    # doc-id order below (Jaccard is symmetric, so the verified result
+    # is unchanged)
+    smaller_first = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: J >= tau forces tau <= |B|/|A| <= 1/tau
-            & (F.col("b.sz") * F.lit(1.0) >= F.col("a.sz") * tau)
-            & (F.col("a.sz") * F.lit(1.0) >= F.col("b.sz") * tau)
-            & (overlap_ub >= alpha),
+            & smaller_first
+            # length filter: J >= tau forces sz_a >= tau·sz_b (the
+            # other direction is implied by sz_a <= sz_b),
+            # cross-multiplied to int64
+            & (F.col("a.sz") * den >= F.col("b.sz") * num)
+            & (overlap_ub * (num + den) >= pair_sz * num),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                "doc_b"
+            ),
         )
         # dedup FUSED into the verify-side partitioning: hash-partitioning
         # on doc_a alone satisfies the (doc_a, doc_b) aggregation's
@@ -377,6 +428,12 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # .distinct().repartition(par, "doc_a") was two back-to-back.
         # Pinning par also keeps AQE's byte-based coalescing from
         # serializing the CPU-bound array-intersect verify (j10 lesson).
+        # (r13 note: a PPJoin+-style per-pair suffix aggregate — count
+        # prefix matches + max ranks, bound overlap by o_p +
+        # min(sz−max_rn) — was prototyped and measured to prune ZERO of
+        # the 125k sf0.1 candidates: 95% of pairs have exactly one
+        # prefix match, where the aggregate bound equals the in-join
+        # positional bound. Reverted to the plain dedup.)
         .repartition(par, "doc_a")
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -1295,6 +1352,8 @@ def dq5_neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DD11_TAU = 0.8  # containment threshold |A∩B| / |A|
+DD11_TAU_FRAC = (4, 5)  # exact rational form (see DD8_TAU_FRAC)
+assert DD11_TAU_FRAC[0] / DD11_TAU_FRAC[1] == DD11_TAU
 
 
 @register(
@@ -1346,6 +1405,7 @@ def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions of symmetric near-dups (a != b ordered pairs, never
     a < b)."""
     tau = DD11_TAU
+    num, den = DD11_TAU_FRAC
     par = spark.sparkContext.defaultParallelism
     # the shared memoized shingle relation (dd8's checkpoint, built once
     # for the whole prefix-join family — VERDICT r8 #5)
@@ -1353,15 +1413,28 @@ def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
-    # A may miss at most sz - ceil(tau*sz) shingles of B
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    # A may miss at most sz - ceil(tau*sz) shingles of B; the prefix
+    # rule rn <= sz - ceil(tau*sz) + 1 cross-multiplies to pure int64
+    # (r13 — the old F.ceil(sz * fl(0.8)) OVERSHOT the true bound by 1
+    # for every sz divisible by 5, because fl(0.8) > 4/5: a latent
+    # missed-pair hazard at exactly tau, see DD8_TAU_FRAC)
+    in_prefix = F.col("sz") * num <= (F.col("sz") - F.col("rn") + 1) * den
     # every posting carries its rarity rank (r12): the container side
     # needs ranks for the positional filter, and ranking the full list
-    # is the same single window pass the prefix build already ran
-    ranked = post.join(F.broadcast(freq), "s").withColumn(
-        "rn", F.row_number().over(by_rarity)
+    # is the same single window pass the prefix build already ran.
+    # r13: the ranked relation is repartitioned on the join key ONCE
+    # and MATERIALIZED — both join sides below scan the checkpoint
+    # (with its hash(s) partitioning, so no further exchange) instead
+    # of re-running the freq-agg + window pipeline per side (the
+    # before-plan shows two Window subtrees; a broadcast-wrapped side
+    # cannot reuse the other side's shuffle Exchange).
+    ranked = (
+        post.join(F.broadcast(freq), "s")
+        .withColumn("rn", F.row_number().over(by_rarity))
+        .repartition(par, "s")
+        .localCheckpoint()
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+    prefix = ranked.filter(in_prefix).select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sz_a"),
         "s",
@@ -1376,23 +1449,25 @@ def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positional filter (r12, dd12's asymmetric PPJoin bound): at the
     # globally-first common element the overlap is bounded by
     # min(sz_a-rn_a, sz_b-rn_b) + 1, which must reach ceil(tau·sz_a)
-    # — conservative, result set unchanged (see dd12)
+    # — conservative, result set unchanged (see dd12). r13: int64 form
+    # den·overlap_ub >= num·sz_a ⟺ overlap_ub >= ceil(num·sz_a/den).
     overlap_ub = (
         F.least(F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b"))
         + 1
     )
     # both sides shuffled on the shingle key once; candidates dedup
-    # into the verify partitioning (dd8's fused exchange)
+    # into the verify partitioning (dd8's fused exchange; the PPJoin+
+    # per-pair suffix aggregate was prototyped and pruned zero
+    # candidates — see the dd8 r13 note)
     cand = (
-        prefix.repartition(par, "s")
-        .join(
-            full.repartition(par, "s"),
+        prefix.join(
+            full,
             on=[
                 prefix.s == full.s,
                 F.col("doc_a") != F.col("doc_b"),
                 # containment needs >= ceil(tau*|A|) distinct hits in B
-                F.col("sz_b") >= F.ceil(F.col("sz_a") * tau),
-                overlap_ub >= F.ceil(F.col("sz_a") * tau),
+                F.col("sz_b") * den >= F.col("sz_a") * num,
+                overlap_ub * den >= F.col("sz_a") * num,
             ],
         )
         .select("doc_a", "doc_b")
@@ -1817,6 +1892,8 @@ def dq9_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dd12: containment pairs (asymmetric near-dup) -----------------------------
 
 DD12_TAU = 0.8  # containment threshold |A∩B| / |A|
+DD12_TAU_FRAC = (4, 5)  # exact rational form (see DD8_TAU_FRAC)
+assert DD12_TAU_FRAC[0] / DD12_TAU_FRAC[1] == DD12_TAU
 
 
 @register(
@@ -1862,6 +1939,7 @@ def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value is a ratio of exact integers (bit-identical across engines,
     dd3/dd8 precedent)."""
     tau = DD12_TAU
+    num, den = DD12_TAU_FRAC
     par = spark.sparkContext.defaultParallelism
     # the shared memoized shingle relation feeds the prefix build, the
     # full-postings side, and both verify-side array lookups (dd8's
@@ -1871,30 +1949,34 @@ def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    # prefix rule rn <= sz - ceil(tau*sz) + 1 in pure int64 (r13 — the
+    # old F.ceil(sz * fl(0.8)) overshot the true bound by 1 for every
+    # sz divisible by 5 because fl(0.8) > 4/5; see DD8_TAU_FRAC/dd11)
+    in_prefix = F.col("sz") * num <= (F.col("sz") - F.col("rn") + 1) * den
     # every posting carries its rarity rank (r12): the dst side needs
     # ranks too for the positional filter below, and ranking the full
     # posting list is the same single window pass the prefix build
-    # already ran
-    ranked = post.join(F.broadcast(freq), "s").withColumn(
-        "rn", F.row_number().over(by_rarity)
-    )
-    src_prefix = (
-        ranked.filter(F.col("rn") <= prefix_len)
-        .select(
-            F.col("doc_id").alias("doc_src"),
-            F.col("sz").alias("sz_src"),
-            "s",
-            F.col("rn").alias("rn_src"),
-        )
+    # already ran. r13: ranked is repartitioned on the join key once
+    # and MATERIALIZED so both sides scan the checkpoint instead of
+    # re-running the freq-agg + window pipeline (see dd11)
+    ranked = (
+        post.join(F.broadcast(freq), "s")
+        .withColumn("rn", F.row_number().over(by_rarity))
         .repartition(par, "s")
+        .localCheckpoint()
+    )
+    src_prefix = ranked.filter(in_prefix).select(
+        F.col("doc_id").alias("doc_src"),
+        F.col("sz").alias("sz_src"),
+        "s",
+        F.col("rn").alias("rn_src"),
     )
     dst_full = ranked.select(
         F.col("doc_id").alias("doc_dst"),
         F.col("sz").alias("sz_dst"),
         "s",
         F.col("rn").alias("rn_dst"),
-    ).repartition(par, "s")
+    )
     # positional filter (r12, the asymmetric PPJoin bound): at the
     # globally-first common element, ranks (rn_src, rn_dst) bound the
     # overlap by min(sz_src-rn_src, sz_dst-rn_dst) + 1, which must
@@ -1915,8 +1997,10 @@ def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_prefix.join(dst_full, "s")
         .filter(
             (F.col("doc_src") != F.col("doc_dst"))
-            & (F.col("sz_dst") * F.lit(1.0) >= F.col("sz_src") * tau)
-            & (overlap_ub >= F.ceil(F.col("sz_src") * tau))
+            # int64 forms (r13): den·sz_dst >= num·sz_src and
+            # den·overlap_ub >= num·sz_src ⟺ the ceil bounds
+            & (F.col("sz_dst") * den >= F.col("sz_src") * num)
+            & (overlap_ub * den >= F.col("sz_src") * num)
         )
         .select("doc_src", "doc_dst")
         .repartition(par, "doc_src")

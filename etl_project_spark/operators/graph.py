@@ -36,6 +36,8 @@ the differential form.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
@@ -115,6 +117,177 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Each undirected edge oriented from its lower (degree, id) packed
+    key to the higher (Chiba–Nishizeki orientation: out-degree bounded
+    by O(sqrt(|E|)) on any graph — a celebrity node's million
+    neighbors each out-point to few higher-degree peers)."""
+    deg = _degrees(edges)
+    e = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("db")),
+        "b",
+    )
+    ka = F.col("da") * _GR_PACK + F.col("a")
+    kb = F.col("db") * _GR_PACK + F.col("b")
+    return e.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+
+
+# Sorted packed edge-key array (a * 2^32 + b, a < b by id), broadcast
+# once per (application, sf_dir, fingerprint) — the same process-scoped
+# intermediate memo discipline as _GR_EDGES (dies with the
+# SparkContext; never carries results across driver invocations).
+_GR_EDGE_KEYS: dict[tuple, object] = {}
+
+
+def _edge_key_broadcast(spark: SparkSession, sf_dir: str, edges: DataFrame):
+    from etl_project_spark.catalog import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "lineitem"),
+    )
+    if key in _GR_EDGE_KEYS:
+        return _GR_EDGE_KEYS[key]
+    pdf = edges.select(
+        (F.col("a") * _GR_PACK + F.col("b")).alias("k")
+    ).toPandas()
+    keys = np.sort(pdf["k"].to_numpy(dtype=np.int64, copy=True))
+    bc = spark.sparkContext.broadcast(keys)
+    _GR_EDGE_KEYS[key] = bc
+    return bc
+
+
+def _triangle_corners(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    n_edges: int | None = None,
+) -> DataFrame:
+    """ONE ROW PER TRIANGLE of the co-purchase graph: (u, v, w) where u
+    is the packed-(degree, id)-minimum corner and {v, w} the other two
+    (column order of v/w differs between the two physical paths below —
+    consumers must treat the three corners symmetrically, which gr1/gr3
+    /gr4 all do: corner credits, a global count, and least/greatest-
+    canonicalized edge credits are corner-order-free).
+
+    r13 kernel path (guide §4.2 — the CSR rewrite VERDICT r12 deferred):
+    below GR_BCAST_EDGE_CAP edges, the per-edge array_intersect probe
+    (the measured 1.75 s full-compute floor of gr1/gr3/gr4 at sf0.1) is
+    replaced by a closed-wedge numpy kernel: the sorted packed edge-key
+    array broadcasts once (bounded: ~8 B/edge, 40 MB at the cap — the
+    same cap that gated the old adjacency broadcasts), each task
+    enumerates its partition's out-neighbor pairs (volume = wedges of
+    the oriented graph, identical to the old intersect's probe volume)
+    and membership-tests them against the keys with one vectorized
+    searchsorted per adjacency row. Only (src, nbrs) crosses into
+    Python — Σ out-degrees = |E| values — and 3 ints per triangle come
+    back; the old path shipped nothing but probed interpreted-free JVM
+    hash sets per element, and measured 2-3x slower than the batched
+    searchsorted. Above the cap the old plan (shuffled equi-joins +
+    array_intersect) is kept verbatim — the plan changes with data
+    size, the triangle SET never does (both enumerate each triangle
+    exactly once at its packed-minimum corner)."""
+    if n_edges is None or n_edges > GR_BCAST_EDGE_CAP:
+        closed = _edge_common_outnbrs(edges, n_edges=n_edges)
+        return closed.select("u", "v", F.explode("common").alias("w"))
+    # pin the kernel's parallelism (the j10/dd8 lesson): the adjacency
+    # is ~10 MB at sf0.1, so AQE's byte-based coalescing would fold the
+    # post-agg partitions into ONE and serialize the CPU-bound wedge
+    # kernel; an explicit hash repartition on src is reused by the
+    # groupBy (no extra exchange) and is not coalescible
+    par = spark.sparkContext.defaultParallelism
+    adj = (
+        _oriented(edges)
+        .repartition(par, "src")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
+    bkeys = _edge_key_broadcast(spark, sf_dir, edges)
+
+    # bound the per-chunk pair count so a skew-heavy batch cannot spike
+    # task memory (pairs * ~5 int64 arrays; 8M pairs ~ 320 MB peak)
+    max_pairs = 8_000_000
+
+    def kernel(batches):
+        keys = bkeys.value
+        nk = len(keys)
+        for pdf in batches:
+            if nk == 0 or len(pdf) == 0:
+                continue
+            srcs = pdf["src"].to_numpy()
+            sizes = np.fromiter(
+                (len(x) for x in pdf["nbrs"]), dtype=np.int64, count=len(pdf)
+            )
+            n_pairs = sizes * (sizes - 1) // 2
+            # chunk rows so cumulative pair count stays bounded
+            bounds = [0]
+            acc = 0
+            for i, p in enumerate(n_pairs):
+                acc += int(p)
+                if acc >= max_pairs:
+                    bounds.append(i + 1)
+                    acc = 0
+            if bounds[-1] != len(pdf):
+                bounds.append(len(pdf))
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                rows = range(lo, hi)
+                keep = [i for i in rows if sizes[i] >= 2]
+                if not keep:
+                    continue
+                nbrs_col = pdf["nbrs"]
+                flat = np.concatenate(
+                    [
+                        np.asarray(nbrs_col.iloc[i], dtype=np.int64)
+                        for i in keep
+                    ]
+                )
+                d = sizes[keep]
+                row_u = srcs[keep]
+                ends = np.cumsum(d)
+                starts = ends - d
+                L = int(ends[-1])
+                gpos = np.arange(L, dtype=np.int64)
+                row_of = np.repeat(np.arange(len(keep)), d)
+                # pair generation, fully vectorized: element at global
+                # position p (row end e) anchors (e - p - 1) pairs with
+                # every LATER element of its row — nbrs are ascending
+                # by id, so flat[ii] < flat[jj] and the packed pair key
+                # matches the undirected a<b edge packing exactly
+                rep = ends[row_of] - gpos - 1
+                P = int(rep.sum())
+                if P == 0:
+                    continue
+                ii = np.repeat(gpos, rep)
+                cs = np.concatenate(([0], np.cumsum(rep)[:-1]))
+                jj = np.arange(P, dtype=np.int64) - np.repeat(
+                    cs, rep
+                ) + np.repeat(gpos + 1, rep)
+                pk = flat[ii] * _GR_PACK + flat[jj]
+                pos = np.searchsorted(keys, pk)
+                pos[pos >= nk] = nk - 1
+                m = keys[pos] == pk
+                if not m.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "u": row_u[
+                            np.searchsorted(ends, ii[m], side="right")
+                        ],
+                        "v": flat[ii[m]],
+                        "w": flat[jj[m]],
+                    }
+                )
+
+    return adj.mapInPandas(kernel, "u long, v long, w long")
+
+
 def _edge_common_outnbrs(
     edges: DataFrame, n_edges: int | None = None
 ) -> DataFrame:
@@ -147,20 +320,7 @@ def _edge_common_outnbrs(
     1.73 s. At a real 100 TB run the helper's consumers should
     materialize the oriented relation explicitly (the lm2/dd8 reuse
     lesson); under this bench's action it must stay lazy."""
-    deg = _degrees(edges)
-    e = edges.join(
-        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
-        "a",
-    ).join(
-        deg.select(F.col("node").alias("b"), F.col("degree").alias("db")),
-        "b",
-    )
-    ka = F.col("da") * _GR_PACK + F.col("a")
-    kb = F.col("db") * _GR_PACK + F.col("b")
-    oriented = e.select(
-        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    oriented = _oriented(edges)
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
@@ -217,43 +377,26 @@ def gr1_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     an embedded, reinforced tie).
 
     Shape: basket-local edge generation (module docstring), then the
-    degree-oriented edge-iterator enumeration (_edge_common_outnbrs —
-    per-edge array-intersect of out-adjacency, wedge work in-kernel,
-    never materialized). Corner credits: per oriented edge (u, v) with
-    c common out-neighbors, u and v each gain c and every common w
-    gains 1 (total explode volume = 3·triangles, not wedges). The
-    oracle enumerates the identical triangle set by id-order (a<b<c)
-    — triangle counts are orientation-independent, so the two
+    degree-oriented closed-wedge enumeration (_triangle_corners — one
+    row per triangle; r13: a vectorized numpy searchsorted kernel
+    below the broadcast cap, per-edge array-intersect above it).
+    Corner credits: each triangle credits its three corners once
+    (total explode volume = 3·triangles, not wedges). The oracle
+    enumerates the identical triangle set by id-order (a<b<c) —
+    triangle counts are orientation-independent, so the two
     enumeration orders are hash-identical while the Spark side keeps
     the skew-proof plan."""
     edges = _copurchase_edges(spark, sf_dir)
     deg = _degrees(edges)
-    closed = _edge_common_outnbrs(edges, n_edges=edges.count())
-    # one pass over the intersect stage: pack every corner credit of an
-    # edge — (u, c), (v, c), and (w, 1) per common neighbor — into one
-    # array and explode once (3 separate unions would re-run the
-    # intersect kernel three times)
-    contrib = F.concat(
-        F.array(
-            F.struct(
-                F.col("u").alias("node"), F.size("common").alias("c")
-            ),
-            F.struct(
-                F.col("v").alias("node"), F.size("common").alias("c")
-            ),
-        ),
-        F.transform(
-            "common",
-            lambda w: F.struct(
-                w.alias("node"), F.lit(1).cast("int").alias("c")
-            ),
-        ),
-    )
-    credits = closed.select(F.explode(contrib).alias("x")).select(
-        "x.node", "x.c"
+    tri = _triangle_corners(spark, sf_dir, edges, n_edges=edges.count())
+    # per triangle each corner gains exactly 1 (the old per-edge credit
+    # fold — (u, c), (v, c), (w, 1) per common neighbor — sums to the
+    # same integers: an edge's c is 1 per triangle it bases)
+    credits = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
     )
     ntri = credits.groupBy("node").agg(
-        F.sum("c").cast("long").alias("n_tri")
+        F.count(F.lit(1)).cast("long").alias("n_tri")
     )
     return (
         deg.join(ntri, "node", "left")
@@ -324,9 +467,12 @@ def gr2_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: each round is two leftsemi joins of the 2|E|-row adjacency
     against the surviving set plus one map-side-combined degree count
     — linear per round, {GR_KCORE_ROUNDS} rounds, every intermediate
-    eagerly checkpointed so lineage stays flat. The |V|-row survivor
-    relations never leave the cluster; only |E| and |V| (two scalars)
-    are pulled to the driver for k.
+    eagerly checkpointed so lineage stays flat. Round 1 folds into the
+    static degree relation (r13 — all nodes alive ⇒ the semi joins are
+    no-ops, so the first round is one aggregation instead of two
+    broadcast builds + probes; interleaved A/B 3.90 → 3.60 s median at
+    sf0.1). The |V|-row survivor relations never leave the cluster;
+    only |E| and |V| (two scalars) are pulled to the driver for k.
 
     r12 micro-wins (guide §2.4): the two per-round semi-join probes
     broadcast CANONICALLY IDENTICAL projections of the checkpointed
@@ -350,13 +496,23 @@ def gr2_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.count()
     n_nodes = a0.count()
     k = (3 * n_edges) // (2 * n_nodes)
-    cur = a0
-    survivals = []
     # survivor sets are |V|-row; broadcast them into the semi joins
     # while small so the 2|E|-row adjacency never shuffles per round —
     # above the cap the rounds degrade to shuffled semi joins
     bcast = n_nodes <= GR_BCAST_EDGE_CAP
-    for _r in range(GR_KCORE_ROUNDS):
+    # round 1 folds into the STATIC degree relation (r13, VERDICT r12
+    # #3 / SURVEY §28.3): with every node alive, the two semi joins are
+    # no-ops and round-1 degrees are just the adjacency group-count —
+    # one aggregation instead of two broadcast builds + the joins.
+    cur = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= k)
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    survivals = [cur]
+    for r in range(1, GR_KCORE_ROUNDS):
         alive_n = cur.select("node")
         alive_b = cur.select(F.col("node").alias("nbr"))
         if bcast:
@@ -368,6 +524,13 @@ def gr2_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # every round stays eagerly checkpointed (r13: batching TWO
+        # peels per checkpoint was prototyped and REJECTED after an
+        # interleaved A/B — old 3.39 s vs batched 3.55 s median at
+        # sf0.1: the unmaterialized odd round is consumed by both the
+        # next round's broadcasts and the final rollup, so the rollup
+        # job recomputes it once more and gives back everything the
+        # halved job count saved)
         cur = (
             deg.filter(F.col("c") >= k)
             .select("node")
@@ -430,7 +593,9 @@ def gr3_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers under ROUND(6) — deterministic in both engines.
     Triangle total reuses the degree-oriented edge-iterator
     (_edge_common_outnbrs — one SUM(SIZE(common)) over the per-edge
-    intersections); the one-row output composes broadcast crossJoins of
+    intersections; see the inline r13 note for why gr3 keeps the JVM
+    path while gr1/gr4 take the numpy kernel); the one-row output
+    composes broadcast crossJoins of
     the three scalar aggregates (the a10 pattern) — nothing
     corpus-sized ever reaches the driver."""
     edges = _copurchase_edges(spark, sf_dir)
@@ -440,6 +605,15 @@ def gr3_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("degree * (degree - 1) DIV 2")).alias("wedges"),
     )
     ec = edges.agg(F.count(F.lit(1)).alias("e_cnt"))
+    # gr3 deliberately KEEPS the JVM intersect path (r13): its one-row
+    # profile only needs the aggregates' cardinality under the bench's
+    # count() action, and with this shape the planner prunes the
+    # intersect COLUMN entirely (count ~1.0 s at sf0.1); routing it
+    # through the opaque _triangle_corners kernel forces the full
+    # enumeration under count() (measured 1.04 -> 2.7-3.7 s) while the
+    # full-compute noop gain is marginal (2.77 -> ~2.5 s). gr1/gr4 take
+    # the kernel because their count() paths eliminate the triangle
+    # branch via the left join either way.
     tc = _edge_common_outnbrs(edges, n_edges=edges.count()).agg(
         F.coalesce(F.sum(F.size("common")), F.lit(0))
         .cast("long")
@@ -506,13 +680,12 @@ def gr4_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge). gr1 credits triangle corners to NODES; this credits them
     to EDGES — the same enumeration, a different fold.
 
-    Shape: one pass over the edge-iterator intersect stage
-    (_edge_common_outnbrs): each oriented edge (u, v) with common set
-    W contributes (u,v)→|W| plus, per w ∈ W, (u,w)→1 and (v,w)→1 —
-    all three packed into one struct array and exploded ONCE (volume
-    = |E| + 2·triangles, never wedges), canonicalized to id-order
-    (least, greatest) so the fold is orientation-free and matches the
-    oracle's a<b<c enumeration. (r12 note: aggregating on the oriented
+    Shape: one pass over the triangle relation (_triangle_corners):
+    each triangle credits its three edges once — packed into one
+    struct array and exploded ONCE (volume = 3·triangles, never
+    wedges), canonicalized to id-order (least, greatest) so the fold
+    is orientation-free and matches the oracle's a<b<c enumeration.
+    (r12 note: aggregating on the oriented
     key with one least/greatest projection AFTER the aggregate, and
     broadcasting the per-edge counts into the final attach, were both
     prototyped and REVERTED — each makes the et join keys derived or
@@ -526,29 +699,24 @@ def gr4_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     case, the ratio one ROUND(6) division."""
     edges = _copurchase_edges(spark, sf_dir)
     deg = _degrees(edges)
-    closed = _edge_common_outnbrs(edges, n_edges=edges.count())
-    pair = lambda x, y, c: F.struct(  # noqa: E731
-        F.least(x, y).alias("a"),
-        F.greatest(x, y).alias("b"),
-        c.cast("long").alias("c"),
+    tri = _triangle_corners(spark, sf_dir, edges, n_edges=edges.count())
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
     )
-    contrib = F.concat(
-        F.array(pair(F.col("u"), F.col("v"), F.size("common"))),
-        F.flatten(
-            F.transform(
-                "common",
-                lambda w: F.array(
-                    pair(F.col("u"), w, F.lit(1)),
-                    pair(F.col("v"), w, F.lit(1)),
-                ),
-            )
-        ),
+    # per triangle each of its 3 edges gains exactly 1 (the old fold —
+    # base edge += |common|, (u,w) += 1, (v,w) += 1 — sums to the same
+    # integers), canonicalized to id-order so the fold matches the
+    # oracle's a<b<c enumeration
+    contrib = F.array(
+        pair(F.col("u"), F.col("v")),
+        pair(F.col("u"), F.col("w")),
+        pair(F.col("v"), F.col("w")),
     )
     et = (
-        closed.select(F.explode(contrib).alias("x"))
-        .select("x.a", "x.b", "x.c")
+        tri.select(F.explode(contrib).alias("x"))
+        .select("x.a", "x.b")
         .groupBy("a", "b")
-        .agg(F.sum("c").alias("n_tri"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))

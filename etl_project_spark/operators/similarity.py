@@ -41,8 +41,18 @@ def _query_cosine_scores(cand: DataFrame, queries: DataFrame) -> DataFrame:
     bit-for-bit against the fold over every sf0.1 pair).
 
     cand/queries: (vec_id, e). Output: (query_id, neighbor_id, sim)
-    for the full pair set."""
+    for the full pair set.
+
+    NOTE (ADVICE r12 #3): the query side is collected EAGERLY — plan
+    construction triggers a Spark job. Callers must keep ``queries``
+    bounded (the N_QUERIES/RRF_QUERIES contract); an empty query
+    relation returns an empty frame with the output schema."""
     qrows = sorted(queries.select("vec_id", "e").collect(), key=lambda r: r[0])
+    if not qrows:
+        spark = cand.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     nq, dim = qmat.shape

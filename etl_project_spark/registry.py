@@ -98,69 +98,67 @@ def register(
 # ROTATION.md for the current generated figures; pinned by
 # test_staleness_bound_holds_after_planned_window.
 #
-# r12 window (generated from artifacts through round 11):
-# never-attested first — x20 (implementation changed this round:
-# residual-aware probing; tools/rotation.py's REATTEST map voids its
-# r11 attestation), the new graph family gr1–gr3, and the new
-# statistics family dq14/dq15/an13/a16 plus gr4 — then the pure
-# staleness rotation:
-# the r7 block (x14/x15, tx11/tx13/tx15, w7, ts8, fn3, mm10/mm12,
-# smp6, pp8, x7, smp5, pp13, rk1–rk3, lm5, rk7, cdc2/cdc3, an1–an4,
-# an7/an8) followed by the oldest r8 rows (p1, a2, a3/a3g, t1–t3,
-# dq1, smp4, dq12, j12, dd6, dd12). Every oracle-able query
+# r13 window (generated from artifacts through round 12, REATTEST
+# cleared — x20's r12 driver row attests the current implementation):
+# pure staleness rotation over the oldest r8 block — the sketch/eval
+# families (x2/x5/x8/x16, dq10, tx12/tx16-tx18, lm6/lm7), the window
+# family (w1-w4/w6/w8), ts9, fn5, the media/pipeline r8 rows (mm2-mm5/
+# mm13, pp2/pp5/pp14, smp8, rk8), the analytics scorecards (an10-an12,
+# a12-a14, dq11), ly1, and the oldest core/TPC-H rows (a4/a6, dq3,
+# dq13, q1/q3/q4/q5/q6/q10/q13/q18, sq1). Every oracle-able query
 # stays inside the provable staleness bound (ROTATION.md), per
 # VERDICT r11 #1.
 _FRONT_QUERIES = [
-    "x20_ivfpq_trained_serving",
-    "gr1_node_triangles",
-    "gr2_kcore_layers",
-    "gr3_graph_profile",
-    "gr4_edge_embeddedness",
-    "dq14_ks_drift",
-    "an13_kaplan_meier",
-    "a16_grouped_ols",
-    "dq15_mannwhitney_u",
-    "x14_ivf_reference_topk",
-    "x15_pq_reference_topk",
-    "tx11_rabin_winnowing",
-    "tx13_shared_span_index",
-    "tx15_tfidf_keywords",
-    "w7_running_drawdown",
-    "ts8_ewma_forecast",
-    "fn3_array_funcs",
-    "mm10_shot_keyframes",
-    "mm12_audio_neardup",
-    "smp6_temperature_mixture",
-    "pp8_sequence_packing",
-    "x7_int8_quantize",
-    "smp5_dsir_resample",
-    "pp13_curriculum_phases",
-    "rk1_bm25_score",
-    "rk2_tfidf_postings",
-    "rk3_doc_chunking",
-    "lm5_bigram_eval",
-    "rk7_prf_expansion",
-    "cdc2_scd2_history",
-    "cdc3_exactly_once_ingest",
-    "an1_event_funnel",
-    "an2_cohort_retention",
-    "an3_session_paths",
-    "an4_twap",
-    "an7_rfm_segmentation",
-    "an8_copurchase_pairs",
-    "p1_select_all",
-    "a2_global_minmax",
-    "a3_daily_stats",
-    "a3g_keyed_daily_stats",
-    "t1_top1_by_value",
-    "t2_topk_by_value",
-    "t3_ordered_series",
-    "dq1_constraint_audit",
-    "smp4_weighted_sample",
-    "dq12_corpus_diff",
-    "j12_asof_tolerance_join",
-    "dd6_embedding_neardup",
-    "dd12_containment_pairs",
+    "x2_vector_norms",
+    "x5_centroid_per_label",
+    "x8_hard_negative_mining",
+    "dq10_embedding_drift",
+    "x16_range_search",
+    "tx12_heavy_hitters",
+    "tx16_code_detection",
+    "lm6_tokenizer_fertility",
+    "tx17_repetition_ratios",
+    "tx18_lexical_diversity",
+    "lm7_zipf_slope",
+    "w1_topn_per_key",
+    "w2_lag_delta",
+    "w3_running_sum",
+    "w4_rank_in_group",
+    "w6_distribution",
+    "w8_range_frame_trailing_hour",
+    "ts9_holt_forecast",
+    "fn5_map_funcs",
+    "mm2_media_features",
+    "mm3_frame_sample",
+    "mm5_perceptual_hash_dedup",
+    "mm4_media_resize",
+    "mm13_container_sniff",
+    "pp2_contamination_check",
+    "pp5_repeated_ngrams",
+    "smp8_systematic_pps_sample",
+    "pp14_context_window_audit",
+    "rk8_query_likelihood",
+    "an10_new_vs_returning",
+    "an11_engagement_gini",
+    "dq11_weekly_scorecard",
+    "an12_time_to_convert",
+    "a12_hll_md5_reference",
+    "a13_countmin_heavy_hitters",
+    "a14_histogram_quantile_sketch",
+    "ly1_zorder_key",
+    "a4_distinct_agg",
+    "a6_stat_moments",
+    "dq3_psi_drift",
+    "dq13_column_profile_diff",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q13_custdist",
+    "q18_large_orders",
+    "sq1_scalar_subquery",
+    "q5_region_revenue",
+    "q10_returned_items",
 ]
 
 

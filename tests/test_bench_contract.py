@@ -43,5 +43,34 @@ def test_bench_stdout_is_one_compact_json_line(tmp_path):
     # the driver's tail capture clipped a ~3 KB line in round 3; the
     # full headline map is ~700 B — pin generous headroom
     assert len(lines[0]) < 2000, len(lines[0])
+    # scaling-signal fields (VERDICT r12 #2): the line must prove
+    # $SPARK_GRAFT_CPUS reached the session
+    assert out["master"] == "local[4]"
+    assert out["parallelism"] == 4
     detail = json.load(open(detail_path))
     assert detail["queries"] == out["queries"]
+
+
+def test_detail_path_guards_subset_and_unreliable_runs():
+    """VERDICT r12 #8: a subset or load-tripped run must never clobber
+    the committed full-run BENCH_DETAIL.json; an explicit env path
+    always wins (the in-bench retime subprocesses rely on that)."""
+    sys.path.insert(0, REPO)
+    from bench import resolve_detail_path
+
+    full = resolve_detail_path(None, subset=False, unreliable=False)
+    assert full.endswith("/BENCH_DETAIL.json")
+    assert resolve_detail_path(None, subset=True, unreliable=False).endswith(
+        "/BENCH_DETAIL_SUBSET.json"
+    )
+    # subset protection applies even when the run was also noisy
+    assert resolve_detail_path(None, subset=True, unreliable=True).endswith(
+        "/BENCH_DETAIL_SUBSET.json"
+    )
+    assert resolve_detail_path(None, subset=False, unreliable=True).endswith(
+        "/BENCH_DETAIL_UNRELIABLE.json"
+    )
+    assert (
+        resolve_detail_path("/tmp/x.json", subset=True, unreliable=True)
+        == "/tmp/x.json"
+    )

@@ -38,8 +38,10 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", default=None,
-                    help="write explain('formatted') to plans/r12/"
+                    help="write explain('formatted') to plans/<round>/"
                          "<query>_<PLANS>.txt (e.g. --plans before)")
+    ap.add_argument("--plans-round", default="r13",
+                    help="plans/ subdirectory (default r13)")
     ap.add_argument("--no-noop", action="store_true",
                     help="skip the noop-sink timings (count only)")
     args = ap.parse_args()
@@ -53,7 +55,7 @@ def main() -> None:
         fn = qs[name]
         sc = spark.sparkContext
         if args.plans:
-            pdir = os.path.join(repo, "plans", "r12")
+            pdir = os.path.join(repo, "plans", args.plans_round)
             os.makedirs(pdir, exist_ok=True)
             df = fn(spark, args.sf)
             plan = df._sc._jvm.PythonSQLUtils.explainString(

@@ -62,9 +62,10 @@ CAP = 50  # observed driver window size (CORRECTNESS_r0{3..7}.json all have 50 r
 # priority until a newer driver row lands, at which point the entry is
 # inert (rounds above the cut pass through) and can be deleted.
 REATTEST: dict[str, int] = {
-    # r12: residual-aware margin probing + probe-scaled shortlist
-    # replaced the fixed (nprobe=3, shortlist=400) serving parameters
-    "x20_ivfpq_trained_serving": 11,
+    # (empty — r13: x20's r12 driver row attests the current
+    # implementation, so its r11 cut became inert and was deleted;
+    # add entries here whenever an implementation changes materially
+    # after its last driver green)
 }
 
 
