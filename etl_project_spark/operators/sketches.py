@@ -629,9 +629,11 @@ def a15_mrl_quantile_sketch(
     size — depth grows as log(n) automatically (10 levels at the
     10M-row smoke, 24 levels ≈ 5.5e11 rows before the cap). The
     summary's global (value, tid) rank is composed bucket-major over a
-    value-monotone key with driver-folded prefix offsets (see the
-    inline comment), so NO unpartitioned WindowExec exists anywhere in
-    the operator — every window partitions on a bounded key. Error:
+    value-monotone key with prefix offsets folded IN-PLAN over the
+    bounded bucket-totals relation (r13 — ~26 SF-invariant price
+    buckets; the one unpartitioned window in the operator orders THAT
+    relation, never the summary or the corpus; every other window
+    partitions on a bounded key). Error:
     MRL rank error grows with tree depth over buffer size
     (worst-case ~levels·weight/2 ranks = levels/(2^(levels+1)·FINAL_B·
     BUF_CAP/n) relative); the published rank_err column measures the
@@ -713,34 +715,46 @@ def a15_mrl_quantile_sketch(
             Window.partitionBy("vb").orderBy("value", "tid")
         ),
     )
-    totals = sorted(
-        (r["vb"], r["n"])
-        for r in loc.groupBy("vb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )  # bounded: <= summary rows; ~26 price-range buckets in practice
-    offsets, acc = [], 0
-    for b, nrows in totals:
-        offsets.append((b, acc))
-        acc += nrows
-    fmax = acc
-    fin = loc.join(
-        F.broadcast(
-            spark.createDataFrame(offsets or [(0, 0)], "vb long, off long")
-        ),
-        "vb",
-    ).select("value", (F.col("off") + F.col("rn")).alias("i"))
-    targets = spark.createDataFrame(
-        [
-            (
-                p,
-                min(
-                    max(int(math.ceil(p * n / weight + 0.5)), 1), fmax
-                ),
-            )
-            for p in MRL_QS
-        ],
-        "p double, i long",
+    # r13 (VERDICT r12 #7 follow-through): the per-bucket prefix
+    # offsets fold IN-PLAN over the bounded bucket-totals relation
+    # (~26 SF-invariant price buckets; the dq14 pp1 pattern) instead
+    # of a driver collect — the estimate pull below is now the ONE
+    # remaining driver job after the fold, instead of two serial ones.
+    # The only unpartitioned window orders that ~26-row relation;
+    # fmax (the summary row count, needed to clamp the rank targets)
+    # is a 1-row aggregate of the checkpointed summary, composed into
+    # the same job.
+    over_buckets = Window.orderBy("vb")
+    offs = (
+        loc.groupBy("vb")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .select(
+            "vb",
+            (F.sum("n_b").over(over_buckets) - F.col("n_b")).alias(
+                "off"
+            ),
+        )
+    )
+    fin = loc.join(F.broadcast(offs), "vb").select(
+        "value", (F.col("off") + F.col("rn")).alias("i")
+    )
+    fmax_row = F.broadcast(loc.agg(F.count(F.lit(1)).alias("fmax")))
+    targets = (
+        spark.createDataFrame(
+            [
+                (p, int(math.ceil(p * n / weight + 0.5)))
+                for p in MRL_QS
+            ],
+            "p double, i_raw long",
+        )
+        .crossJoin(fmax_row)
+        .select(
+            "p",
+            F.least(
+                F.greatest(F.col("i_raw"), F.lit(1).cast("long")),
+                F.col("fmax"),
+            ).alias("i"),
+        )
     )
     est_rows = sorted(
         targets.join(F.broadcast(fin), "i")

@@ -129,17 +129,23 @@ def test_a16_matches_numpy_lstsq(spark, sf_dir):
 
 
 def test_stats_plans_are_bounded(spark, sf_dir):
-    """No unpartitioned windows (dq14 uses the bucketed two-phase
-    rank; an13's step fold is driver-side over a bounded relation),
-    no quadratic joins, no row-Python anywhere in the family."""
-    for name in (
-        "dq14_ks_drift",
-        "an13_kaplan_meier",
-        "a16_grouped_ols",
+    """No unbounded unpartitioned windows, no quadratic joins, no
+    row-Python anywhere in the family. dq14 (r13) carries exactly ONE
+    global window — the pp1-style prefix fold over the ~26-row
+    price-bucket totals relation (registered in
+    tools/audit_plans.BOUNDED_GLOBAL_WINDOW); an13's step fold is
+    driver-side over a bounded relation; a16 has none."""
+    for name, want_windows in (
+        ("dq14_ks_drift", 1),
+        ("an13_kaplan_meier", 0),
+        ("a16_grouped_ols", 0),
     ):
         df = all_queries()[name](spark, sf_dir)
         stats = assert_scalable(df, allow_quadratic=False)
-        assert stats.unpartitioned_windows == 0, (name, stats.plan)
+        assert stats.unpartitioned_windows == want_windows, (
+            name,
+            stats.plan,
+        )
 
 
 def test_dq15_matches_pairwise_u(spark, sf_dir):

@@ -75,6 +75,9 @@ BOUNDED_GLOBAL_WINDOW = {
     "pp15_dedup_weighted_mixture": "bucket spine",
     "bpe3_cached_shard_packing": "bucket spine",
     "smp8_systematic_pps_sample": "bucket spine",
+    # r13: KS offsets fold over the ~26-row price-bucket totals
+    # (SF-invariant TPC-H price range) instead of a driver collect
+    "dq14_ks_drift": "bucket spine",
     # per-source aggregates: #sources rows at any corpus scale
     "pp4_source_mixture": "per-source rows",
     "smp6_temperature_mixture": "per-source rows",
@@ -86,6 +89,52 @@ BOUNDED_GLOBAL_WINDOW = {
     # counts-of-counts relation (distinct per-user event counts)
     "an11_engagement_gini": "counts-of-counts",
 }
+
+
+# Appended verbatim to SCALE.md (VERDICT r12 #6): the SOURCE-level
+# enumeration of every unpartitioned-window construction site in the
+# package, each with its row bound by construction. The WindowExec
+# "No Partition Defined" WARN lines in the bench tail all come from
+# these sites firing at runtime; the per-query plan table above flags
+# the same windows per consumer (global-window(bounded: …)).
+GLOBAL_WINDOW_SITES = (
+    "\n## Unpartitioned-window construction sites (r13 enumeration)\n\n"
+    "Every `Window.orderBy(...)` without a `partitionBy` in the "
+    "package, with the proof its input is bounded by construction. "
+    "Any site NOT in this list fails the plan audit (GLOBAL-WINDOW "
+    "flag) and the per-family plan tests.\n\n"
+    "| site | consumers | input relation | row bound |\n"
+    "|---|---|---|---|\n"
+    "| operators/pipeline.py `_two_phase_pack` (over_buckets) | pp1, "
+    "pp12, pp13, pp15, bpe3 (+pp4/smp6 per-source twins) | shard-"
+    "bucket totals | corpus_tokens / SHARD_TOKENS buckets (hundreds; "
+    "one row per shard bucket, never per doc) |\n"
+    "| operators/pipeline.py `pp8_sequence_packing` | pp8 | bucket "
+    "totals | same bucket spine |\n"
+    "| operators/pipeline.py `pp6_epoch_shuffle` | pp6 | bucket "
+    "totals | same bucket spine |\n"
+    "| operators/pipeline.py `smp8_systematic_pps_sample` | smp8 | "
+    "bucket totals | same bucket spine |\n"
+    "| operators/timeseries.py `ts10_seasonal_decomposition` "
+    "(w_lo/w_hi/w_full) | ts10 | hourly calendar spine | hours in "
+    "the fixed event window (calendar rows, not events) |\n"
+    "| operators/core.py `smp4_weighted_sample` | smp4 | keyed docs "
+    "BELOW a rank-limit rewrite | LimitPushDownThroughWindow / "
+    "InferWindowGroupLimit bound the window input to R rows (pinned "
+    "by tests/test_plans.py) |\n"
+    "| operators/analytics.py `an11_engagement_gini` | an11 | "
+    "counts-of-counts relation | distinct per-user event-count "
+    "values (hundreds) |\n"
+    "| operators/stats.py `dq14_ks_drift` (r13) | dq14 | price-"
+    "bucket totals | ~26 rows (SF-invariant TPC-H price range / "
+    "KS_STEP) |\n"
+    "| operators/sketches.py `a15_mrl_quantile_sketch` (r13) | a15 | "
+    "summary price-bucket totals | ~26 rows (bounded summary ≤33k "
+    "rows bucketed by the same SF-invariant range) |\n"
+    "| ingest/corpus.py `clean_corpus`, `_with_epoch_positions`; "
+    "ingest/media_corpus.py `_pack_by_bytes` | fixture ingest only "
+    "(not query paths) | bucket totals | same bucket spine |\n"
+)
 
 
 def audit(name: str, fn, spark, sf_dir: str) -> dict:
@@ -177,6 +226,7 @@ def main() -> None:
             "planted structured fixture. Each approximate family also "
             "has a driver-hash-green deterministic twin (x6/x14/x15, "
             "dd5c, a12/a13/a14) replaying its pipeline exactly.\n"
+            + GLOBAL_WINDOW_SITES
         )
     print(f"SCALE.md written ({len(rows)} queries)")
     for r in rows:
