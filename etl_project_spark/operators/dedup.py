@@ -244,9 +244,15 @@ def dd3_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DD8_TAU = 0.5  # same threshold/metric as dd4 — dd8 is its exact twin
 # tau as an exact rational (num, den): every prefix-length / positional
 # / length bound cross-multiplies to pure int64 comparisons (r13,
-# ADVICE r12 #1 — a float ceil(fl(tau)·sz) overshoots the true bound by
-# 1 whenever fl(tau) rounds up and tau·sz is an integer, silently
-# dropping a qualifying pair at exactly tau; integer arithmetic cannot)
+# ADVICE r12 #1). Precision analysis (tests/test_r13_internals.py): a
+# SINGLE correctly-rounded constant times an integer cannot overshoot
+# a ceil bound (relative error < half ulp), so the old single-rounding
+# forms were safe — but dd8's alpha used the TWO-rounding constant
+# fl(fl(tau)/(1+fl(tau))), which provably overshoots for other taus
+# (tau=1/5 at pair size 18 demands overlap 4 where the true bound is
+# 3, silently dropping a qualifying pair before verification); it was
+# safe at DD8_TAU=0.5 only because that constant happens to round
+# DOWN. The int64 forms are exact for every tau by construction.
 DD8_TAU_FRAC = (1, 2)
 assert DD8_TAU_FRAC[0] / DD8_TAU_FRAC[1] == DD8_TAU
 
@@ -327,11 +333,10 @@ def dd8_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
-    # prefix rule rn <= sz - ceil(tau*sz) + 1, cross-multiplied to pure
-    # int64 (r13, ADVICE r12 #1: F.ceil(sz * fl(tau)) overshoots the
-    # true bound by 1 whenever fl(tau) rounds up and tau*sz is an
-    # integer — num*sz <= den*(sz - rn + 1) is the exact equivalent
-    # with no float anywhere)
+    # prefix rule rn <= sz - ceil(tau*sz) + 1, cross-multiplied to
+    # pure int64 (r13, ADVICE r12 #1 — num*sz <= den*(sz - rn + 1) is
+    # the exact equivalent with no float anywhere; see the
+    # DD8_TAU_FRAC precision note for which float forms were fragile)
     in_prefix = F.col("sz") * num <= (F.col("sz") - F.col("rn") + 1) * den
     prefix = (
         # broadcast the frequency map: post keeps its doc_id
@@ -1415,9 +1420,8 @@ def dd11_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
     # A may miss at most sz - ceil(tau*sz) shingles of B; the prefix
     # rule rn <= sz - ceil(tau*sz) + 1 cross-multiplies to pure int64
-    # (r13 — the old F.ceil(sz * fl(0.8)) OVERSHOT the true bound by 1
-    # for every sz divisible by 5, because fl(0.8) > 4/5: a latent
-    # missed-pair hazard at exactly tau, see DD8_TAU_FRAC)
+    # (r13 — exact for every tau by construction; see the
+    # DD8_TAU_FRAC precision note)
     in_prefix = F.col("sz") * num <= (F.col("sz") - F.col("rn") + 1) * den
     # every posting carries its rarity rank (r12): the container side
     # needs ranks for the positional filter, and ranking the full list
@@ -1949,9 +1953,9 @@ def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = sizes.select("doc_id", "sz", F.explode("sh").alias("s"))
     freq = post.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     by_rarity = Window.partitionBy("doc_id").orderBy("cnt", "s")
-    # prefix rule rn <= sz - ceil(tau*sz) + 1 in pure int64 (r13 — the
-    # old F.ceil(sz * fl(0.8)) overshot the true bound by 1 for every
-    # sz divisible by 5 because fl(0.8) > 4/5; see DD8_TAU_FRAC/dd11)
+    # prefix rule rn <= sz - ceil(tau*sz) + 1 in pure int64 (r13 —
+    # exact for every tau by construction; see the DD8_TAU_FRAC
+    # precision note)
     in_prefix = F.col("sz") * num <= (F.col("sz") - F.col("rn") + 1) * den
     # every posting carries its rarity rank (r12): the dst side needs
     # ranks too for the positional filter below, and ranking the full

@@ -251,7 +251,6 @@ def _triangle_corners(
                 d = sizes[keep]
                 row_u = srcs[keep]
                 ends = np.cumsum(d)
-                starts = ends - d
                 L = int(ends[-1])
                 gpos = np.arange(L, dtype=np.int64)
                 row_of = np.repeat(np.arange(len(keep)), d)
